@@ -1,0 +1,80 @@
+"""Container decode + canonical loading.
+
+Parity targets: ``ensure_wav_format`` (back/api.py:530-568) and ``load_audio``
+(back/api.py:799-838). WAV is decoded natively (audio/wav.py); other
+containers go through an ffmpeg subprocess when the binary exists — the same
+contract as the reference, including "return the original path on failure"
+(back/api.py:564-566).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import subprocess
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from clearconverse_tpu.audio import denoise as _denoise
+from clearconverse_tpu.audio.resample import resample
+from clearconverse_tpu.audio.wav import read_wav
+
+logger = logging.getLogger(__name__)
+
+TARGET_SR = 16000
+
+
+def ffmpeg_available() -> bool:
+    return shutil.which("ffmpeg") is not None
+
+
+def ensure_wav_format(file_path: str) -> str:
+    """Convert non-WAV audio to 16 kHz mono pcm_s16le WAV via ffmpeg
+    (reference back/api.py:544-556 flags). Returns the original path when the
+    input is already WAV or conversion is impossible."""
+    if file_path.lower().endswith(".wav"):
+        return file_path
+    if not ffmpeg_available():
+        logger.warning("ffmpeg unavailable; keeping %s as-is", file_path)
+        return file_path
+    wav_path = os.path.splitext(file_path)[0] + ".wav"
+    cmd = ["ffmpeg", "-y", "-i", file_path,
+           "-acodec", "pcm_s16le", "-ar", str(TARGET_SR), "-ac", "1", wav_path]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return wav_path
+    except (subprocess.CalledProcessError, OSError) as exc:
+        logger.error("ffmpeg conversion failed for %s: %s", file_path, exc)
+        return file_path
+
+
+def load_audio(file_path: str, target_sr: int = TARGET_SR,
+               noise_reduction_amount: float = 0.5,
+               denoise: bool = True) -> Tuple[jnp.ndarray, int]:
+    """WAV/convertible file → (float32 ``[T]`` waveform @ target_sr, sr).
+
+    Reference semantics (back/api.py:799-838): stereo→mono mean, resample to
+    16 kHz, stationary spectral-gate denoise, peak-normalize (+1e-8).
+    """
+    file_path = ensure_wav_format(file_path)
+    samples, sr = read_wav(file_path)          # [C, T]
+    wave = jnp.asarray(samples.mean(axis=0))   # mono mean (api.py:823)
+    if sr != target_sr:
+        wave = resample(wave, sr, target_sr)
+    if denoise and noise_reduction_amount > 0:
+        wave = _denoise.spectral_gate(wave, target_sr, prop_decrease=noise_reduction_amount)
+    wave = _denoise.peak_normalize(wave)
+    return wave, target_sr
+
+
+def decode_pcm_bytes(data: bytes, channels: int = 1) -> np.ndarray:
+    """s16le PCM bytes → float32 [C, T] (ffmpeg pipe output helper)."""
+    pcm = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    if channels > 1:
+        pcm = pcm[: (len(pcm) // channels) * channels].reshape(-1, channels).T
+    else:
+        pcm = pcm[None, :]
+    return pcm

@@ -1,0 +1,126 @@
+"""Stationary spectral-gating noise reduction, batched on device.
+
+Reimplements the noisereduce algorithm the reference applies on CPU inside
+both ``load_audio`` (back/api.py:832, stationary=True, prop_decrease=cfg) and
+``enhance_audio`` (back/api.py:345-352): per-frequency noise statistics over
+the whole clip, a dB threshold at mean + 1.5·std, triangular smoothing of the
+binary gate over (freq, time), linear blend by ``prop_decrease``, ISTFT.
+
+The reference runs this once per profile-segment *inside a Python loop*
+(back/api.py:928); here the whole segment batch goes through one ``[B, T]``
+jit program.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_FFT = 1024
+HOP = 256
+_N_STD_THRESH = 1.5
+_FREQ_SMOOTH_HZ = 500
+_TIME_SMOOTH_MS = 50
+
+
+@lru_cache(maxsize=2)
+def _smoothing_filter(sr: int) -> np.ndarray:
+    """noisereduce's triangular (freq × time) smoothing kernel, sum-normalized."""
+    n_grad_freq = int(_FREQ_SMOOTH_HZ / (sr / (N_FFT / 2)))
+    n_grad_time = int(_TIME_SMOOTH_MS / ((HOP / sr) * 1000))
+
+    def ramp(n):
+        v = np.concatenate([np.linspace(0, 1, n + 1, endpoint=False),
+                            np.linspace(1, 0, n + 2)])
+        return v[1:-1]
+
+    filt = np.outer(ramp(n_grad_freq), ramp(n_grad_time))
+    return (filt / filt.sum()).astype(np.float32)
+
+
+def _hann(n: int) -> np.ndarray:
+    i = np.arange(n)
+    return (0.5 * (1.0 - np.cos(2.0 * np.pi * i / n))).astype(np.float32)
+
+
+def _stft(x: jnp.ndarray) -> jnp.ndarray:
+    """librosa-style STFT: center=True constant padding, periodic Hann.
+    [B, T] → complex [B, freq, frames]."""
+    pad = N_FFT // 2
+    xp = jnp.pad(x, ((0, 0), (pad, pad)))
+    n_frames = 1 + x.shape[-1] // HOP
+    idx = (jnp.arange(n_frames) * HOP)[:, None] + jnp.arange(N_FFT)[None, :]
+    frames = xp[:, idx] * jnp.asarray(_hann(N_FFT))[None, None, :]
+    return jnp.transpose(jnp.fft.rfft(frames, axis=-1), (0, 2, 1))
+
+
+def _istft(spec: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Overlap-add inverse with window-square normalization. [B,freq,frames]→[B,T]."""
+    frames = jnp.fft.irfft(jnp.transpose(spec, (0, 2, 1)), n=N_FFT, axis=-1)
+    window = jnp.asarray(_hann(N_FFT))
+    frames = frames * window[None, None, :]
+    n_frames = frames.shape[1]
+    total = (n_frames - 1) * HOP + N_FFT
+    idx = (jnp.arange(n_frames) * HOP)[:, None] + jnp.arange(N_FFT)[None, :]
+
+    out = jnp.zeros((frames.shape[0], total), frames.dtype)
+    out = out.at[:, idx.reshape(-1)].add(frames.reshape(frames.shape[0], -1))
+    env = jnp.zeros((total,), frames.dtype)
+    env = env.at[idx.reshape(-1)].add(jnp.tile(window * window, n_frames))
+    out = out / jnp.maximum(env, 1e-8)[None, :]
+    pad = N_FFT // 2
+    return out[:, pad : pad + length]
+
+
+def spectral_gate(audio: jnp.ndarray, sr: int = 16000,
+                  prop_decrease: float = 0.5,
+                  mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Stationary spectral gating over ``[B, T]`` (or ``[T]``) waveforms.
+
+    ``mask`` (optional ``[B, T]`` 0/1) marks valid samples of padded batch
+    entries so padding doesn't contaminate the noise statistics.
+    """
+    squeeze = audio.ndim == 1
+    if squeeze:
+        audio = audio[None, :]
+    length = audio.shape[-1]
+
+    spec = _stft(audio)
+    mag_db = 20.0 * jnp.log10(jnp.maximum(jnp.abs(spec), 1e-20))
+
+    if mask is not None:
+        n_frames = spec.shape[-1]
+        frame_valid = (jnp.arange(n_frames)[None, :] * HOP) < jnp.sum(mask, -1, keepdims=True)
+        w = frame_valid[:, None, :].astype(mag_db.dtype)
+        denom = jnp.maximum(jnp.sum(w, -1, keepdims=True), 1.0)
+        mean_db = jnp.sum(mag_db * w, -1, keepdims=True) / denom
+        var_db = jnp.sum((mag_db - mean_db) ** 2 * w, -1, keepdims=True) / denom
+    else:
+        mean_db = jnp.mean(mag_db, -1, keepdims=True)
+        var_db = jnp.var(mag_db, -1, keepdims=True)
+    noise_thresh = mean_db + jnp.sqrt(var_db) * _N_STD_THRESH
+
+    gate = (mag_db > noise_thresh).astype(jnp.float32)
+    filt = jnp.asarray(_smoothing_filter(sr))[None, :, :]
+    gate = jax.lax.conv_general_dilated(
+        gate[:, None, :, :], filt[None, :, :, :],
+        window_strides=(1, 1),
+        padding=[(filt.shape[1] // 2, (filt.shape[1] - 1) // 2),
+                 (filt.shape[2] // 2, (filt.shape[2] - 1) // 2)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[:, 0]
+    gate = gate * prop_decrease + (1.0 - prop_decrease)
+
+    out = _istft(spec * gate.astype(spec.dtype), length)
+    if mask is not None:
+        out = out * mask
+    return out[0] if squeeze else out
+
+
+def peak_normalize(audio: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Peak normalization with the reference's epsilon (back/api.py:835)."""
+    peak = jnp.max(jnp.abs(audio), axis=-1, keepdims=True)
+    return audio / (peak + eps)

@@ -1,0 +1,109 @@
+"""Pipeline configuration and environment loading.
+
+Mirrors the reference's ``Config`` dataclass (back/api.py:113-135) and
+``load_environment`` (back/api.py:77-92) so that sweep configs written for the
+reference eval harness (back/test.py:1256-1263) map 1:1 onto this framework.
+
+Differences from the reference, recorded explicitly:
+  * ``transcription_batch_size`` is declared-but-dead in the reference
+    (grep-verified, SURVEY.md §2.1). Here it is REAL: the batch planner pads
+    segments into length buckets of at most this many items per device program.
+  * New TPU-specific knobs live in their own dataclass (``TPUConfig``) instead
+    of being mixed into pipeline hyperparameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    """Pipeline hyperparameters (reference back/api.py:113-135, same defaults)."""
+
+    auth_token: Optional[str] = None
+    target_sample_rate: int = 16000
+    min_segment_duration: float = 0.45
+    overlap_threshold: float = 0.50          # minimum overlap duration (api.py:888)
+    condition_on_previous_text: bool = True
+    merge_gap_threshold: float = 0.50
+    max_embedding_segments: int = 100
+    use_vad_refinement: bool = True
+    noise_reduction_amount: float = 0.50
+    use_speaker_embeddings: bool = True
+    temperature: float = 0.1
+    max_speakers: int = 2
+    min_speakers: int = 1
+    whisper_model_size: str = "small.en"
+    sliding_window_size: float = 0.80
+    sliding_window_step: float = 0.40
+    secondary_diarization_threshold: float = 0.30
+    # Declared in the reference but never read there (SURVEY.md §2.1).
+    # transcription_batch_size is live here (pipeline/batching.py).
+    min_overlap_duration_for_separation: float = 0.50
+    enhance_separated_audio: bool = True
+    speaker_embedding_threshold: float = 0.50
+    transcription_batch_size: int = 16
+    transcribe_overlaps_individually: bool = True
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass
+class TPUConfig:
+    """TPU execution knobs (new; no reference counterpart — SURVEY.md §2.5)."""
+
+    # Duration buckets (seconds) that segments are padded into before batching.
+    # Whisper's own window is 30 s; shorter buckets avoid wasted encoder FLOPs.
+    duration_buckets: tuple = (5.0, 10.0, 30.0)
+    # Mesh axis sizes; data axis shards the segment batch, model axis shards
+    # attention heads / MLP (tensor parallel) when > 1.
+    data_axis: int = 1
+    model_axis: int = 1
+    # Max decoded tokens per segment program (Whisper small.en ctx is 448).
+    max_decode_tokens: int = 224
+    # Compute dtype for matmuls (MXU-native).
+    compute_dtype: str = "bfloat16"
+    # Run all Pallas kernels in interpreter mode (CPU testing).
+    pallas_interpret: bool = False
+
+
+def parse_env_file(path: str) -> dict:
+    """Tiny .env parser (python-dotenv is not vendored; reference used it at
+    back/api.py:77-92). Supports comments, blank lines, ``KEY=VALUE`` and
+    optional surrounding quotes."""
+    out = {}
+    if not os.path.exists(path):
+        return out
+    with open(path, "r", encoding="utf-8") as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, val = line.partition("=")
+            key, val = key.strip(), val.strip()
+            if len(val) >= 2 and val[0] == val[-1] and val[0] in "\"'":
+                val = val[1:-1]
+            out[key] = val
+    return out
+
+
+def load_environment() -> dict:
+    """Reference back/api.py:77-92: read ``ENV_FILE`` (default ``.env``),
+    overlay onto os.environ-derived settings, return the serving config."""
+    env_file = os.environ.get("ENV_FILE", ".env")
+    file_vars = parse_env_file(env_file)
+
+    def get(key: str, default: str = "") -> str:
+        return os.environ.get(key, file_vars.get(key, default))
+
+    return {
+        "api_host": get("API_HOST", "0.0.0.0"),
+        "api_port": int(get("API_PORT", "8000")),
+        "cors_origins": get("CORS_ORIGINS", "*"),
+        "model_cache_dir": get("MODEL_CACHE_DIR", "./models"),
+        "hf_auth_token": get("HF_AUTH_TOKEN", "") or None,
+    }

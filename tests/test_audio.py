@@ -1,0 +1,207 @@
+"""Audio frontend tests: WAV codec round-trips, resampler math vs a
+brute-force NumPy reference (the exact torchaudio formulation), Whisper
+log-mel vs an independent FFT-based NumPy implementation, spectral gate
+invariants."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from clearconverse_tpu.audio import wav as wavmod
+from clearconverse_tpu.audio.resample import resample
+from clearconverse_tpu.audio import mel as melmod
+from clearconverse_tpu.audio.denoise import spectral_gate, peak_normalize
+
+
+# ---------------------------------------------------------------- WAV codec
+
+def test_wav_roundtrip_mono(tmp_path, rng):
+    x = np.clip(rng.standard_normal(16000) * 0.3, -0.99, 0.99).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    wavmod.write_wav(p, x, 16000)
+    y, sr = wavmod.read_wav(p)
+    assert sr == 16000 and y.shape == (1, 16000)
+    assert np.max(np.abs(y[0] - x)) < 2.0 / 32768
+
+
+def test_wav_roundtrip_stereo(tmp_path, rng):
+    x = np.clip(rng.standard_normal((2, 8000)) * 0.3, -0.99, 0.99).astype(np.float32)
+    p = str(tmp_path / "s.wav")
+    wavmod.write_wav(p, x, 44100)
+    y, sr = wavmod.read_wav(p)
+    assert sr == 44100 and y.shape == (2, 8000)
+    assert np.max(np.abs(y - x)) < 2.0 / 32768
+
+
+def test_wav_float32_and_24bit(tmp_path, rng):
+    # Hand-build an IEEE-float WAV and a 24-bit PCM WAV, decode both.
+    import struct
+    x = np.clip(rng.standard_normal(1000) * 0.3, -0.99, 0.99).astype(np.float32)
+
+    body = x.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 16000 * 4, 4, 32)
+    hdr += b"data" + struct.pack("<I", len(body))
+    p = tmp_path / "f32.wav"
+    p.write_bytes(hdr + body)
+    y, sr = wavmod.read_wav(str(p))
+    np.testing.assert_allclose(y[0], x, atol=1e-7)
+
+    ints = np.clip(np.round(x * 8388607), -8388608, 8388607).astype(np.int64)
+    raw = bytearray()
+    for v in ints:
+        raw += int(v & 0xFFFFFF).to_bytes(3, "little")
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(raw)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 16000 * 3, 3, 24)
+    hdr += b"data" + struct.pack("<I", len(raw))
+    p = tmp_path / "p24.wav"
+    p.write_bytes(hdr + bytes(raw))
+    y, _ = wavmod.read_wav(str(p))
+    assert np.max(np.abs(y[0] - x)) < 2.0 / 8388608
+
+
+# ---------------------------------------------------------------- Resampler
+
+def _numpy_sinc_resample(x, orig, new, width_f=6, rolloff=0.99):
+    """Brute-force windowed-sinc resampler (torchaudio math, O(T·K))."""
+    gcd = math.gcd(orig, new)
+    orig, new = orig // gcd, new // gcd
+    base = min(orig, new) * rolloff
+    width = math.ceil(width_f * orig / base)
+    idx = np.arange(-width, width + orig, dtype=np.float64) / orig
+    t = np.arange(0, -new, -1, dtype=np.float64)[:, None] / new + idx[None, :]
+    t *= base
+    t = np.clip(t, -width_f, width_f)
+    window = np.cos(t * np.pi / width_f / 2) ** 2
+    t *= np.pi
+    kernel = np.where(t == 0, 1.0, np.sin(t) / np.where(t == 0, 1.0, t)) * window
+    kernel *= base / orig
+
+    T = len(x)
+    xp = np.concatenate([np.zeros(width), x, np.zeros(width + orig)])
+    n_frames = (len(xp) - kernel.shape[1]) // orig + 1
+    out = np.zeros((n_frames, new))
+    for f in range(n_frames):
+        seg = xp[f * orig : f * orig + kernel.shape[1]]
+        out[f] = kernel @ seg
+    target = int(math.ceil(new * T / orig))
+    return out.reshape(-1)[:target]
+
+
+@pytest.mark.parametrize("orig,new", [(44100, 16000), (8000, 16000), (22050, 16000)])
+def test_resample_matches_reference(orig, new, rng):
+    x = rng.standard_normal(orig // 4).astype(np.float32)
+    ours = np.asarray(resample(jnp.asarray(x), orig, new))
+    ref = _numpy_sinc_resample(x.astype(np.float64), orig, new)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_resample_preserves_tone_frequency():
+    sr_in, sr_out, f0 = 48000, 16000, 440.0
+    t = np.arange(sr_in) / sr_in
+    x = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    y = np.asarray(resample(jnp.asarray(x), sr_in, sr_out))
+    spec = np.abs(np.fft.rfft(y[1000:-1000] * np.hanning(len(y) - 2000)))
+    peak_hz = np.argmax(spec) * sr_out / (len(y) - 2000)
+    assert abs(peak_hz - f0) < 2.0
+
+
+def test_resample_identity():
+    x = jnp.ones((3, 100))
+    assert resample(x, 16000, 16000) is x
+
+
+# ---------------------------------------------------------------- Log-mel
+
+def _numpy_whisper_logmel(audio):
+    """Independent NumPy reimplementation of whisper's log_mel_spectrogram."""
+    N_FFT, HOP = 400, 160
+    window = 0.5 * (1 - np.cos(2 * np.pi * np.arange(N_FFT) / N_FFT))
+    pad = N_FFT // 2
+    x = np.pad(audio, pad, mode="reflect")
+    n_frames = 1 + len(audio) // HOP
+    frames = np.stack([x[i * HOP : i * HOP + N_FFT] for i in range(n_frames)])
+    spec = np.fft.rfft(frames * window, axis=-1)
+    power = np.abs(spec[:-1]) ** 2  # drop last frame
+    fb = melmod.mel_filterbank()
+    m = power @ fb
+    log_spec = np.log10(np.maximum(m, 1e-10))
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return ((log_spec + 4.0) / 4.0).T  # [n_mels, frames]
+
+
+def test_logmel_matches_numpy_reference(rng):
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+    ours = np.asarray(melmod.log_mel_spectrogram(jnp.asarray(audio)))[0]
+    ref = _numpy_whisper_logmel(audio)
+    assert ours.shape == ref.shape == (80, 100)
+    np.testing.assert_allclose(ours, ref, atol=5e-4)
+
+
+def test_logmel_fft_and_matmul_paths_agree(rng):
+    audio = jnp.asarray(rng.standard_normal((2, 8000)).astype(np.float32) * 0.1)
+    a = np.asarray(melmod.log_mel_spectrogram(audio, use_fft=False))
+    b = np.asarray(melmod.log_mel_spectrogram(audio, use_fft=True))
+    np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_mel_filterbank_properties():
+    fb = melmod.mel_filterbank()  # [201, 80]
+    assert fb.shape == (201, 80)
+    assert (fb >= 0).all()
+    # Slaney mel scale: linear region filter peaks are evenly spaced in Hz.
+    peaks = fb.argmax(axis=0)
+    assert (np.diff(peaks.astype(int)) >= 0).all()
+
+
+def test_pure_tone_hits_expected_mel_bin():
+    sr, f0 = 16000, 1000.0
+    t = np.arange(sr) / sr
+    audio = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    m = np.asarray(melmod.log_mel_spectrogram(jnp.asarray(audio)))[0]
+    hot = m.mean(axis=1).argmax()
+    fb = melmod.mel_filterbank()
+    freqs = np.linspace(0, sr / 2, 201)
+    center = freqs[fb[:, hot].argmax()]
+    assert abs(center - f0) < 100
+
+
+# ---------------------------------------------------------------- Denoise
+
+def test_spectral_gate_reduces_noise_keeps_burst(rng):
+    # Stationary gating thresholds each frequency at its own long-run
+    # statistics, so a transient burst (speech-like) survives while the
+    # steady noise floor is suppressed.
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    burst_sig = 0.6 * rng.standard_normal(2 * sr)  # broadband, speech-like
+    gate_on = ((t > 0.8) & (t < 1.2)).astype(np.float64)
+    noise = 0.03 * rng.standard_normal(2 * sr)
+    x = (burst_sig * gate_on + noise).astype(np.float32)
+    y = np.asarray(spectral_gate(jnp.asarray(x), sr, prop_decrease=1.0))
+    assert y.shape == x.shape
+
+    burst = slice(int(0.85 * sr), int(1.15 * sr))
+    quiet = slice(int(1.5 * sr), int(1.95 * sr))
+    # Burst energy survives; the noise-only region is strongly attenuated.
+    assert np.square(y[burst]).sum() > 0.5 * np.square(x[burst]).sum()
+    assert np.square(y[quiet]).sum() < 0.3 * np.square(x[quiet]).sum()
+
+
+def test_spectral_gate_batched_with_mask(rng):
+    x = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+    mask = np.ones((2, 8000), np.float32)
+    mask[1, 4000:] = 0
+    y = np.asarray(spectral_gate(jnp.asarray(x), 16000, 0.5, jnp.asarray(mask)))
+    assert y.shape == (2, 8000)
+    assert np.all(y[1, 4000:] == 0)
+
+
+def test_peak_normalize():
+    x = jnp.asarray([0.0, 0.25, -0.5])
+    y = np.asarray(peak_normalize(x))
+    assert abs(y[2] + 1.0) < 1e-6
