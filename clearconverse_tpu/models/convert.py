@@ -1,0 +1,179 @@
+"""Checkpoint converters: torch state dicts → JAX param pytrees.
+
+Covers the three checkpoint ecosystems the reference consumes, including its
+fine-tune overlay formats:
+  * openai-whisper ``.pt`` (``{"dims":…, "model_state_dict":…}``) and the
+    reference's ``models/whisper-ft/model.safetensors|model.pt`` overlay
+    (back/api.py:671-692),
+  * HuggingFace ``WhisperForConditionalGeneration`` state dicts (used for
+    golden parity tests against torch),
+  * speechbrain / pyannote checkpoints (converters in their model modules).
+
+All conversion is pure NumPy on host. torch is only imported lazily for
+``torch.load`` of pickled checkpoints.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Mapping, Optional
+
+import numpy as np
+
+from clearconverse_tpu.models.whisper import WhisperDims, model_dims, sinusoids
+
+
+def _np(t) -> np.ndarray:
+    """torch tensor / array-like → float32 numpy (host)."""
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def _lin(sd: Mapping, prefix: str, bias: bool = True) -> Dict[str, np.ndarray]:
+    p = {"w": _np(sd[f"{prefix}.weight"]).T}  # torch [out,in] → [in,out]
+    if bias and f"{prefix}.bias" in sd:
+        p["b"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def _ln(sd: Mapping, prefix: str) -> Dict[str, np.ndarray]:
+    return {"g": _np(sd[f"{prefix}.weight"]), "b": _np(sd[f"{prefix}.bias"])}
+
+
+def convert_whisper_state_dict(sd: Mapping[str, Any],
+                               dims: Optional[WhisperDims] = None) -> Dict[str, Any]:
+    """Auto-detects openai-whisper vs HF naming and converts to our pytree."""
+    keys = set(sd.keys())
+    if any(k.startswith("model.") for k in keys):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+        keys = set(sd.keys())
+    if "encoder.conv1.weight" in keys and "encoder.layers.0.self_attn.q_proj.weight" in keys:
+        return _convert_hf(sd)
+    return _convert_openai(sd)
+
+
+def _convert_openai(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    n_enc = 1 + max(int(m.group(1)) for k in sd
+                    if (m := re.match(r"encoder\.blocks\.(\d+)\.", k)))
+    n_dec = 1 + max(int(m.group(1)) for k in sd
+                    if (m := re.match(r"decoder\.blocks\.(\d+)\.", k)))
+
+    def block(side: str, i: int, cross: bool) -> Dict[str, Any]:
+        pre = f"{side}.blocks.{i}"
+        p = {
+            "attn_ln": _ln(sd, f"{pre}.attn_ln"),
+            "attn": {"q": _lin(sd, f"{pre}.attn.query"),
+                     "k": _lin(sd, f"{pre}.attn.key", bias=False),
+                     "v": _lin(sd, f"{pre}.attn.value"),
+                     "out": _lin(sd, f"{pre}.attn.out")},
+            "mlp_ln": _ln(sd, f"{pre}.mlp_ln"),
+            "mlp": {"fc1": _lin(sd, f"{pre}.mlp.0"), "fc2": _lin(sd, f"{pre}.mlp.2")},
+        }
+        if cross:
+            p["cross_ln"] = _ln(sd, f"{pre}.cross_attn_ln")
+            p["cross"] = {"q": _lin(sd, f"{pre}.cross_attn.query"),
+                          "k": _lin(sd, f"{pre}.cross_attn.key", bias=False),
+                          "v": _lin(sd, f"{pre}.cross_attn.value"),
+                          "out": _lin(sd, f"{pre}.cross_attn.out")}
+        return p
+
+    return {
+        "encoder": {
+            # torch conv1d [out,in,k] → [k,in,out]
+            "conv1": {"w": _np(sd["encoder.conv1.weight"]).transpose(2, 1, 0),
+                      "b": _np(sd["encoder.conv1.bias"])},
+            "conv2": {"w": _np(sd["encoder.conv2.weight"]).transpose(2, 1, 0),
+                      "b": _np(sd["encoder.conv2.bias"])},
+            "pos": _np(sd["encoder.positional_embedding"]),
+            "blocks": [block("encoder", i, False) for i in range(n_enc)],
+            "ln_post": _ln(sd, "encoder.ln_post"),
+        },
+        "decoder": {
+            "tok": _np(sd["decoder.token_embedding.weight"]),
+            "pos": _np(sd["decoder.positional_embedding"]),
+            "blocks": [block("decoder", i, True) for i in range(n_dec)],
+            "ln": _ln(sd, "decoder.ln"),
+        },
+    }
+
+
+def _convert_hf(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    n_enc = 1 + max(int(m.group(1)) for k in sd
+                    if (m := re.match(r"encoder\.layers\.(\d+)\.", k)))
+    n_dec = 1 + max(int(m.group(1)) for k in sd
+                    if (m := re.match(r"decoder\.layers\.(\d+)\.", k)))
+
+    def attn(pre: str) -> Dict[str, Any]:
+        return {"q": _lin(sd, f"{pre}.q_proj"),
+                "k": _lin(sd, f"{pre}.k_proj", bias=False),
+                "v": _lin(sd, f"{pre}.v_proj"),
+                "out": _lin(sd, f"{pre}.out_proj")}
+
+    def block(side: str, i: int, cross: bool) -> Dict[str, Any]:
+        pre = f"{side}.layers.{i}"
+        p = {
+            "attn_ln": _ln(sd, f"{pre}.self_attn_layer_norm"),
+            "attn": attn(f"{pre}.self_attn"),
+            "mlp_ln": _ln(sd, f"{pre}.final_layer_norm"),
+            "mlp": {"fc1": _lin(sd, f"{pre}.fc1"), "fc2": _lin(sd, f"{pre}.fc2")},
+        }
+        if cross:
+            p["cross_ln"] = _ln(sd, f"{pre}.encoder_attn_layer_norm")
+            p["cross"] = attn(f"{pre}.encoder_attn")
+        return p
+
+    return {
+        "encoder": {
+            "conv1": {"w": _np(sd["encoder.conv1.weight"]).transpose(2, 1, 0),
+                      "b": _np(sd["encoder.conv1.bias"])},
+            "conv2": {"w": _np(sd["encoder.conv2.weight"]).transpose(2, 1, 0),
+                      "b": _np(sd["encoder.conv2.bias"])},
+            "pos": _np(sd["encoder.embed_positions.weight"]),
+            "blocks": [block("encoder", i, False) for i in range(n_enc)],
+            "ln_post": _ln(sd, "encoder.layer_norm"),
+        },
+        "decoder": {
+            "tok": _np(sd["decoder.embed_tokens.weight"]),
+            "pos": _np(sd["decoder.embed_positions.weight"]),
+            "blocks": [block("decoder", i, True) for i in range(n_dec)],
+            "ln": _ln(sd, "decoder.layer_norm"),
+        },
+    }
+
+
+def load_torch_state_dict(path: str) -> Dict[str, Any]:
+    """Load ``.pt``/``.bin`` (torch pickle) or ``.safetensors`` → flat dict."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+        return dict(load_file(path))
+    import torch
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return obj
+
+
+def load_whisper(model_dir: str, model_size: str = "small.en"):
+    """Reference-compatible loader (back/api.py:657-703): look for a base
+    checkpoint ``{model_dir}/{size}.pt`` and an optional fine-tuned overlay in
+    ``{model_dir}/whisper-ft/model.safetensors|model.pt``. Returns
+    (params, dims) or (None, dims) when no checkpoint exists (callers fall
+    back to random init for benchmarking)."""
+    dims = model_dims(model_size)
+    base = os.path.join(model_dir, f"{model_size}.pt")
+    params = None
+    if os.path.exists(base):
+        params = convert_whisper_state_dict(load_torch_state_dict(base))
+    for name in ("model.safetensors", "model.pt"):
+        ft = os.path.join(model_dir, "whisper-ft", name)
+        if os.path.exists(ft):
+            try:
+                params = convert_whisper_state_dict(load_torch_state_dict(ft))
+                break
+            except Exception:  # ft → base fallback (back/api.py:694-703)
+                continue
+    return params, dims

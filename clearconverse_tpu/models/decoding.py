@@ -1,0 +1,159 @@
+"""Batched KV-cached Whisper decoding under jit.
+
+The reference decodes segments strictly one at a time through
+openai-whisper's Python DecodingTask loop (back/api.py:1282-1296, hot loop
+back/api.py:1378-1530). Here an entire segment batch decodes inside a single
+XLA program: prefill over left-padded prompts, then a ``lax.while_loop`` that
+advances every sequence one token per step and exits when all have emitted
+EOT. Variable-length prompts keep exact single-example numerics by assigning
+real tokens their absolute positions and masking padded cache slots forever.
+
+Prompt layout per row (whisper convention, back/api.py:1463-1472 uses
+``initial_prompt`` context):
+    [sot_prev, ...context_tokens..., sot, (notimestamps)] — left-padded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from clearconverse_tpu.models.whisper import (
+    WhisperDims, decoder_forward, init_kv_cache, precompute_cross_kv,
+    whisper_encode,
+)
+
+_NEG_INF = -1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodeOptions:
+    max_tokens: int = 224            # generated tokens per segment
+    temperature: float = 0.0         # 0 → greedy argmax (api.py:128 uses 0.1)
+    eot: int = 50256                 # <|endoftext|> (english vocab layout)
+    suppress_blank: bool = True
+    blank_token: int = 220           # " " in GPT-2 BPE
+    # Static tuple of token ids to suppress at every step (non-speech symbols
+    # + special tokens + timestamp range for notimestamps decoding).
+    suppress_tokens: Tuple[int, ...] = ()
+    compute_dtype: Any = jnp.float32
+
+
+def build_prompt_batch(prompt_lists, max_prompt_len: int, pad_id: int):
+    """Left-pad variable-length prompt token lists → (tokens [B,P] int32,
+    lengths [B] int32). Pure host-side helper."""
+    import numpy as np
+    b = len(prompt_lists)
+    toks = np.full((b, max_prompt_len), pad_id, np.int32)
+    lens = np.zeros((b,), np.int32)
+    for i, p in enumerate(prompt_lists):
+        p = list(p)[-max_prompt_len:]
+        toks[i, max_prompt_len - len(p):] = p
+        lens[i] = len(p)
+    return toks, lens
+
+
+def _suppress(logits: jnp.ndarray, opts: DecodeOptions, is_first: jnp.ndarray) -> jnp.ndarray:
+    if opts.suppress_tokens:
+        ids = jnp.asarray(opts.suppress_tokens, jnp.int32)
+        logits = logits.at[..., ids].set(_NEG_INF)
+    if opts.suppress_blank:
+        first_pen = jnp.where(is_first, _NEG_INF, 0.0)
+        logits = logits.at[..., opts.blank_token].add(first_pen)
+        logits = logits.at[..., opts.eot].add(first_pen)
+    return logits
+
+
+def _pick(logits: jnp.ndarray, opts: DecodeOptions, key: Optional[jax.Array],
+          step: jnp.ndarray) -> jnp.ndarray:
+    if opts.temperature > 0 and key is not None:
+        k = jax.random.fold_in(key, step)
+        return jax.random.categorical(k, logits / opts.temperature, axis=-1)
+    return jnp.argmax(logits, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("dims", "opts", "max_prompt_len"))
+def greedy_decode(
+    params: Dict[str, Any],
+    mel: jnp.ndarray,               # [B, n_mels, T_frames]
+    prompt_tokens: jnp.ndarray,     # [B, P] left-padded int32
+    prompt_lens: jnp.ndarray,       # [B]
+    dims: WhisperDims,
+    opts: DecodeOptions,
+    max_prompt_len: int,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Whole pipeline: encode → prefill → token loop. Returns
+    {"tokens": [B, max_tokens], "lengths": [B], "sum_logprob": [B]}.
+    ``tokens`` is EOT-padded after each row's end."""
+    B, P = prompt_tokens.shape
+    max_len = max_prompt_len + opts.max_tokens
+    cdt = opts.compute_dtype
+
+    audio = whisper_encode(params, mel, dims, cdt)
+    cross_kv = precompute_cross_kv(params, audio)
+    self_kv = init_kv_cache(dims, B, max_len, cdt)
+
+    pad = (P - prompt_lens)[:, None]                      # [B,1]
+    slot = jnp.arange(P)[None, :]
+    valid = slot >= pad                                   # real prompt tokens
+    positions = jnp.clip(slot - pad, 0, dims.n_text_ctx - 1)
+
+    # Prefill mask: query q sees key k iff k <= q (causal) and k is a real
+    # prompt slot. Cache slots >= P are unwritten → hidden.
+    kslot = jnp.arange(max_len)[None, None, None, :]
+    qslot = jnp.arange(P)[None, None, :, None]
+    causal = kslot <= qslot
+    kvalid = (kslot >= pad[:, None, None, :]) & (kslot < P)
+    prefill_mask = jnp.where(causal & kvalid, 0.0, _NEG_INF).astype(jnp.float32)
+
+    logits, self_kv = decoder_forward(
+        params, prompt_tokens, positions, jnp.int32(0), self_kv, cross_kv,
+        prefill_mask, None, dims, cdt)
+    last_logits = logits[:, -1, :]                        # position P-1 = last real token
+
+    first = _suppress(last_logits, opts, jnp.bool_(True))
+    logp0 = jax.nn.log_softmax(first, axis=-1)
+    tok0 = _pick(first, opts, rng, jnp.int32(0))
+
+    tokens0 = jnp.full((B, opts.max_tokens), opts.eot, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(tok0)
+    fin0 = tok0 == opts.eot
+    slp0 = jnp.take_along_axis(logp0, tok0[:, None], 1)[:, 0]
+
+    def cond(state):
+        step, _, _, finished, _, _ = state
+        return (step < opts.max_tokens) & ~jnp.all(finished)
+
+    def body(state):
+        step, tokens, kv, finished, slp, prev = state
+        # prev = token generated at step-1; its absolute position is
+        # prompt_len + step - 1 and its K/V land in cache slot P + step - 1.
+        pos = jnp.clip(prompt_lens + step - 1, 0, dims.n_text_ctx - 1)[:, None]
+        kmask_slot = jnp.arange(max_len)[None, None, None, :]
+        visible = ((kmask_slot >= pad[:, None, None, :])
+                   & (kmask_slot <= (P - 1 + step)))
+        mask = jnp.where(visible, 0.0, _NEG_INF).astype(jnp.float32)
+        logits, kv = decoder_forward(
+            params, prev[:, None], pos, P + step - 1, kv, cross_kv,
+            mask, None, dims, cdt)
+        lg = _suppress(logits[:, 0, :], opts, jnp.bool_(False))
+        logp = jax.nn.log_softmax(lg, axis=-1)
+        nxt = _pick(lg, opts, rng, step)
+        nxt = jnp.where(finished, opts.eot, nxt)
+        slp = slp + jnp.where(finished, 0.0,
+                              jnp.take_along_axis(logp, nxt[:, None], 1)[:, 0])
+        tokens = tokens.at[:, step].set(nxt)
+        finished = finished | (nxt == opts.eot)
+        return step + 1, tokens, kv, finished, slp, nxt
+
+    _, tokens, _, finished, slp, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), tokens0, self_kv, fin0, slp0, tok0))
+
+    lengths = jnp.argmax(tokens == opts.eot, axis=1)
+    lengths = jnp.where(jnp.any(tokens == opts.eot, axis=1), lengths, opts.max_tokens)
+    return {"tokens": tokens, "lengths": lengths, "sum_logprob": slp}

@@ -1,0 +1,202 @@
+"""Whisper text tokenizer: GPT-2 byte-level BPE + whisper special-token
+layout.
+
+The reference gets this from openai-whisper/tiktoken (via
+``model.transcribe``); here the BPE is first-party. Vocabulary files are
+loaded from a model directory when present (HF ``vocab.json``+``merges.txt``
+or tiktoken ``*.tiktoken`` base64 rank files). Without vocab files a
+byte-fallback tokenizer keeps the full pipeline runnable (tests, benches) —
+token ids then have no linguistic meaning but all shapes/specials hold.
+"""
+
+from __future__ import annotations
+
+import base64
+import dataclasses
+import json
+import os
+from functools import lru_cache
+from typing import Dict, List, Optional, Sequence, Tuple
+
+# Languages count fixes the special-token layout (whisper's table).
+_N_LANGUAGES = 99
+
+
+@dataclasses.dataclass(frozen=True)
+class SpecialTokens:
+    """Special-token ids. English-only layout (vocab 51864): eot 50256,
+    sot 50257, langs 50258-50356, translate 50357, transcribe 50358,
+    sot_lm 50359, sot_prev 50360, no_speech 50361, no_timestamps 50362,
+    timestamps 50363-51863. Multilingual layout is shifted by +1."""
+
+    eot: int
+    sot: int
+    translate: int
+    transcribe: int
+    sot_lm: int
+    sot_prev: int
+    no_speech: int
+    no_timestamps: int
+    timestamp_begin: int
+    n_vocab: int
+
+    @staticmethod
+    def for_model(english: bool = True) -> "SpecialTokens":
+        eot = 50256 if english else 50257
+        sot = eot + 1
+        translate = sot + 1 + _N_LANGUAGES
+        return SpecialTokens(
+            eot=eot, sot=sot, translate=translate, transcribe=translate + 1,
+            sot_lm=translate + 2, sot_prev=translate + 3,
+            no_speech=translate + 4, no_timestamps=translate + 5,
+            timestamp_begin=translate + 6,
+            n_vocab=translate + 6 + 1501,
+        )
+
+    def sot_sequence(self, language_id: Optional[int] = None,
+                     task_transcribe: bool = True) -> Tuple[int, ...]:
+        if language_id is None:  # english-only models: bare SOT
+            return (self.sot,)
+        return (self.sot, language_id, self.transcribe if task_transcribe else self.translate)
+
+
+@lru_cache(maxsize=1)
+def _byte_unicode_map() -> Dict[int, str]:
+    """GPT-2's bytes→printable-unicode bijection."""
+    bs = list(range(ord("!"), ord("~") + 1)) + list(range(0xA1, 0xAD)) + list(range(0xAE, 0x100))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+class BPETokenizer:
+    """GPT-2 byte-level BPE with whisper specials."""
+
+    def __init__(self, vocab: Dict[str, int], merges: List[Tuple[str, str]],
+                 english: bool = True):
+        self.vocab = vocab
+        self.inv_vocab = {v: k for k, v in vocab.items()}
+        self.ranks = {m: i for i, m in enumerate(merges)}
+        self.specials = SpecialTokens.for_model(english)
+        b2u = _byte_unicode_map()
+        self._b2u = b2u
+        self._u2b = {u: b for b, u in b2u.items()}
+
+    # -- encoding ----------------------------------------------------------
+    def _bpe(self, token: str) -> List[str]:
+        word = list(token)
+        if len(word) < 2:
+            return word
+        while True:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            best = min(pairs, key=lambda p: self.ranks.get(p, 1 << 30))
+            if best not in self.ranks:
+                return word
+            merged, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and (word[i], word[i + 1]) == best:
+                    merged.append(word[i] + word[i + 1])
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = merged
+            if len(word) == 1:
+                return word
+
+    def encode(self, text: str) -> List[int]:
+        import regex  # transformers dependency, present in the image
+
+        pat = regex.compile(
+            r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+        ids: List[int] = []
+        for piece in pat.findall(text):
+            mapped = "".join(self._b2u[b] for b in piece.encode("utf-8"))
+            for sub in self._bpe(mapped):
+                ids.append(self.vocab[sub])
+        return ids
+
+    # -- decoding ----------------------------------------------------------
+    def decode(self, ids: Sequence[int], skip_special: bool = True) -> str:
+        eot = self.specials.eot
+        parts = []
+        for i in ids:
+            i = int(i)
+            if skip_special and i >= eot:
+                continue
+            parts.append(self.inv_vocab.get(i, ""))
+        data = bytes(self._u2b[ch] for ch in "".join(parts) if ch in self._u2b)
+        return data.decode("utf-8", errors="replace")
+
+
+class ByteFallbackTokenizer:
+    """Deterministic stand-in when no vocabulary file is available: ids
+    0-255 are raw bytes; specials follow the whisper layout. Lets every test
+    and benchmark exercise real token flow without 0.5 GB of assets."""
+
+    def __init__(self, english: bool = True):
+        self.specials = SpecialTokens.for_model(english)
+
+    def encode(self, text: str) -> List[int]:
+        return list(text.encode("utf-8"))
+
+    def decode(self, ids: Sequence[int], skip_special: bool = True) -> str:
+        keep = [int(i) for i in ids if int(i) < 256]
+        return bytes(keep).decode("utf-8", errors="replace")
+
+
+def load_tokenizer(model_dir: Optional[str] = None, english: bool = True):
+    """HF vocab.json+merges.txt or tiktoken rank file → BPETokenizer; else
+    ByteFallbackTokenizer."""
+    if model_dir:
+        vj = os.path.join(model_dir, "vocab.json")
+        mg = os.path.join(model_dir, "merges.txt")
+        if os.path.exists(vj) and os.path.exists(mg):
+            with open(vj, encoding="utf-8") as fh:
+                vocab = json.load(fh)
+            merges: List[Tuple[str, str]] = []
+            with open(mg, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if not line or line.startswith("#version"):
+                        continue
+                    a, _, b = line.partition(" ")
+                    merges.append((a, b))
+            return BPETokenizer(vocab, merges, english)
+        for name in os.listdir(model_dir) if os.path.isdir(model_dir) else []:
+            if name.endswith(".tiktoken"):
+                vocab = {}
+                with open(os.path.join(model_dir, name), "rb") as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        tok_b64, rank = line.split()
+                        raw = base64.b64decode(tok_b64)
+                        b2u = _byte_unicode_map()
+                        vocab["".join(b2u[b] for b in raw)] = int(rank)
+                # tiktoken files carry ranks implicitly ordered; merges are
+                # reconstructed from contiguous rank order of multi-byte toks.
+                merges = _merges_from_ranks(vocab)
+                return BPETokenizer(vocab, merges, english)
+    return ByteFallbackTokenizer(english)
+
+
+def _merges_from_ranks(vocab: Dict[str, int]) -> List[Tuple[str, str]]:
+    """Recover a usable merge list from a rank table: for each token of
+    length>1 find the split whose halves both exist with lower rank."""
+    by_rank = sorted(vocab.items(), key=lambda kv: kv[1])
+    merges = []
+    for tok, rank in by_rank:
+        if len(tok) < 2:
+            continue
+        for i in range(1, len(tok)):
+            a, b = tok[:i], tok[i:]
+            if vocab.get(a, 1 << 30) < rank and vocab.get(b, 1 << 30) < rank:
+                merges.append((a, b))
+                break
+    return merges

@@ -1,0 +1,272 @@
+"""Whisper encoder-decoder in functional JAX.
+
+Architecture parity target: openai-whisper's ``model.py`` as consumed by the
+reference (back/api.py:657-703 loads ``small.en`` + optional fine-tuned
+overlay; back/api.py:1282-1296 transcribes). Everything here is shape-static
+and jit-friendly; decoding lives in models/decoding.py.
+
+Param pytree layout mirrors the openai checkpoint state dict (see
+models/convert.py), with linear weights stored ``[in, out]``:
+
+  encoder: conv1/conv2 {w,b}, pos [ctx,d], blocks[i] {attn_ln, attn{q,k,v,out},
+           mlp_ln, mlp{fc1,fc2}}, ln_post
+  decoder: tok [vocab,d], pos [ctx,d], blocks[i] {attn_ln, attn, cross_ln,
+           cross, mlp_ln, mlp}, ln
+
+TPU notes: matmuls run in ``compute_dtype`` (bf16 by default) with f32
+accumulation (``preferred_element_type``); layernorm and softmax stay f32.
+Attention uses whisper's (d_head)^-0.25 scaling on both q and k.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperDims:
+    """Model hyperparameters (openai ModelDimensions)."""
+
+    n_mels: int = 80
+    n_vocab: int = 51864
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 768
+    n_audio_head: int = 12
+    n_audio_layer: int = 12
+    n_text_ctx: int = 448
+    n_text_state: int = 768
+    n_text_head: int = 12
+    n_text_layer: int = 12
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_text_state // self.n_text_head
+
+
+# Published whisper model sizes. English-only (.en) models use the 51864
+# vocab; multilingual use 51865 (tiny..medium) — large is not in the
+# reference's menu (back/api.py:131 defaults small.en).
+_SIZES = {
+    "tiny": (384, 6, 4), "base": (512, 8, 6), "small": (768, 12, 12),
+    "medium": (1024, 16, 24),
+}
+
+
+def model_dims(name: str) -> WhisperDims:
+    english = name.endswith(".en")
+    size = name[:-3] if english else name
+    if size not in _SIZES:
+        raise ValueError(f"unknown whisper model {name!r}")
+    d, h, l = _SIZES[size]
+    return WhisperDims(
+        n_vocab=51864 if english else 51865,
+        n_audio_state=d, n_audio_head=h, n_audio_layer=l,
+        n_text_state=d, n_text_head=h, n_text_layer=l,
+    )
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """openai whisper's fixed encoder positional table."""
+    inc = np.log(max_timescale) / (channels // 2 - 1)
+    inv = np.exp(-inc * np.arange(channels // 2))
+    t = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(t), np.cos(t)], axis=1).astype(np.float32)
+
+
+# ------------------------------------------------------------------ init
+
+def _linear(key, n_in, n_out, bias=True, scale=None):
+    scale = scale if scale is not None else n_in ** -0.5
+    p = {"w": jax.random.normal(key, (n_in, n_out), jnp.float32) * scale}
+    if bias:
+        p["b"] = jnp.zeros((n_out,), jnp.float32)
+    return p
+
+
+def _ln(d):
+    return {"g": jnp.ones((d,), jnp.float32), "b": jnp.zeros((d,), jnp.float32)}
+
+
+def _block(key, d, cross: bool):
+    ks = jax.random.split(key, 8)
+    p = {
+        "attn_ln": _ln(d),
+        "attn": {"q": _linear(ks[0], d, d), "k": _linear(ks[1], d, d, bias=False),
+                 "v": _linear(ks[2], d, d), "out": _linear(ks[3], d, d)},
+        "mlp_ln": _ln(d),
+        "mlp": {"fc1": _linear(ks[4], d, 4 * d), "fc2": _linear(ks[5], 4 * d, d)},
+    }
+    if cross:
+        p["cross_ln"] = _ln(d)
+        p["cross"] = {"q": _linear(ks[6], d, d), "k": _linear(ks[7], d, d, bias=False),
+                      "v": _linear(ks[6], d, d), "out": _linear(ks[7], d, d)}
+    return p
+
+
+def init_whisper_params(key: jax.Array, dims: WhisperDims) -> Dict[str, Any]:
+    ke, kd = jax.random.split(key)
+    d = dims.n_audio_state
+    enc_keys = jax.random.split(ke, dims.n_audio_layer + 2)
+    dec_keys = jax.random.split(kd, dims.n_text_layer + 2)
+    encoder = {
+        "conv1": {"w": jax.random.normal(enc_keys[0], (3, dims.n_mels, d)) * (3 * dims.n_mels) ** -0.5,
+                  "b": jnp.zeros((d,))},
+        "conv2": {"w": jax.random.normal(enc_keys[1], (3, d, d)) * (3 * d) ** -0.5,
+                  "b": jnp.zeros((d,))},
+        "pos": jnp.asarray(sinusoids(dims.n_audio_ctx, d)),
+        "blocks": [_block(enc_keys[i + 2], d, cross=False) for i in range(dims.n_audio_layer)],
+        "ln_post": _ln(d),
+    }
+    dt = dims.n_text_state
+    decoder = {
+        "tok": jax.random.normal(dec_keys[0], (dims.n_vocab, dt)) * dt ** -0.5,
+        "pos": jax.random.normal(dec_keys[1], (dims.n_text_ctx, dt)) * dt ** -0.5,
+        "blocks": [_block(dec_keys[i + 2], dt, cross=True) for i in range(dims.n_text_layer)],
+        "ln": _ln(dt),
+    }
+    return {"encoder": encoder, "decoder": decoder}
+
+
+# ------------------------------------------------------------------ ops
+
+def layer_norm(x: jnp.ndarray, p: Dict[str, jnp.ndarray], eps: float = 1e-5) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, -1, keepdims=True)
+    var = jnp.var(x32, -1, keepdims=True)
+    out = (x32 - mu) * jax.lax.rsqrt(var + eps) * p["g"] + p["b"]
+    return out.astype(x.dtype)
+
+
+def dense(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
+    if "b" in p:
+        y = y + p["b"]
+    return y.astype(x.dtype)
+
+
+def _split_heads(x: jnp.ndarray, n_head: int) -> jnp.ndarray:
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head)
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              bias: Optional[jnp.ndarray], n_head: int) -> jnp.ndarray:
+    """q:[B,Tq,D] k,v:[B,Tk,D] bias:[B,1,Tq,Tk] additive (f32) → [B,Tq,D].
+
+    Whisper scaling: q and k each scaled by head_dim**-0.25.
+    """
+    d_head = q.shape[-1] // n_head
+    scale = d_head ** -0.25
+    qh = _split_heads(q, n_head) * jnp.asarray(scale, q.dtype)
+    kh = _split_heads(k, n_head) * jnp.asarray(scale, k.dtype)
+    vh = _split_heads(v, n_head)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        logits = logits + bias
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, vh, preferred_element_type=jnp.float32)
+    return out.reshape(q.shape).astype(q.dtype)
+
+
+def _mlp(x, p):
+    return dense(jax.nn.gelu(dense(x, p["fc1"]), approximate=False), p["fc2"])
+
+
+# ------------------------------------------------------------------ encoder
+
+def whisper_encode(params: Dict[str, Any], mel: jnp.ndarray, dims: WhisperDims,
+                   compute_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """[B, n_mels, T_frames] log-mel → [B, T_frames//2, d] audio features."""
+    enc = params["encoder"]
+    x = jnp.transpose(mel, (0, 2, 1)).astype(compute_dtype)  # [B, T, mels]
+    x = jax.nn.gelu(_conv1d(x, enc["conv1"], stride=1), approximate=False)
+    x = jax.nn.gelu(_conv1d(x, enc["conv2"], stride=2), approximate=False)
+    x = x + enc["pos"][: x.shape[1]].astype(compute_dtype)
+    for blk in enc["blocks"]:
+        h = layer_norm(x, blk["attn_ln"])
+        qkv = blk["attn"]
+        h = attention(dense(h, qkv["q"]), dense(h, qkv["k"]), dense(h, qkv["v"]),
+                      None, dims.n_audio_head)
+        x = x + dense(h, qkv["out"])
+        x = x + _mlp(layer_norm(x, blk["mlp_ln"]), blk["mlp"])
+    return layer_norm(x, enc["ln_post"])
+
+
+def _conv1d(x: jnp.ndarray, p: Dict[str, jnp.ndarray], stride: int) -> jnp.ndarray:
+    """[B,T,Cin] with kernel [k,Cin,Cout], SAME padding (k=3, pad 1)."""
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), window_strides=(stride,), padding=((1, 1),),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32)
+    return (y + p["b"]).astype(x.dtype)
+
+
+# ------------------------------------------------------------------ decoder
+
+def precompute_cross_kv(params: Dict[str, Any], audio: jnp.ndarray) -> List[Dict[str, jnp.ndarray]]:
+    """Per-layer cross-attention K/V from encoder output (computed once per
+    segment, reused every decode step)."""
+    out = []
+    for blk in params["decoder"]["blocks"]:
+        out.append({"k": dense(audio, blk["cross"]["k"]),
+                    "v": dense(audio, blk["cross"]["v"])})
+    return out
+
+
+def init_kv_cache(dims: WhisperDims, batch: int, max_len: int,
+                  dtype: jnp.dtype = jnp.float32) -> List[Dict[str, jnp.ndarray]]:
+    return [{"k": jnp.zeros((batch, max_len, dims.n_text_state), dtype),
+             "v": jnp.zeros((batch, max_len, dims.n_text_state), dtype)}
+            for _ in range(dims.n_text_layer)]
+
+
+def decoder_forward(
+    params: Dict[str, Any],
+    tokens: jnp.ndarray,            # [B, T] token ids
+    positions: jnp.ndarray,         # [B, T] absolute positions (pos-embed rows)
+    cache_index: jnp.ndarray,       # scalar: write offset into the KV cache
+    self_kv: List[Dict[str, jnp.ndarray]],   # running cache [B, max_len, d]
+    cross_kv: List[Dict[str, jnp.ndarray]],  # [B, audio_ctx, d]
+    self_mask: jnp.ndarray,         # [B, 1, T, max_len] additive f32
+    cross_mask: Optional[jnp.ndarray],  # [B, 1, 1, audio_ctx] or None
+    dims: WhisperDims,
+    compute_dtype: jnp.dtype = jnp.float32,
+) -> Tuple[jnp.ndarray, List[Dict[str, jnp.ndarray]]]:
+    """One decoder pass over T tokens (prefill: T=prompt len; step: T=1).
+
+    Returns (logits [B, T, vocab] f32, updated self_kv). The cache is written
+    at ``cache_index``; ``self_mask`` must hide future/invalid cache slots.
+    """
+    dec = params["decoder"]
+    x = dec["tok"][tokens].astype(compute_dtype) + dec["pos"][positions].astype(compute_dtype)
+    new_kv = []
+    for blk, skv, ckv in zip(dec["blocks"], self_kv, cross_kv):
+        h = layer_norm(x, blk["attn_ln"])
+        q = dense(h, blk["attn"]["q"])
+        k_new = dense(h, blk["attn"]["k"])
+        v_new = dense(h, blk["attn"]["v"])
+        k_all = jax.lax.dynamic_update_slice_in_dim(skv["k"], k_new.astype(skv["k"].dtype), cache_index, 1)
+        v_all = jax.lax.dynamic_update_slice_in_dim(skv["v"], v_new.astype(skv["v"].dtype), cache_index, 1)
+        new_kv.append({"k": k_all, "v": v_all})
+        h = attention(q, k_all.astype(compute_dtype), v_all.astype(compute_dtype),
+                      self_mask, dims.n_text_head)
+        x = x + dense(h, blk["attn"]["out"])
+
+        h = layer_norm(x, blk["cross_ln"])
+        h = attention(dense(h, blk["cross"]["q"]),
+                      ckv["k"].astype(compute_dtype), ckv["v"].astype(compute_dtype),
+                      cross_mask, dims.n_text_head)
+        x = x + dense(h, blk["cross"]["out"])
+        x = x + _mlp(layer_norm(x, blk["mlp_ln"]), blk["mlp"])
+
+    x = layer_norm(x, dec["ln"])
+    logits = jnp.dot(x.astype(jnp.float32), dec["tok"].T.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return logits, new_kv

@@ -1,0 +1,73 @@
+"""Tokenizer tests: special-token layout constants (whisper's table),
+byte-level BPE encode/decode with a handmade vocabulary, byte fallback."""
+
+import numpy as np
+
+from clearconverse_tpu.models.tokenizer import (
+    BPETokenizer, ByteFallbackTokenizer, SpecialTokens, _byte_unicode_map)
+
+
+def test_special_token_layout_english():
+    s = SpecialTokens.for_model(english=True)
+    # Known openai-whisper constants for *.en models.
+    assert s.eot == 50256
+    assert s.sot == 50257
+    assert s.translate == 50357
+    assert s.transcribe == 50358
+    assert s.sot_prev == 50360
+    assert s.no_speech == 50361
+    assert s.no_timestamps == 50362
+    assert s.timestamp_begin == 50363
+    assert s.n_vocab == 51864
+    assert s.sot_sequence() == (50257,)
+
+
+def test_special_token_layout_multilingual():
+    s = SpecialTokens.for_model(english=False)
+    assert s.eot == 50257 and s.sot == 50258 and s.n_vocab == 51865
+
+
+def test_byte_unicode_map_bijective():
+    m = _byte_unicode_map()
+    assert len(m) == 256 and len(set(m.values())) == 256
+
+
+def _toy_tokenizer():
+    b2u = _byte_unicode_map()
+
+    def u(s):
+        return "".join(b2u[b] for b in s.encode())
+
+    # Vocabulary: all single mapped bytes + a few merged tokens.
+    vocab = {ch: i for i, ch in enumerate(sorted(set(b2u.values())))}
+    nxt = len(vocab)
+    for tok in [u("he"), u("ll"), u("hell"), u("hello"), u(" w"), u(" wo")]:
+        vocab[tok] = nxt
+        nxt += 1
+    merges = [(u("h"), u("e")), (u("l"), u("l")), (u("he"), u("ll")),
+              (u("hell"), u("o")), (u(" "), u("w")), (u(" w"), u("o"))]
+    return BPETokenizer(vocab, merges, english=True)
+
+
+def test_bpe_roundtrip_and_merging():
+    tok = _toy_tokenizer()
+    ids = tok.encode("hello world")
+    assert tok.decode(ids) == "hello world"
+    # "hello" must have merged into a single token.
+    b2u = _byte_unicode_map()
+    hello_id = tok.vocab["".join(b2u[b] for b in b"hello")]
+    assert ids[0] == hello_id
+
+
+def test_bpe_decode_skips_specials():
+    tok = _toy_tokenizer()
+    ids = tok.encode("hello") + [tok.specials.eot, tok.specials.sot]
+    assert tok.decode(ids) == "hello"
+
+
+def test_byte_fallback_roundtrip():
+    tok = ByteFallbackTokenizer()
+    text = "a tiny test, with punctuation!"
+    ids = tok.encode(text)
+    assert tok.decode(ids + [tok.specials.eot]) == text
+    assert tok.specials.n_vocab == 51864

@@ -1,0 +1,152 @@
+"""Whisper parity tests: our functional-JAX model vs HuggingFace's torch
+implementation (same architecture family as the reference's openai-whisper,
+back/api.py:657-703) on a tiny randomly-initialized config. Exercises the
+HF-naming branch of models/convert.py end to end."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clearconverse_tpu.models.whisper import WhisperDims, whisper_encode, model_dims
+from clearconverse_tpu.models.convert import convert_whisper_state_dict
+from clearconverse_tpu.models.decoding import (
+    DecodeOptions, build_prompt_batch, greedy_decode)
+from clearconverse_tpu.models import decoding as dec
+from clearconverse_tpu.models.whisper import (
+    decoder_forward, init_kv_cache, precompute_cross_kv)
+
+torch = pytest.importorskip("torch")
+from transformers import WhisperConfig, WhisperForConditionalGeneration  # noqa: E402
+
+VOCAB = 151
+DIMS = WhisperDims(n_mels=16, n_vocab=VOCAB, n_audio_ctx=75, n_audio_state=32,
+                   n_audio_head=4, n_audio_layer=2, n_text_ctx=48,
+                   n_text_state=32, n_text_head=4, n_text_layer=2)
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    torch.manual_seed(0)
+    cfg = WhisperConfig(
+        vocab_size=VOCAB, num_mel_bins=16, d_model=32,
+        encoder_layers=2, encoder_attention_heads=4,
+        decoder_layers=2, decoder_attention_heads=4,
+        encoder_ffn_dim=128, decoder_ffn_dim=128,
+        max_source_positions=75, max_target_positions=48,
+        activation_function="gelu",
+        pad_token_id=0, bos_token_id=1, eos_token_id=VOCAB - 1,
+        decoder_start_token_id=1, suppress_tokens=None,
+        begin_suppress_tokens=None, forced_decoder_ids=None,
+    )
+    m = WhisperForConditionalGeneration(cfg)
+    m.eval()
+    return m
+
+
+@pytest.fixture(scope="module")
+def params(hf_model):
+    return jax.tree.map(jnp.asarray,
+                        convert_whisper_state_dict(hf_model.state_dict()))
+
+
+@pytest.fixture(scope="module")
+def mel(hf_model):
+    rng = np.random.default_rng(1)
+    return rng.standard_normal((2, 16, 150)).astype(np.float32) * 0.5
+
+
+def test_encoder_matches_hf(hf_model, params, mel):
+    with torch.no_grad():
+        ref = hf_model.model.encoder(torch.tensor(mel)).last_hidden_state.numpy()
+    ours = np.asarray(whisper_encode(params, jnp.asarray(mel), DIMS))
+    np.testing.assert_allclose(ours, ref, atol=2e-4)
+
+
+def test_decoder_logits_match_hf(hf_model, params, mel):
+    toks = np.array([[5, 9, 23, 44], [7, 3, 2, 100]], np.int32)
+    with torch.no_grad():
+        ref = hf_model(input_features=torch.tensor(mel),
+                       decoder_input_ids=torch.tensor(toks, dtype=torch.long)
+                       ).logits.numpy()
+
+    audio = whisper_encode(params, jnp.asarray(mel), DIMS)
+    cross_kv = precompute_cross_kv(params, audio)
+    B, T = toks.shape
+    kv = init_kv_cache(DIMS, B, T)
+    pos = jnp.broadcast_to(jnp.arange(T)[None, :], (B, T))
+    k = jnp.arange(T)[None, None, None, :]
+    q = jnp.arange(T)[None, None, :, None]
+    mask = jnp.where(k <= q, 0.0, -1e9).astype(jnp.float32)
+    logits, _ = decoder_forward(params, jnp.asarray(toks), pos, jnp.int32(0),
+                                kv, cross_kv, mask, None, DIMS)
+    np.testing.assert_allclose(np.asarray(logits), ref, atol=2e-4)
+
+
+def _torch_greedy(hf_model, mel, sot, steps):
+    ids = torch.full((mel.shape[0], 1), sot, dtype=torch.long)
+    with torch.no_grad():
+        for _ in range(steps):
+            logits = hf_model(input_features=torch.tensor(mel),
+                              decoder_input_ids=ids).logits
+            nxt = logits[:, -1, :].argmax(-1, keepdim=True)
+            ids = torch.cat([ids, nxt], dim=1)
+    return ids[:, 1:].numpy()
+
+
+def test_greedy_decode_matches_torch_loop(hf_model, params, mel):
+    sot, steps = 1, 8
+    ref = _torch_greedy(hf_model, mel, sot, steps)
+
+    opts = DecodeOptions(max_tokens=steps, eot=VOCAB - 1, suppress_blank=False)
+    toks, lens = build_prompt_batch([[sot], [sot]], 1, pad_id=0)
+    out = greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                        jnp.asarray(lens), DIMS, opts, 1)
+    ours = np.asarray(out["tokens"])
+    for b in range(2):
+        for t in range(steps):
+            assert ours[b, t] == ref[b, t]
+            if ref[b, t] == VOCAB - 1:
+                break
+
+
+def test_batched_padded_prompts_equal_unbatched(hf_model, params, mel):
+    """Left-padding + position offsets must not change per-row results."""
+    opts = DecodeOptions(max_tokens=6, eot=VOCAB - 1, suppress_blank=False)
+    prompts = [[4, 17, 2, 9, 1], [1]]
+    toks, lens = build_prompt_batch(prompts, 5, pad_id=0)
+    out_b = np.asarray(greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                                     jnp.asarray(lens), DIMS, opts, 5)["tokens"])
+    for i, p in enumerate(prompts):
+        ti, li = build_prompt_batch([p], len(p), pad_id=0)
+        out_i = np.asarray(greedy_decode(params, jnp.asarray(mel[i:i + 1]),
+                                         jnp.asarray(ti), jnp.asarray(li),
+                                         DIMS, opts, len(p))["tokens"])
+        np.testing.assert_array_equal(out_b[i], out_i[0])
+
+
+def test_suppression_rules(hf_model, params, mel):
+    banned = (3, 7, 11)
+    opts = DecodeOptions(max_tokens=6, eot=VOCAB - 1, suppress_blank=False,
+                         suppress_tokens=banned)
+    toks, lens = build_prompt_batch([[1], [1]], 1, pad_id=0)
+    out = np.asarray(greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                                   jnp.asarray(lens), DIMS, opts, 1)["tokens"])
+    assert not np.isin(out, np.asarray(banned)).any()
+
+
+def test_bf16_encoder_close_to_f32(params, mel):
+    f32 = np.asarray(whisper_encode(params, jnp.asarray(mel), DIMS))
+    bf16 = np.asarray(whisper_encode(params, jnp.asarray(mel), DIMS,
+                                     compute_dtype=jnp.bfloat16)).astype(np.float32)
+    # bf16 matmuls: loose tolerance, but structure must hold.
+    assert np.mean(np.abs(f32 - bf16)) < 0.05
+
+
+def test_model_dims_registry():
+    d = model_dims("small.en")
+    assert d.n_audio_state == 768 and d.n_audio_layer == 12 and d.n_vocab == 51864
+    assert model_dims("tiny").n_vocab == 51865
+    with pytest.raises(ValueError):
+        model_dims("huge")
