@@ -44,8 +44,8 @@ class Config:
     # transcription_batch_size is live here (pipeline/batching.py).
     min_overlap_duration_for_separation: float = 0.50
     enhance_separated_audio: bool = True
-    speaker_embedding_threshold: float = 0.50
-    transcription_batch_size: int = 16
+    speaker_embedding_threshold: float = 0.40
+    transcription_batch_size: int = 8
     transcribe_overlaps_individually: bool = True
 
     def replace(self, **kw) -> "Config":

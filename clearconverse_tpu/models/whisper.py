@@ -201,10 +201,11 @@ def whisper_encode(params: Dict[str, Any], mel: jnp.ndarray, dims: WhisperDims,
 
 def _conv1d(x: jnp.ndarray, p: Dict[str, jnp.ndarray], stride: int) -> jnp.ndarray:
     """[B,T,Cin] with kernel [k,Cin,Cout], SAME padding (k=3, pad 1)."""
+    # No preferred_element_type: its AD transpose mixes dtypes under bf16
+    # (cotangent f32 vs kernel bf16). TPU convs accumulate f32 regardless.
     y = jax.lax.conv_general_dilated(
         x, p["w"].astype(x.dtype), window_strides=(stride,), padding=((1, 1),),
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NHC", "HIO", "NHC"))
     return (y + p["b"]).astype(x.dtype)
 
 

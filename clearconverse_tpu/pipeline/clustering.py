@@ -1,0 +1,127 @@
+"""CPU clustering + activation binarization for diarization.
+
+Per the north star (BASELINE.json), clustering stays on host NumPy while all
+neural scoring runs on device. These reimplement the algorithms inside
+pyannote's diarization-3.1 pipeline that the reference calls as a black box
+(back/api.py:776-792): hysteresis binarization of frame activations and
+agglomerative clustering of speaker embeddings with speaker-count
+constraints.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+Interval = Tuple[float, float]
+
+
+def binarize(scores: np.ndarray, frame_hop: float, onset: float = 0.5,
+             offset: float = 0.5, min_duration_on: float = 0.0,
+             min_duration_off: float = 0.0) -> List[Interval]:
+    """Frame activation scores [T] → active intervals (seconds).
+
+    Hysteresis: a region opens when score rises past ``onset`` and closes
+    when it falls below ``offset``; then gaps shorter than
+    ``min_duration_off`` are filled and regions shorter than
+    ``min_duration_on`` dropped (pyannote Binarize semantics).
+    """
+    scores = np.asarray(scores, np.float32)
+    regions: List[Interval] = []
+    active = False
+    start = 0.0
+    for i, s in enumerate(scores):
+        t = i * frame_hop
+        if not active and s > onset:
+            active, start = True, t
+        elif active and s < offset:
+            regions.append((start, t))
+            active = False
+    if active:
+        regions.append((start, len(scores) * frame_hop))
+
+    if min_duration_off > 0 and regions:
+        filled = [regions[0]]
+        for s, e in regions[1:]:
+            ps, pe = filled[-1]
+            if s - pe < min_duration_off:
+                filled[-1] = (ps, e)
+            else:
+                filled.append((s, e))
+        regions = filled
+    if min_duration_on > 0:
+        regions = [(s, e) for s, e in regions if e - s >= min_duration_on]
+    return regions
+
+
+def cosine_distance_matrix(x: np.ndarray) -> np.ndarray:
+    x = np.asarray(x, np.float64)
+    norm = np.linalg.norm(x, axis=1, keepdims=True)
+    xn = x / np.maximum(norm, 1e-12)
+    return 1.0 - xn @ xn.T
+
+
+def ahc_cluster(embeddings: np.ndarray, threshold: float = 0.7,
+                min_clusters: int = 1,
+                max_clusters: Optional[int] = None) -> np.ndarray:
+    """Average-linkage agglomerative clustering on cosine distance.
+
+    Merges the closest pair until (a) the closest distance exceeds
+    ``threshold`` AND the cluster count is ≤ ``max_clusters`` (if set), or
+    (b) ``min_clusters`` is reached. Returns integer labels ordered by first
+    appearance (cluster 0 contains embedding 0).
+    """
+    n = len(embeddings)
+    if n == 0:
+        return np.zeros(0, np.int32)
+    if n == 1:
+        return np.zeros(1, np.int32)
+    dist = cosine_distance_matrix(embeddings)
+    np.fill_diagonal(dist, np.inf)
+
+    members: List[List[int]] = [[i] for i in range(n)]
+    active = list(range(n))
+    # Average-linkage distance between current clusters.
+    cd = dist.copy()
+
+    def n_active() -> int:
+        return len(active)
+
+    while n_active() > max(min_clusters, 1):
+        sub = cd[np.ix_(active, active)]
+        k = np.argmin(sub)
+        i_loc, j_loc = divmod(int(k), len(active))
+        d = sub[i_loc, j_loc]
+        over_cap = max_clusters is not None and n_active() > max_clusters
+        if d > threshold and not over_cap:
+            break
+        a, b = active[i_loc], active[j_loc]
+        if a > b:
+            a, b = b, a
+        # Average linkage update: weighted mean of distances.
+        na, nb = len(members[a]), len(members[b])
+        for c in active:
+            if c in (a, b):
+                continue
+            cd[a, c] = cd[c, a] = (na * cd[a, c] + nb * cd[b, c]) / (na + nb)
+        members[a].extend(members[b])
+        active.remove(b)
+
+    labels = np.zeros(n, np.int32)
+    order = sorted(active, key=lambda c: min(members[c]))
+    for new_id, c in enumerate(order):
+        for idx in members[c]:
+            labels[idx] = new_id
+    return labels
+
+
+def cluster_speakers(embeddings: np.ndarray, threshold: float = 0.7,
+                     min_speakers: int = 1,
+                     max_speakers: Optional[int] = None) -> np.ndarray:
+    """Speaker-count-constrained clustering: AHC, then if the count exceeds
+    ``max_speakers`` keep merging closest pairs regardless of threshold."""
+    labels = ahc_cluster(embeddings, threshold, min_speakers, max_speakers)
+    if max_speakers is not None and labels.max(initial=0) + 1 > max_speakers:
+        labels = ahc_cluster(embeddings, np.inf, max_speakers, max_speakers)
+    return labels

@@ -1,0 +1,106 @@
+"""Sharded Whisper fine-tuning: teacher-forced cross-entropy over a
+(data, model) mesh.
+
+Data parallelism shards the segment batch; tensor parallelism shards
+attention heads / MLP hidden (parallel/sharding.py). Gradients reduce via
+the psums XLA inserts from the sharding annotations — no hand-written
+collectives. ``jax.checkpoint`` wraps the per-block remat boundary to trade
+FLOPs for HBM on long mel inputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from clearconverse_tpu.models.whisper import (
+    WhisperDims, decoder_forward, init_kv_cache, precompute_cross_kv,
+    whisper_encode)
+from clearconverse_tpu.parallel.mesh import DATA_AXIS
+from clearconverse_tpu.parallel.sharding import whisper_param_spec, replicated_spec
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Dict[str, Any]
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def whisper_loss(params: Dict[str, Any], batch: Dict[str, jnp.ndarray],
+                 dims: WhisperDims, compute_dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, Dict]:
+    """Teacher-forced CE. batch: mel [B,M,T], tokens [B,L] (decoder input,
+    starts with SOT sequence), targets [B,L], loss_mask [B,L] float."""
+    mel, tokens = batch["mel"], batch["tokens"]
+    targets, mask = batch["targets"], batch["loss_mask"]
+    B, L = tokens.shape
+
+    audio = whisper_encode(params, mel, dims, compute_dtype)
+    cross_kv = precompute_cross_kv(params, audio)
+    self_kv = init_kv_cache(dims, B, L, compute_dtype)
+    pos = jnp.broadcast_to(jnp.arange(L)[None, :], (B, L))
+    k = jnp.arange(L)[None, None, None, :]
+    q = jnp.arange(L)[None, None, :, None]
+    causal = jnp.where(k <= q, 0.0, -1e9).astype(jnp.float32)
+
+    logits, _ = decoder_forward(params, tokens, pos, jnp.int32(0), self_kv,
+                                cross_kv, causal, None, dims, compute_dtype)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    loss = jnp.sum(nll * mask) / denom
+    acc = jnp.sum((jnp.argmax(logits, -1) == targets) * mask) / denom
+    return loss, {"loss": loss, "accuracy": acc}
+
+
+def default_optimizer(lr: float = 1e-5, weight_decay: float = 0.01,
+                      clip: float = 1.0) -> optax.GradientTransformation:
+    return optax.chain(optax.clip_by_global_norm(clip),
+                       optax.adamw(lr, weight_decay=weight_decay))
+
+
+def init_train_state(params: Dict[str, Any],
+                     optimizer: Optional[optax.GradientTransformation] = None) -> TrainState:
+    optimizer = optimizer or default_optimizer()
+    return TrainState(params=params, opt_state=optimizer.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(dims: WhisperDims,
+                    optimizer: Optional[optax.GradientTransformation] = None,
+                    mesh=None,
+                    compute_dtype=jnp.bfloat16) -> Callable:
+    """Build a jitted train step. With a mesh, params follow the tensor-
+    parallel spec and the batch shards over the data axis; single-device
+    otherwise."""
+    optimizer = optimizer or default_optimizer()
+
+    def step(params, opt_state, batch, step_no):
+        (loss, metrics), grads = jax.value_and_grad(
+            whisper_loss, has_aux=True)(params, batch, dims, compute_dtype)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, step_no + 1, metrics
+
+    if mesh is None:
+        return jax.jit(step)
+
+    # Mesh path: annotate inputs; XLA propagates and inserts collectives.
+    def sharded_step(params, opt_state, batch, step_no):
+        pspec = whisper_param_spec(params)
+        params = jax.lax.with_sharding_constraint(
+            params, jax.tree.map(lambda s: NamedSharding(mesh, s), pspec,
+                                 is_leaf=lambda x: isinstance(x, P)))
+        batch = jax.tree.map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1))))),
+            batch)
+        return step(params, opt_state, batch, step_no)
+
+    return jax.jit(sharded_step)
