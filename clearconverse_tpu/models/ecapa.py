@@ -1,0 +1,258 @@
+"""ECAPA-TDNN speaker embedder in functional JAX.
+
+Fills the role of the reference's embedding model (pyannote ``Inference
+("pyannote/embedding", window="whole")``, back/api.py:770-774, used for
+speaker profiles back/api.py:893-959 and window matching back/api.py:961-
+1050): waveform → fixed-size L2-comparable speaker embedding.
+
+Architecture: ECAPA-TDNN (Desplanques et al. 2020), the speechbrain
+``spkrec-ecapa-voxceleb`` layout so those checkpoints convert directly:
+fbank frontend → Conv1d(k=5) → 3× SE-Res2Net blocks (dilations 2,3,4,
+scale 8) → multi-layer feature aggregation → attentive statistics pooling
+with global context → linear to 192-d.
+
+All convs are `[B, T, C]` NHC so XLA maps them onto the MXU; batch entries
+carry frame-validity masks so padded segments pool correctly (the reference
+processes one segment at a time and needs no masks; we batch hundreds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clearconverse_tpu.audio import mel as melmod
+
+
+@dataclasses.dataclass(frozen=True)
+class EcapaDims:
+    n_mels: int = 80
+    channels: int = 512
+    mfa_channels: int = 1536     # multi-layer aggregation width
+    attention_channels: int = 128
+    embedding_dim: int = 192
+    res2net_scale: int = 8
+    dilations: tuple = (2, 3, 4)
+
+
+def fbank(audio: jnp.ndarray, n_mels: int = 80,
+          frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """[B, T] 16 kHz waveform → [B, frames, n_mels] log-mel filterbank
+    (25 ms / 10 ms, amplitude-normalized log like speechbrain Fbank).
+
+    ``frame_mask`` [B, frames] restricts the per-utterance mean
+    normalization to valid frames of padded batch rows."""
+    if audio.ndim == 1:
+        audio = audio[None]
+    frames = melmod.frame_signal(audio, n_fft=400, hop=160)[:, :-1]
+    cos_m, sin_m = melmod._dft_matrices(400)
+    re = jnp.einsum("bfn,nk->bfk", frames, jnp.asarray(cos_m),
+                    preferred_element_type=jnp.float32)
+    im = jnp.einsum("bfn,nk->bfk", frames, jnp.asarray(sin_m),
+                    preferred_element_type=jnp.float32)
+    power = re * re + im * im
+    m = jnp.einsum("bfk,km->bfm", power,
+                   jnp.asarray(melmod.mel_filterbank(n_mels=n_mels)),
+                   preferred_element_type=jnp.float32)
+    logm = 10.0 * jnp.log10(jnp.maximum(m, 1e-10))
+    # Per-utterance mean normalization (speechbrain InputNormalization).
+    if frame_mask is None:
+        return logm - jnp.mean(logm, axis=1, keepdims=True)
+    w = frame_mask[..., None]
+    denom = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1.0)
+    return logm - jnp.sum(logm * w, axis=1, keepdims=True) / denom
+
+
+# ------------------------------------------------------------------ init
+
+def _conv_init(key, k, cin, cout):
+    return {"w": jax.random.normal(key, (k, cin, cout)) * (k * cin) ** -0.5,
+            "b": jnp.zeros((cout,))}
+
+
+def _bn_init(c):
+    return {"g": jnp.ones((c,)), "b": jnp.zeros((c,)),
+            "mean": jnp.zeros((c,)), "var": jnp.ones((c,))}
+
+
+def init_ecapa_params(key: jax.Array, dims: EcapaDims = EcapaDims()) -> Dict[str, Any]:
+    C, S = dims.channels, dims.res2net_scale
+    keys = iter(jax.random.split(key, 64))
+    p: Dict[str, Any] = {
+        "conv1": _conv_init(next(keys), 5, dims.n_mels, C),
+        "bn1": _bn_init(C),
+        "blocks": [],
+        "mfa": _conv_init(next(keys), 1, 3 * C, dims.mfa_channels),
+        "asp": {
+            "conv1": _conv_init(next(keys), 1, 3 * dims.mfa_channels,
+                                dims.attention_channels),
+            "conv2": _conv_init(next(keys), 1, dims.attention_channels,
+                                dims.mfa_channels),
+        },
+        "asp_bn": _bn_init(2 * dims.mfa_channels),
+        "fc": _conv_init(next(keys), 1, 2 * dims.mfa_channels, dims.embedding_dim),
+    }
+    width = C // S
+    for d in dims.dilations:
+        blk = {
+            "conv_in": _conv_init(next(keys), 1, C, C), "bn_in": _bn_init(C),
+            "res2": [_conv_init(next(keys), 3, width, width) for _ in range(S - 1)],
+            "res2_bn": [_bn_init(width) for _ in range(S - 1)],
+            "conv_out": _conv_init(next(keys), 1, C, C), "bn_out": _bn_init(C),
+            "se": {"fc1": _conv_init(next(keys), 1, C, dims.attention_channels),
+                   "fc2": _conv_init(next(keys), 1, dims.attention_channels, C)},
+            "dilation": d,
+        }
+        p["blocks"].append(blk)
+    return p
+
+
+# ------------------------------------------------------------------ ops
+
+def _conv(x, p, dilation=1):
+    k = p["w"].shape[0]
+    pad = dilation * (k - 1) // 2
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), window_strides=(1,), padding=((pad, pad),),
+        rhs_dilation=(dilation,), dimension_numbers=("NHC", "HIO", "NHC"))
+    return y + p["b"]
+
+
+def _bn(x, p, eps=1e-5):
+    inv = jax.lax.rsqrt(p["var"] + eps)
+    return (x - p["mean"]) * inv * p["g"] + p["b"]
+
+
+def _masked_mean_std(x, mask, eps=1e-12):
+    """x [B,T,C], mask [B,T] → (mean, std) over valid frames."""
+    m = mask[..., None]
+    denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)
+    mean = jnp.sum(x * m, axis=1) / denom
+    var = jnp.sum((x - mean[:, None, :]) ** 2 * m, axis=1) / denom
+    return mean, jnp.sqrt(var + eps)
+
+
+def _se_block(x, p, mask):
+    m = mask[..., None]
+    denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+    s = jnp.sum(x * m, axis=1, keepdims=True) / denom
+    s = jax.nn.relu(_conv(s, p["fc1"]))
+    s = jax.nn.sigmoid(_conv(s, p["fc2"]))
+    return x * s
+
+
+def _res2_block(x, blk, mask):
+    S = len(blk["res2"]) + 1
+    y = jax.nn.relu(_bn(_conv(x, blk["conv_in"]), blk["bn_in"]))
+    chunks = jnp.split(y, S, axis=-1)
+    outs = [chunks[0]]
+    prev = None
+    for i in range(1, S):
+        h = chunks[i] if prev is None else chunks[i] + prev
+        h = jax.nn.relu(_bn(_conv(h, blk["res2"][i - 1], blk["dilation"]),
+                            blk["res2_bn"][i - 1]))
+        outs.append(h)
+        prev = h
+    y = jnp.concatenate(outs, axis=-1)
+    y = jax.nn.relu(_bn(_conv(y, blk["conv_out"]), blk["bn_out"]))
+    y = _se_block(y, blk["se"], mask)
+    return x + y
+
+
+def ecapa_embed(params: Dict[str, Any], audio: jnp.ndarray,
+                lengths: Optional[jnp.ndarray] = None,
+                dims: EcapaDims = EcapaDims()) -> jnp.ndarray:
+    """[B, T] waveform (+ per-row valid sample counts) → [B, 192] embeddings.
+
+    The frame mask derives from ``lengths`` so one padded batch replaces the
+    reference's per-segment embedding loop (back/api.py:928-946).
+    """
+    B = audio.shape[0] if audio.ndim > 1 else 1
+    F = audio.shape[-1] // 160
+    if lengths is None:
+        mask = jnp.ones((B, F), jnp.float32)
+    else:
+        valid_frames = lengths // 160
+        mask = (jnp.arange(F)[None, :] < valid_frames[:, None]).astype(jnp.float32)
+    feats = fbank(audio, dims.n_mels, frame_mask=mask)     # [B, F, mels]
+    feats = feats * mask[..., None]
+
+    x = jax.nn.relu(_bn(_conv(feats, params["conv1"]), params["bn1"]))
+    x = x * mask[..., None]  # keep padding inert through the conv stack
+    feats_out: List[jnp.ndarray] = []
+    for blk in params["blocks"]:
+        x = _res2_block(x, blk, mask) * mask[..., None]
+        feats_out.append(x)
+    x = jax.nn.relu(_conv(jnp.concatenate(feats_out, axis=-1), params["mfa"]))
+
+    # Attentive statistics pooling with global context.
+    mean, std = _masked_mean_std(x, mask)
+    Fdim = x.shape[1]
+    ctx = jnp.concatenate(
+        [x, jnp.broadcast_to(mean[:, None, :], x.shape),
+         jnp.broadcast_to(std[:, None, :], x.shape)], axis=-1)
+    attn = _conv(jnp.tanh(_conv(ctx, params["asp"]["conv1"])), params["asp"]["conv2"])
+    attn = jnp.where(mask[..., None] > 0, attn, -1e9)
+    attn = jax.nn.softmax(attn, axis=1)
+    amean = jnp.sum(attn * x, axis=1)
+    astd = jnp.sqrt(jnp.maximum(jnp.sum(attn * x * x, axis=1) - amean ** 2, 1e-12))
+    pooled = jnp.concatenate([amean, astd], axis=-1)[:, None, :]
+    pooled = _bn(pooled, params["asp_bn"])
+    emb = _conv(pooled, params["fc"])[:, 0, :]
+    return emb
+
+
+def cosine_similarity(a: jnp.ndarray, b: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
+    """Row-wise cosine similarity (reference back/api.py:878-879)."""
+    na = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), eps)
+    nb = b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), eps)
+    return jnp.sum(na * nb, axis=-1)
+
+
+def convert_speechbrain_ecapa(sd: Dict[str, Any],
+                              dims: EcapaDims = EcapaDims()) -> Dict[str, Any]:
+    """speechbrain spkrec-ecapa-voxceleb ``embedding_model.ckpt`` state dict →
+    our pytree. Torch Conv1d weights [out,in,k] → [k,in,out]; BatchNorm runs
+    in inference mode with stored running stats."""
+    def conv(prefix):
+        return {"w": np.asarray(sd[f"{prefix}.weight"]).transpose(2, 1, 0),
+                "b": np.asarray(sd.get(f"{prefix}.bias",
+                                       np.zeros(sd[f"{prefix}.weight"].shape[0])))}
+
+    def bn(prefix):
+        return {"g": np.asarray(sd[f"{prefix}.weight"]),
+                "b": np.asarray(sd[f"{prefix}.bias"]),
+                "mean": np.asarray(sd[f"{prefix}.running_mean"]),
+                "var": np.asarray(sd[f"{prefix}.running_var"])}
+
+    p = {
+        "conv1": conv("blocks.0.conv.conv"),
+        "bn1": bn("blocks.0.norm.norm"),
+        "blocks": [],
+        "mfa": conv("mfa.conv.conv"),
+        "asp": {"conv1": conv("asp.tdnn.conv.conv"),
+                "conv2": conv("asp.conv.conv")},
+        "asp_bn": bn("asp_bn.norm"),
+        "fc": conv("fc.conv.conv"),
+    }
+    for bi, dil in zip(range(1, 4), dims.dilations):
+        pre = f"blocks.{bi}"
+        blk = {
+            "conv_in": conv(f"{pre}.tdnn1.conv.conv"),
+            "bn_in": bn(f"{pre}.tdnn1.norm.norm"),
+            "res2": [conv(f"{pre}.res2net_block.blocks.{i}.conv.conv")
+                     for i in range(dims.res2net_scale - 1)],
+            "res2_bn": [bn(f"{pre}.res2net_block.blocks.{i}.norm.norm")
+                        for i in range(dims.res2net_scale - 1)],
+            "conv_out": conv(f"{pre}.tdnn2.conv.conv"),
+            "bn_out": bn(f"{pre}.tdnn2.norm.norm"),
+            "se": {"fc1": conv(f"{pre}.se_block.conv1"),
+                   "fc2": conv(f"{pre}.se_block.conv2")},
+            "dilation": dil,
+        }
+        p["blocks"].append(blk)
+    return p

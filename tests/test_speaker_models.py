@@ -1,0 +1,168 @@
+"""Tests for ECAPA-TDNN, PyanNet and RE-SepFormer: shapes, masking
+correctness for padded batches, LSTM math vs a NumPy reference, chunking
+round-trips, converter structure."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clearconverse_tpu.models.ecapa import (
+    EcapaDims, cosine_similarity, ecapa_embed, fbank, init_ecapa_params)
+from clearconverse_tpu.models.pyannet import (
+    POWERSET_CLASSES, PyannetDims, init_pyannet_params, lstm_forward,
+    powerset_to_multilabel, pyannet_forward, sinc_filters)
+from clearconverse_tpu.models.resepformer import (
+    SepformerDims, _chunk, _unchunk, init_sepformer_params, sepformer_separate)
+
+TINY_ECAPA = EcapaDims(n_mels=24, channels=64, mfa_channels=96,
+                       attention_channels=32, embedding_dim=32, res2net_scale=4)
+TINY_PYANNET = PyannetDims(sinc_filters=16, conv_channels=12, lstm_hidden=16,
+                           lstm_layers=2, linear_dims=(16,), n_classes=7)
+TINY_SEP = SepformerDims(enc_channels=32, enc_kernel=16, d_model=32, n_heads=4,
+                         chunk_size=20, n_repeats=1, n_intra_layers=1,
+                         n_inter_layers=1)
+
+
+# ------------------------------------------------------------------ ECAPA
+
+def test_ecapa_shapes(rng):
+    params = init_ecapa_params(jax.random.PRNGKey(0), TINY_ECAPA)
+    audio = jnp.asarray(rng.standard_normal((3, 16000)).astype(np.float32))
+    emb = ecapa_embed(params, audio, dims=TINY_ECAPA)
+    assert emb.shape == (3, 32)
+    assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_ecapa_padded_batch_close_to_unbatched(rng):
+    params = init_ecapa_params(jax.random.PRNGKey(0), TINY_ECAPA)
+    t1 = 8000
+    a = rng.standard_normal(t1).astype(np.float32)
+    single = ecapa_embed(params, jnp.asarray(a)[None], dims=TINY_ECAPA)[0]
+
+    padded = np.zeros((2, 16000), np.float32)
+    padded[0, :t1] = a
+    padded[1] = rng.standard_normal(16000).astype(np.float32)
+    lengths = jnp.asarray([t1, 16000])
+    batched = ecapa_embed(params, jnp.asarray(padded), lengths, TINY_ECAPA)[0]
+    cos = float(cosine_similarity(single[None], batched[None])[0])
+    assert cos > 0.98  # boundary-frame conv leakage only
+
+
+def test_ecapa_same_length_batch_exact(rng):
+    params = init_ecapa_params(jax.random.PRNGKey(0), TINY_ECAPA)
+    x = rng.standard_normal((2, 8000)).astype(np.float32)
+    both = ecapa_embed(params, jnp.asarray(x), dims=TINY_ECAPA)
+    one = ecapa_embed(params, jnp.asarray(x[0])[None], dims=TINY_ECAPA)
+    np.testing.assert_allclose(np.asarray(both[0]), np.asarray(one[0]),
+                               atol=1e-4)
+
+
+def test_cosine_similarity():
+    a = jnp.asarray([[1.0, 0.0], [1.0, 1.0]])
+    b = jnp.asarray([[2.0, 0.0], [-1.0, -1.0]])
+    sims = np.asarray(cosine_similarity(a, b))
+    np.testing.assert_allclose(sims, [1.0, -1.0], atol=1e-6)
+
+
+def test_fbank_shape(rng):
+    audio = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
+    f = fbank(audio, n_mels=24)
+    assert f.shape == (2, 25, 24)
+    # Mean-normalized per utterance.
+    np.testing.assert_allclose(np.asarray(jnp.mean(f, axis=1)), 0.0, atol=1e-4)
+
+
+# ------------------------------------------------------------------ PyanNet
+
+def test_sinc_filters_are_bandpass():
+    low = jnp.asarray([100.0, 1000.0])
+    band = jnp.asarray([100.0, 500.0])
+    filt = np.asarray(sinc_filters(low, band, 101, 16000))[:, 0, :]
+    spec = np.abs(np.fft.rfft(filt[:, 1], n=1024))
+    freqs = np.fft.rfftfreq(1024, 1 / 16000)
+    peak = freqs[spec.argmax()]
+    # Filter 1: band 1050..1600 Hz → peak inside.
+    assert 900 < peak < 1800
+    # DC response ~ 0 (band-pass, not low-pass).
+    assert spec[0] < 0.05 * spec.max()
+
+
+def test_pyannet_output_shape(rng):
+    params = init_pyannet_params(jax.random.PRNGKey(0), TINY_PYANNET)
+    audio = jnp.asarray(rng.standard_normal((2, 32000)).astype(np.float32))
+    out = pyannet_forward(params, audio, TINY_PYANNET)
+    assert out.ndim == 3 and out.shape[0] == 2 and out.shape[2] == 7
+    # Powerset log-probs sum to 1.
+    np.testing.assert_allclose(np.asarray(jnp.exp(out).sum(-1)), 1.0, atol=1e-5)
+    assert TINY_PYANNET.frame_hop == 270
+
+
+def test_lstm_matches_numpy(rng):
+    H, D, T, B = 8, 5, 11, 2
+    p = {"w_ih": jnp.asarray(rng.standard_normal((D, 4 * H)).astype(np.float32) * 0.3),
+         "w_hh": jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.3),
+         "b": jnp.asarray(rng.standard_normal(4 * H).astype(np.float32) * 0.1)}
+    x = rng.standard_normal((B, T, D)).astype(np.float32)
+    ours = np.asarray(lstm_forward(p, jnp.asarray(x)))
+
+    def sig(v):
+        return 1 / (1 + np.exp(-v))
+
+    w_ih, w_hh, b = map(np.asarray, (p["w_ih"], p["w_hh"], p["b"]))
+    ref = np.zeros((B, T, H), np.float32)
+    for bi in range(B):
+        h = np.zeros(H); c = np.zeros(H)
+        for t in range(T):
+            g = x[bi, t] @ w_ih + h @ w_hh + b
+            i, f, gg, o = np.split(g, 4)
+            c = sig(f) * c + sig(i) * np.tanh(gg)
+            h = sig(o) * np.tanh(c)
+            ref[bi, t] = h
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_lstm_reverse_direction(rng):
+    H, D = 4, 3
+    p = {"w_ih": jnp.asarray(rng.standard_normal((D, 4 * H)).astype(np.float32)),
+         "w_hh": jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32)),
+         "b": jnp.zeros(4 * H)}
+    x = rng.standard_normal((1, 7, D)).astype(np.float32)
+    fwd_flipped = np.asarray(lstm_forward(p, jnp.asarray(x[:, ::-1])))[:, ::-1]
+    bwd = np.asarray(lstm_forward(p, jnp.asarray(x), reverse=True))
+    np.testing.assert_allclose(bwd, fwd_flipped, atol=1e-5)
+
+
+def test_powerset_to_multilabel():
+    # Put all mass on class (0,1) → speakers 0 and 1 active, 2 inactive.
+    logp = jnp.full((1, 1, 7), -1e9).at[0, 0, 4].set(0.0)
+    ml = np.asarray(powerset_to_multilabel(logp))
+    np.testing.assert_allclose(ml[0, 0], [1.0, 1.0, 0.0], atol=1e-5)
+    assert POWERSET_CLASSES[4] == (0, 1)
+
+
+# ------------------------------------------------------------------ SepFormer
+
+def test_chunk_unchunk_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 57, 8)).astype(np.float32))
+    chunks, T = _chunk(x, 20)
+    assert chunks.shape[2] == 20
+    back = _unchunk(chunks, T)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+def test_sepformer_output_shape(rng):
+    params = init_sepformer_params(jax.random.PRNGKey(0), TINY_SEP)
+    mix = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32) * 0.3)
+    out = sepformer_separate(params, mix, TINY_SEP)
+    assert out.shape == (2, 4000, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_sepformer_single_row_matches_batch(rng):
+    params = init_sepformer_params(jax.random.PRNGKey(0), TINY_SEP)
+    mix = rng.standard_normal((2, 2000)).astype(np.float32) * 0.3
+    both = np.asarray(sepformer_separate(params, jnp.asarray(mix), TINY_SEP))
+    one = np.asarray(sepformer_separate(params, jnp.asarray(mix[0]), TINY_SEP))
+    np.testing.assert_allclose(both[0], one[0], atol=1e-4)
