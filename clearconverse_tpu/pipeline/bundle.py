@@ -1,0 +1,196 @@
+"""ModelBundle: the engine's device-program interface.
+
+The engine (pipeline/engine.py) never touches model internals — it talks to
+four batched callables. This mirrors the reference's model-handle layout
+(back/api.py:601-797: whisper_model / embedding_model / vad+diarization
+pipelines / separator) but each call takes a BATCH and runs as one device
+program. Tests inject ``FakeModels`` (deterministic, weight-free) — the
+in-process fake backend SURVEY.md §4 calls for.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class ModelBundle:
+    """Real TPU-backed bundle. Lazy: heavy jit compilation happens at first
+    use per bucket shape; ``load_with_progress`` mirrors the reference's
+    staged loading percentages (back/api.py:617-655)."""
+
+    def __init__(self, config=None, tpu_config=None, model_dir: str = "./models"):
+        from clearconverse_tpu.config import Config, TPUConfig
+        self.config = config or Config()
+        self.tpu = tpu_config or TPUConfig()
+        self.model_dir = model_dir
+        self._loaded = False
+        self._whisper = None       # (params, dims, tokenizer)
+        self._ecapa = None         # params
+        self._pyannet = None       # params
+        self._sepformer = None     # params
+
+    # ---------------------------------------------------------------- load
+    def models_are_loaded(self) -> bool:
+        return self._loaded
+
+    def load_with_progress(self, progress_callback: Optional[Callable] = None) -> bool:
+        """Stage order and percentages follow back/api.py:617-655:
+        separation → whisper → pyannote-family."""
+        import jax
+
+        def cb(pct, msg):
+            if progress_callback:
+                progress_callback(pct, msg)
+
+        try:
+            cb(10, "Loading separation model")
+            from clearconverse_tpu.models.resepformer import (
+                SepformerDims, init_sepformer_params)
+            from clearconverse_tpu.models.convert import load_torch_state_dict
+            self._sepformer = self._load_sepformer()
+
+            cb(40, "Loading Whisper model")
+            from clearconverse_tpu.models.convert import load_whisper
+            from clearconverse_tpu.models.tokenizer import load_tokenizer
+            from clearconverse_tpu.models.whisper import init_whisper_params
+            params, dims = load_whisper(self.model_dir, self.config.whisper_model_size)
+            if params is None:
+                logger.warning("no whisper checkpoint in %s; using random init",
+                               self.model_dir)
+                params = init_whisper_params(jax.random.PRNGKey(0), dims)
+            english = self.config.whisper_model_size.endswith(".en")
+            tok = load_tokenizer(self.model_dir, english=english)
+            self._whisper = (jax.device_put(params), dims, tok)
+
+            cb(70, "Loading speaker models")
+            self._ecapa = self._load_ecapa()
+            self._pyannet = self._load_pyannet()
+            cb(100, "Models loaded")
+            self._loaded = True
+            return True
+        except Exception as exc:  # noqa: BLE001 — load failure is recoverable
+            logger.error("model loading failed: %s", exc)
+            return False
+
+    def _load_sepformer(self):
+        import os
+        import jax
+        from clearconverse_tpu.models.resepformer import (
+            convert_speechbrain_sepformer, init_sepformer_params)
+        from clearconverse_tpu.models.convert import load_torch_state_dict
+        ft = os.path.join(self.model_dir, "resepformer-ft")
+        names = ["encoder.ckpt", "masknet.ckpt", "decoder.ckpt"]
+        if all(os.path.exists(os.path.join(ft, n)) for n in names):
+            try:  # ft → base fallback (back/api.py:752-764)
+                sds = [load_torch_state_dict(os.path.join(ft, n)) for n in names]
+                return convert_speechbrain_sepformer(*sds)
+            except Exception as exc:
+                logger.warning("resepformer-ft load failed (%s); using init", exc)
+        return init_sepformer_params(jax.random.PRNGKey(1))
+
+    def _load_ecapa(self):
+        import os
+        import jax
+        from clearconverse_tpu.models.ecapa import (
+            convert_speechbrain_ecapa, init_ecapa_params)
+        from clearconverse_tpu.models.convert import load_torch_state_dict
+        ckpt = os.path.join(self.model_dir, "embedding", "embedding_model.ckpt")
+        if os.path.exists(ckpt):
+            try:
+                return convert_speechbrain_ecapa(load_torch_state_dict(ckpt))
+            except Exception as exc:
+                logger.warning("ecapa ckpt load failed (%s); using init", exc)
+        return init_ecapa_params(jax.random.PRNGKey(2))
+
+    def _load_pyannet(self):
+        import os
+        import jax
+        from clearconverse_tpu.models.pyannet import (
+            convert_pyannote_pyannet, init_pyannet_params)
+        from clearconverse_tpu.models.convert import load_torch_state_dict
+        ckpt = os.path.join(self.model_dir, "segmentation", "pytorch_model.bin")
+        if os.path.exists(ckpt):
+            try:
+                return convert_pyannote_pyannet(load_torch_state_dict(ckpt))
+            except Exception as exc:
+                logger.warning("pyannet ckpt load failed (%s); using init", exc)
+        return init_pyannet_params(jax.random.PRNGKey(3))
+
+    # ------------------------------------------------------------- compute
+    def _ensure(self):
+        if not self._loaded:
+            self.load_with_progress()
+
+    def transcribe_batch(self, audio: np.ndarray, prompts: Sequence[str],
+                         temperature: float = 0.0) -> List[str]:
+        """[B, T] padded 16 kHz segments + per-row prompt strings → texts.
+        One device program: mel → encoder → batched greedy decode."""
+        self._ensure()
+        import jax
+        import jax.numpy as jnp
+        from clearconverse_tpu.audio.mel import log_mel_spectrogram, pad_or_trim
+        from clearconverse_tpu.models.decoding import (
+            DecodeOptions, build_prompt_batch, greedy_decode)
+
+        params, dims, tok = self._whisper
+        sp = tok.specials
+        audio = pad_or_trim(jnp.asarray(audio, jnp.float32), 30 * 16000)
+        mel = log_mel_spectrogram(audio)
+
+        prompt_lists = []
+        for p in prompts:
+            ids = [sp.sot_prev] + tok.encode(p.strip())[-200:] if p.strip() else []
+            prompt_lists.append(ids + [sp.sot, sp.no_timestamps])
+        max_p = max(len(p) for p in prompt_lists)
+        toks, lens = build_prompt_batch(prompt_lists, max_p, pad_id=sp.eot)
+
+        opts = DecodeOptions(
+            max_tokens=self.tpu.max_decode_tokens,
+            temperature=temperature, eot=sp.eot,
+            suppress_blank=True, blank_token=220,
+            suppress_tokens=tuple(range(sp.timestamp_begin, sp.n_vocab)),
+            compute_dtype=jnp.bfloat16 if self.tpu.compute_dtype == "bfloat16"
+            else jnp.float32)
+        rng = jax.random.PRNGKey(0) if temperature > 0 else None
+        out = greedy_decode(params, mel, jnp.asarray(toks), jnp.asarray(lens),
+                            dims, opts, max_p, rng)
+        tokens = np.asarray(out["tokens"])
+        lengths = np.asarray(out["lengths"])
+        return [tok.decode(tokens[i, :lengths[i]]) for i in range(len(prompts))]
+
+    def embed_batch(self, audio: np.ndarray,
+                    lengths: Optional[np.ndarray] = None) -> np.ndarray:
+        """[B, T] (padded) → [B, D] speaker embeddings."""
+        self._ensure()
+        import jax.numpy as jnp
+        from clearconverse_tpu.models.ecapa import ecapa_embed
+        lens = jnp.asarray(lengths) if lengths is not None else None
+        return np.asarray(ecapa_embed(self._ecapa, jnp.asarray(audio, jnp.float32),
+                                      lens))
+
+    def segment_frames(self, audio: np.ndarray) -> np.ndarray:
+        """[B, T] window chunks → [B, F, 3] per-frame speaker activities."""
+        self._ensure()
+        import jax.numpy as jnp
+        from clearconverse_tpu.models.pyannet import (
+            powerset_to_multilabel, pyannet_forward)
+        logp = pyannet_forward(self._pyannet, jnp.asarray(audio, jnp.float32))
+        return np.asarray(powerset_to_multilabel(logp))
+
+    @property
+    def frame_hop_seconds(self) -> float:
+        from clearconverse_tpu.models.pyannet import PyannetDims
+        return PyannetDims().frame_hop_seconds
+
+    def separate_batch(self, audio: np.ndarray) -> np.ndarray:
+        """[B, T] mixtures → [B, T, 2] separated sources."""
+        self._ensure()
+        import jax.numpy as jnp
+        from clearconverse_tpu.models.resepformer import sepformer_separate
+        return np.asarray(sepformer_separate(self._sepformer,
+                                             jnp.asarray(audio, jnp.float32)))

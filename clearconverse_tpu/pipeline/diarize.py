@@ -1,0 +1,156 @@
+"""Diarization: batched segmentation + embedding clustering.
+
+Replaces the reference's black-box pyannote pipelines (VAD back/api.py:1311,
+diarization back/api.py:1317 → 1052) with an explicit, testable stack:
+
+  1. cut the file into fixed overlapping windows and score ALL windows'
+     frame-wise speaker activity in ONE device call (bundle.segment_frames),
+  2. stitch overlapping window scores (mean) into a file-level activity
+     matrix [frames, max_local_speakers],
+  3. VAD = any-speaker activity, binarized with hysteresis,
+  4. carve per-slot active intervals into subsegments, embed them in ONE
+     device call, AHC-cluster on host with min/max speaker constraints,
+  5. emit (start, end, "SPEAKER_%02d") labeled segments.
+
+The reference runs this twice more per file: secondary diarization on
+low-similarity segments (back/api.py:1120-1137) — same entry point here
+with (1, 2) speaker bounds.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from clearconverse_tpu.pipeline.clustering import binarize, cluster_speakers
+
+Interval = Tuple[float, float]
+LabeledSegment = Tuple[float, float, str]
+
+WINDOW_S = 10.0
+HOP_S = 5.0
+MAX_LOCAL = 3          # speaker slots the segmentation model emits
+MIN_SUBSEG_S = 0.4     # minimum carveable subsegment
+EMBED_PAD_S = 3.0      # subsegments padded/trimmed to this for embedding
+
+
+def _file_activity(bundle, audio: np.ndarray, sr: int) -> Tuple[np.ndarray, float]:
+    """Whole-file per-frame speaker activity [F, MAX_LOCAL] by scoring all
+    sliding windows in one batch and mean-stitching overlaps."""
+    win = int(WINDOW_S * sr)
+    hop = int(HOP_S * sr)
+    T = len(audio)
+    starts = list(range(0, max(T - hop, 1), hop))
+    chunks = np.zeros((len(starts), win), np.float32)
+    for i, s in enumerate(starts):
+        seg = audio[s : s + win]
+        chunks[i, : len(seg)] = seg
+
+    probs = bundle.segment_frames(chunks)            # [W, Fw, S]
+    fhop = bundle.frame_hop_seconds
+    frames_per_hop = int(round(HOP_S / fhop))
+    Fw = probs.shape[1]
+    total_frames = (len(starts) - 1) * frames_per_hop + Fw
+
+    acc = np.zeros((total_frames, probs.shape[2]), np.float64)
+    cnt = np.zeros((total_frames, 1), np.float64)
+    for i in range(len(starts)):
+        lo = i * frames_per_hop
+        acc[lo : lo + Fw] += probs[i]
+        cnt[lo : lo + Fw] += 1.0
+    # Trim frames beyond the true audio end (zero-padded window tails).
+    valid = int(T / sr / fhop)
+    act = (acc / np.maximum(cnt, 1.0))[:valid]
+    return act.astype(np.float32), fhop
+
+
+def vad_intervals(bundle, audio: np.ndarray, sr: int,
+                  onset: float = 0.5, offset: float = 0.5,
+                  min_on: float = 0.1, min_off: float = 0.1) -> List[Interval]:
+    """Voice activity = any-speaker activity (reference back/api.py:1311)."""
+    act, fhop = _file_activity(bundle, audio, sr)
+    speech = act.max(axis=1) if act.size else np.zeros(0, np.float32)
+    return binarize(speech, fhop, onset, offset, min_on, min_off)
+
+
+def diarize(bundle, audio: np.ndarray, sr: int,
+            min_speakers: int = 1, max_speakers: int = 2,
+            onset: float = 0.5, offset: float = 0.5,
+            cluster_threshold: float = 0.7) -> List[LabeledSegment]:
+    """Full diarization → chronologically sorted labeled segments."""
+    act, fhop = _file_activity(bundle, audio, sr)
+    if act.size == 0:
+        return []
+
+    # Carve per-slot activity into subsegments. For the embedding used in
+    # clustering, keep only frames where the slot is EXCLUSIVELY active —
+    # overlap frames mix speakers and chain-collapse the clustering
+    # (pyannote's diarization does the same).
+    subsegs: List[Interval] = []
+    emb_clips: List[np.ndarray] = []
+    slots: List[int] = []
+    clean: List[bool] = []
+    for slot in range(act.shape[1]):
+        others = [o for o in range(act.shape[1]) if o != slot]
+        exclusive = (act[:, slot] > onset) & np.all(act[:, others] <= 0.5, axis=1)
+        for s, e in binarize(act[:, slot], fhop, onset, offset,
+                             min_duration_on=MIN_SUBSEG_S, min_duration_off=0.1):
+            f0, f1 = int(s / fhop), min(int(e / fhop), len(exclusive))
+            pieces = [audio[int(f * fhop * sr): int((f + 1) * fhop * sr)]
+                      for f in range(f0, f1) if exclusive[f]]
+            is_clean = bool(pieces) and sum(len(p) for p in pieces) >= MIN_SUBSEG_S * sr
+            clip = (np.concatenate(pieces) if is_clean
+                    else audio[int(s * sr): int(e * sr)])
+            subsegs.append((s, e))
+            emb_clips.append(np.asarray(clip, np.float32))
+            slots.append(slot)
+            clean.append(is_clean)
+    if not subsegs:
+        return []
+
+    # One batched embedding call over fixed-size padded windows.
+    pad = int(EMBED_PAD_S * sr)
+    batch = np.zeros((len(subsegs), pad), np.float32)
+    lengths = np.zeros(len(subsegs), np.int64)
+    for i, clip in enumerate(emb_clips):
+        seg = clip[:pad]
+        batch[i, : len(seg)] = seg
+        lengths[i] = max(len(seg), 1)
+    embs = bundle.embed_batch(batch, lengths)
+
+    # Cluster CLEAN subsegments only — mixed-overlap embeddings sit between
+    # speaker manifolds and chain-collapse average-linkage AHC. Mixed ones
+    # are then assigned by their slot's majority cluster (slot identity is
+    # locally consistent) or nearest centroid.
+    clean_idx = [i for i, c in enumerate(clean) if c]
+    labels = np.zeros(len(subsegs), np.int32)
+    if clean_idx:
+        clean_labels = cluster_speakers(embs[clean_idx],
+                                        threshold=cluster_threshold,
+                                        min_speakers=min_speakers,
+                                        max_speakers=max_speakers)
+        for i, l in zip(clean_idx, clean_labels):
+            labels[i] = l
+        n_clusters = int(clean_labels.max()) + 1
+        centroids = np.stack([embs[[i for i, l in zip(clean_idx, clean_labels)
+                                    if l == c]].mean(axis=0)
+                              for c in range(n_clusters)])
+        for i, c in enumerate(clean):
+            if c:
+                continue
+            same_slot = [labels[j] for j in clean_idx if slots[j] == slots[i]]
+            if same_slot:
+                labels[i] = np.bincount(same_slot).argmax()
+            else:
+                d = 1.0 - centroids @ embs[i] / np.maximum(
+                    np.linalg.norm(centroids, axis=1) * np.linalg.norm(embs[i]), 1e-12)
+                labels[i] = int(np.argmin(d))
+    else:
+        labels = cluster_speakers(embs, threshold=cluster_threshold,
+                                  min_speakers=min_speakers,
+                                  max_speakers=max_speakers)
+
+    out = [(s, e, f"SPEAKER_{int(l):02d}") for (s, e), l in zip(subsegs, labels)]
+    out.sort(key=lambda x: x[0])
+    return out

@@ -1,0 +1,491 @@
+"""TranscriptionEngine — the pipeline orchestrator.
+
+Behavioral parity target: ``EnhancedAudioProcessor`` (back/api.py:584-1549):
+same stages, same interval/prompt/hysteresis rules, same transcript format —
+but every model evaluation is gathered into batched device programs:
+
+  reference (per file)                     this engine (per file)
+  ───────────────────────────────          ─────────────────────────────────
+  ≤100 embeds/speaker, one at a time   →   ONE embed batch for all profiles
+  per-window embed in overlap loop     →   ONE embed batch for all windows
+  per-span separate_batch              →   ONE separation batch
+  per-segment whisper.transcribe       →   bucket-batched decode *wavefront*:
+                                           context-chained prompts resolve in
+                                           generations, so chained segments
+                                           keep the reference's exact prompt
+                                           semantics while independent ones
+                                           decode together.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from clearconverse_tpu.config import Config, TPUConfig
+from clearconverse_tpu.pipeline import segments as S
+from clearconverse_tpu.pipeline.batching import batch_audio
+from clearconverse_tpu.pipeline.diarize import diarize, vad_intervals
+
+logger = logging.getLogger(__name__)
+
+MIN_EMBED_S = 0.5   # embeddings unreliable below this (back/api.py:864)
+
+
+class TranscriptionEngine:
+    def __init__(self, config: Optional[Config] = None,
+                 tpu_config: Optional[TPUConfig] = None,
+                 models=None, model_dir: str = "./models",
+                 load_models_immediately: bool = False):
+        self.config = config or Config()
+        self.tpu = tpu_config or TPUConfig()
+        if models is None:
+            from clearconverse_tpu.pipeline.bundle import ModelBundle
+            models = ModelBundle(self.config, self.tpu, model_dir)
+        self.models = models
+        if load_models_immediately:
+            self.models.load_with_progress()
+
+    # ------------------------------------------------------------ plumbing
+    def models_are_loaded(self) -> bool:
+        return self.models.models_are_loaded()
+
+    def load_models_with_progress(self, progress_callback=None) -> bool:
+        return self.models.load_with_progress(progress_callback)
+
+    # ------------------------------------------------------------ helpers
+    def _embed_many(self, clips: List[np.ndarray], sr: int) -> List[Optional[np.ndarray]]:
+        """Batched embedding honoring the reference's <0.5 s → None rule."""
+        out: List[Optional[np.ndarray]] = [None] * len(clips)
+        valid = [i for i, c in enumerate(clips) if len(c) >= MIN_EMBED_S * sr]
+        if not valid:
+            return out
+        for idx, padded, lens in batch_audio([clips[i] for i in valid], sr,
+                                             self.tpu.duration_buckets,
+                                             self.config.transcription_batch_size * 4):
+            embs = self.models.embed_batch(padded, lens)
+            for row, j in enumerate(idx):
+                out[valid[j]] = embs[row]
+        return out
+
+    @staticmethod
+    def _cos(a: np.ndarray, b: np.ndarray) -> float:
+        na = np.linalg.norm(a) * np.linalg.norm(b)
+        return float(a @ b / na) if na > 0 else 0.0
+
+    def _build_profiles(self, audio: np.ndarray, sr: int,
+                        raw_segments: List[S.LabeledSegment]) -> Dict[str, np.ndarray]:
+        """Variance-weighted speaker profiles (back/api.py:893-959), with the
+        per-segment denoise+embed loop collapsed into batches."""
+        if not self.config.use_speaker_embeddings:
+            return {}
+        selected = S.select_profile_segments(raw_segments,
+                                             self.config.max_embedding_segments)
+        flat: List[Tuple[str, np.ndarray, float]] = []
+        for spk, spans in selected.items():
+            for (s, e) in spans:
+                clip = S.extract_segment(audio, s, e, sr)
+                if len(clip) > 0.5 * sr:
+                    flat.append((spk, clip, float(np.var(clip))))
+        if not flat:
+            return {}
+
+        # Batched denoise (device) then batched embed.
+        from clearconverse_tpu.audio.denoise import spectral_gate, peak_normalize
+        import jax.numpy as jnp
+        denoised: List[np.ndarray] = []
+        for idx, padded, lens in batch_audio([c for _, c, _ in flat], sr,
+                                             self.tpu.duration_buckets, 32):
+            mask = (np.arange(padded.shape[1])[None, :] < lens[:, None]).astype(np.float32)
+            clean = spectral_gate(jnp.asarray(padded), sr,
+                                  self.config.noise_reduction_amount,
+                                  jnp.asarray(mask))
+            clean = np.asarray(peak_normalize(clean))
+            for row, j in enumerate(idx):
+                denoised.append((j, clean[row, : lens[row]]))
+        denoised.sort(key=lambda x: x[0])
+        embs = self._embed_many([c for _, c in denoised], sr)
+
+        profiles: Dict[str, np.ndarray] = {}
+        by_spk: Dict[str, List[Tuple[np.ndarray, float]]] = {}
+        for (spk, _, var), emb in zip(flat, embs):
+            if emb is not None:
+                by_spk.setdefault(spk, []).append((emb, var))
+        for spk, pairs in by_spk.items():
+            total = sum(v for _, v in pairs)
+            if total > 0:
+                profiles[spk] = sum(e * (v / total) for e, v in pairs)
+            else:
+                profiles[spk] = np.mean([e for e, _ in pairs], axis=0)
+        return profiles
+
+    def _resegment_overlaps(self, audio: np.ndarray, sr: int,
+                            overlap_items: List[Tuple[float, float]],
+                            profiles: Dict[str, np.ndarray]) -> List[List[S.LabeledSegment]]:
+        """Sliding-window re-labeling of each overlap segment
+        (back/api.py:961-1050) with ALL windows of ALL segments embedded in
+        one batch."""
+        windows: List[np.ndarray] = []
+        owners: List[Tuple[int, float, float, float]] = []  # (seg idx, w_start, w_end, step)
+        for si, (seg_start, seg_end) in enumerate(overlap_items):
+            wsize = self.config.sliding_window_size
+            step = self.config.sliding_window_step
+            if (seg_end - seg_start) < 2.0:
+                step = min(step, (seg_end - seg_start) / 4)
+            curr = seg_start
+            while curr + wsize <= seg_end:
+                windows.append(S.extract_segment(audio, curr, curr + wsize, sr))
+                owners.append((si, curr, curr + wsize, step))
+                curr += step
+
+        embs = self._embed_many(windows, sr)
+        results: List[List[Tuple[float, float, str, float]]] = \
+            [[] for _ in overlap_items]
+        prev_by_seg: Dict[int, Optional[str]] = {i: None for i in range(len(overlap_items))}
+        for (si, ws, we, step), emb in zip(owners, embs):
+            if emb is not None and profiles:
+                sims = [(spk, self._cos(emb, prof)) for spk, prof in profiles.items()]
+                spk, conf = S.window_hysteresis(sims, prev_by_seg[si])
+                prev_by_seg[si] = spk
+            else:
+                spk = prev_by_seg[si] or "UNKNOWN"
+                conf = 0.0
+            results[si].append((ws, we, spk, conf))
+
+        out = []
+        for si, (seg_start, seg_end) in enumerate(overlap_items):
+            step = owners[0][3] if owners else self.config.sliding_window_step
+            seg_step = next((o[3] for o in owners if o[0] == si), step)
+            out.append(S.merge_window_labels(results[si], seg_start, seg_end, seg_step))
+        return out
+
+    # ------------------------------------------------------------ main
+    def process_file(self, file_path: str) -> Optional[Dict]:
+        cfg = self.config
+        try:
+            from clearconverse_tpu.audio.decode import ensure_wav_format, load_audio
+            file_path = ensure_wav_format(file_path)
+            wave, sr = load_audio(file_path, cfg.target_sample_rate,
+                                  cfg.noise_reduction_amount)
+            audio = np.asarray(wave, np.float32)
+            duration = len(audio) / sr
+            logger.info("Processing audio file: %.2f seconds", duration)
+
+            vad = vad_intervals(self.models, audio, sr)
+            raw_segments = diarize(self.models, audio, sr,
+                                   cfg.min_speakers, cfg.max_speakers)
+            logger.info("Diarization found %d raw segments", len(raw_segments))
+
+            merged = S.merge_segments(raw_segments, cfg.merge_gap_threshold)
+            if cfg.use_vad_refinement:
+                refined = []
+                for start, end, spk in merged:
+                    r = S.refine_segment_with_vad((start, end), vad)
+                    if r and (r[1] - r[0]) >= cfg.min_segment_duration:
+                        refined.append((r[0], r[1], spk))
+            else:
+                refined = merged
+
+            profiles = self._build_profiles(audio, sr, raw_segments)
+            mapping = S.map_speakers(refined)
+            overlap_regions = S.detect_overlap_regions(raw_segments,
+                                                       cfg.overlap_threshold)
+            refined.sort(key=lambda x: x[0])
+
+            # ---------- phase 1: classify + model scoring (batched) ------
+            seg_audio = [S.extract_segment(audio, s, e, sr) for s, e, _ in refined]
+            is_overlap: List[bool] = []
+            involved: List[List[str]] = []
+            for (s, e, _spk) in refined:
+                hit = next(((os_, oe, spks) for os_, oe, spks in overlap_regions
+                            if max(s, os_) < min(e, oe)), None)
+                is_overlap.append(hit is not None)
+                involved.append(hit[2] if hit else [])
+
+            non_ov_idx = [i for i, ov in enumerate(is_overlap)
+                          if not ov and (refined[i][1] - refined[i][0]) >= cfg.min_segment_duration]
+            embs = self._embed_many([seg_audio[i] for i in non_ov_idx], sr)
+            needs_secondary: Dict[int, bool] = {}
+            for i, emb in zip(non_ov_idx, embs):
+                prof = profiles.get(refined[i][2])
+                sim = self._cos(emb, prof) if (emb is not None and prof is not None) else None
+                needs_secondary[i] = (sim is not None
+                                      and sim < cfg.secondary_diarization_threshold)
+
+            # Secondary diarization (each call is itself batched internally).
+            secondary: Dict[int, List[S.LabeledSegment]] = {}
+            for i, flagged in needs_secondary.items():
+                if not flagged:
+                    continue
+                s, e, _ = refined[i]
+                try:
+                    subs = diarize(self.models, seg_audio[i], sr, 1, 2)
+                    subs = S.merge_segments(subs, cfg.merge_gap_threshold) \
+                        if subs else [(0.0, e - s, "UNKNOWN")]
+                except Exception as exc:  # → UNKNOWN (back/api.py:1135-1137)
+                    logger.error("Secondary diarization failed: %s", exc)
+                    subs = [(0.0, e - s, "UNKNOWN")]
+                secondary[i] = subs
+
+            # Overlap resegmentation + separation (batched across segments).
+            ov_idx = [i for i, ov in enumerate(is_overlap)
+                      if ov and (refined[i][1] - refined[i][0]) >= cfg.min_segment_duration]
+            mapped_profiles = {mapping.get(k, k): v for k, v in profiles.items()}
+            spans_per_seg = self._resegment_overlaps(
+                audio, sr, [(refined[i][0], refined[i][1]) for i in ov_idx],
+                mapped_profiles)
+
+            # Separate every overlap span in one batch; embed all sources in one.
+            span_clips, span_meta = [], []   # (ov position, span)
+            for pos, spans in enumerate(spans_per_seg):
+                for (ss, se, sspk) in spans:
+                    span_clips.append(S.extract_segment(audio, ss, se, sr))
+                    span_meta.append((pos, ss, se, sspk))
+            sep_sources: List[Optional[np.ndarray]] = [None] * len(span_clips)
+            for idx, padded, lens in batch_audio(span_clips, sr,
+                                                 self.tpu.duration_buckets, 16):
+                try:
+                    sep = self.models.separate_batch(padded)  # [B,T,2]
+                    for row, j in enumerate(idx):
+                        sep_sources[j] = sep[row, : lens[row], :]
+                except Exception as exc:
+                    logger.error("Separation failed: %s", exc)
+
+            src_clips, src_owner = [], []
+            for j, sep in enumerate(sep_sources):
+                if sep is None:
+                    continue
+                for k in range(sep.shape[-1]):
+                    src = sep[:, k]
+                    src = src / (np.max(np.abs(src)) + 1e-8)
+                    src_clips.append(src.astype(np.float32))
+                    src_owner.append((j, k))
+            src_embs = self._embed_many(src_clips, sr)
+            best_source: Dict[int, Tuple[np.ndarray, float]] = {}
+            for (j, _k), emb, clip in zip(src_owner, src_embs, src_clips):
+                if emb is None:
+                    continue
+                spk = span_meta[j][3]
+                prof = mapped_profiles.get(spk)
+                simv = self._cos(emb, prof) if prof is not None else 1.0
+                if j not in best_source or simv > best_source[j][1]:
+                    best_source[j] = (clip, simv)
+
+            # ---------- phase 2: build transcription items ---------------
+            items: List[Dict] = []      # chronological work items
+            prev_end, prev_speaker, prev_item = 0.0, None, None
+            meta_counts: Dict[str, int] = {"SPEAKER_A": 0, "SPEAKER_B": 0}
+            rapid_total = 0
+            span_cursor = 0
+
+            for i, (seg_start, seg_end, orig_spk) in enumerate(refined):
+                if (seg_end - seg_start) < cfg.min_segment_duration:
+                    continue
+                spk_label = mapping.get(orig_spk, "UNKNOWN")
+                rapid = S.is_rapid_exchange(prev_speaker, orig_spk, prev_end, seg_start)
+                if rapid:
+                    rapid_total += 1
+
+                if not is_overlap[i]:
+                    if secondary.get(i):
+                        for (rs, re_, new_spk) in secondary[i]:
+                            clip = S.extract_segment(seg_audio[i], rs, re_, sr)
+                            dep = (prev_item if new_spk == prev_speaker
+                                   and (seg_start - prev_end) < 1.0 and not rapid else None)
+                            prompt = (S.RAPID_PROMPT if rapid
+                                      else (None if dep is not None else S.SECONDARY_PROMPT))
+                            final = mapping.get(new_spk, spk_label)
+                            items.append(dict(
+                                start=seg_start + rs, end=seg_start + re_,
+                                speaker=final, audio=clip, is_overlap=False,
+                                prompt=prompt, depends_on=dep,
+                                rapid=rapid, confidence=1.0,
+                                metadata={"rapid_exchange": rapid}))
+                            meta_counts[final] = meta_counts.get(final, 0) + 1
+                            prev_end, prev_speaker = seg_start + re_, new_spk
+                            prev_item = len(items) - 1
+                        continue
+
+                    dep = (prev_item if orig_spk == prev_speaker
+                           and (seg_start - prev_end) < 1.0 and not rapid else None)
+                    prompt = (S.RAPID_PROMPT if rapid
+                              else (None if dep is not None else S.DEFAULT_PROMPT))
+                    items.append(dict(
+                        start=seg_start, end=seg_end, speaker=spk_label,
+                        audio=seg_audio[i], is_overlap=False, prompt=prompt,
+                        depends_on=dep, rapid=rapid, confidence=1.0,
+                        metadata={"rapid_exchange": rapid}))
+                    meta_counts[spk_label] = meta_counts.get(spk_label, 0) + 1
+                    prev_end, prev_speaker = seg_end, orig_spk
+                    prev_item = len(items) - 1
+                else:
+                    # Context reset after overlap (back/api.py:1503-1505).
+                    prev_speaker, prev_item = None, None
+                    pos = ov_idx.index(i)
+                    for (ss, se, sspk) in spans_per_seg[pos]:
+                        j = span_cursor
+                        span_cursor += 1
+                        clip, conf = best_source.get(
+                            j, (span_clips[j], 0.0))
+                        items.append(dict(
+                            start=seg_start, end=seg_end, speaker=sspk,
+                            audio=clip, is_overlap=True,
+                            prompt=S.OVERLAP_PROMPT, depends_on=None,
+                            rapid=False, confidence=conf,
+                            metadata={"overlap_speakers":
+                                      [mapping.get(s_, s_) for s_ in involved[i]]}))
+                    prev_end = seg_end
+
+            # ---------- phase 3: wavefront batched transcription ----------
+            self._transcribe_wavefront(items, sr)
+
+            processed = [S.AudioSegment(
+                start=it["start"], end=it["end"], speaker_id=it["speaker"],
+                audio=it["audio"], is_overlap=it["is_overlap"],
+                transcription=it.get("text", ""), confidence=it["confidence"],
+                metadata=it["metadata"]) for it in items]
+            processed.sort(key=lambda x: x.start)
+
+            metadata = {
+                "duration": duration,
+                "speaker_a_segments": meta_counts.get("SPEAKER_A", 0),
+                "speaker_b_segments": meta_counts.get("SPEAKER_B", 0),
+                "total_segments": len(processed),
+                "speakers": list(mapping.values()),
+                "rapid_exchanges": sum(1 for s_ in processed
+                                       if s_.metadata.get("rapid_exchange", False)),
+            }
+            return {"segments": processed, "metadata": metadata}
+        except Exception as exc:  # noqa: BLE001 — reference returns None (api.py:1546)
+            logger.error("Error in process_file: %s", exc, exc_info=True)
+            return None
+
+    def _transcribe_wavefront(self, items: List[Dict], sr: int) -> None:
+        """Resolve context-chained prompts in generations; each generation is
+        one set of bucket-batched decode calls."""
+        remaining = set(range(len(items)))
+        while remaining:
+            ready = [i for i in remaining
+                     if items[i]["depends_on"] is None
+                     or items[i]["depends_on"] not in remaining]
+            if not ready:  # cycle cannot happen (deps point backwards)
+                ready = list(remaining)
+            clips, prompts = [], []
+            for i in ready:
+                it = items[i]
+                if it["prompt"] is not None:
+                    prompts.append(it["prompt"])
+                else:
+                    prev_text = items[it["depends_on"]].get("text", "")
+                    prompts.append(f"{prev_text.strip()} ")
+                clips.append(np.asarray(it["audio"], np.float32))
+            for idx, padded, lens in batch_audio(
+                    clips, sr, self.tpu.duration_buckets,
+                    self.config.transcription_batch_size):
+                texts = self.models.transcribe_batch(
+                    padded, [prompts[j] for j in idx],
+                    temperature=self.config.temperature)
+                for row, j in enumerate(idx):
+                    items[ready[j]]["text"] = texts[row]
+            remaining -= set(ready)
+
+    # ------------------------------------------------------------ outputs
+    def save_segments(self, segs: List[S.AudioSegment], output_dir: str) -> None:
+        """Per-segment WAV dumps (back/api.py:1139-1156 layout)."""
+        from clearconverse_tpu.audio.wav import write_wav
+        out = Path(output_dir)
+        (out / "regular_segments").mkdir(parents=True, exist_ok=True)
+        (out / "overlap_segments").mkdir(parents=True, exist_ok=True)
+        for seg in segs:
+            ts = f"{seg.start:.2f}-{seg.end:.2f}"
+            sub = "overlap_segments" if seg.is_overlap else "regular_segments"
+            name = (f"overlap_{ts}_{seg.speaker_id}.wav" if seg.is_overlap
+                    else f"{ts}_{seg.speaker_id}.wav")
+            if seg.audio is not None and len(seg.audio):
+                write_wav(str(out / sub / name), np.asarray(seg.audio),
+                          self.config.target_sample_rate)
+
+    def save_debug_segments(self, segs: List[S.AudioSegment], output_dir: str) -> None:
+        """Debug dump with amplitude stats (back/api.py:1158-1202)."""
+        from clearconverse_tpu.audio.wav import write_wav
+        debug = Path(output_dir) / "debug_segments"
+        metadata = []
+        for idx, seg in enumerate(segs):
+            seg_id = f"segment_{idx:03d}"
+            sub = debug / ("overlap" if seg.is_overlap else "regular")
+            sub.mkdir(parents=True, exist_ok=True)
+            wav_path = sub / f"{seg_id}.wav"
+            a = np.asarray(seg.audio) if seg.audio is not None else np.zeros(1)
+            write_wav(str(wav_path), a, self.config.target_sample_rate)
+            metadata.append({
+                "segment_id": seg_id,
+                "start_time": f"{seg.start:.3f}",
+                "end_time": f"{seg.end:.3f}",
+                "duration": f"{seg.end - seg.start:.3f}",
+                "speaker_id": seg.speaker_id,
+                "is_overlap": seg.is_overlap,
+                "transcription": seg.transcription,
+                "audio_file": str(wav_path),
+                "audio_stats": {
+                    "max_amplitude": float(np.max(np.abs(a))),
+                    "mean_amplitude": float(np.mean(np.abs(a))),
+                    "samples": int(a.shape[-1]),
+                },
+            })
+        debug.mkdir(parents=True, exist_ok=True)
+        with open(debug / "segments_metadata.json", "w") as fh:
+            json.dump(metadata, fh, indent=2)
+
+    def run(self, input_file: str, output_dir: str = "processed_audio",
+            debug_mode: bool = False,
+            progress_callback: Optional[Callable] = None):
+        """Reference ``run`` contract (back/api.py:1204-1280): returns
+        (input_file, transcript, transcript_path) or (None, None, None);
+        progress at 5/30/60/80/100."""
+        def cb(pct, msg):
+            if progress_callback:
+                progress_callback(pct, msg)
+
+        cb(5, "Starting processing")
+        if not self.models_are_loaded():
+            if not self.load_models_with_progress(progress_callback):
+                return None, None, None
+        os.makedirs(output_dir, exist_ok=True)
+
+        cb(30, "Running file processing")
+        results = self.process_file(input_file)
+        if results is None:
+            return None, None, None
+
+        cb(60, "Saving processed segments")
+        segs = results.get("segments") or []
+        if not segs:
+            logger.error("No segments were generated during processing")
+            return None, None, None
+        if not any(s.transcription and s.transcription.strip() for s in segs):
+            logger.error("No transcriptions were generated for any segments")
+            return None, None, None
+
+        self.save_segments(segs, output_dir)
+        if debug_mode:
+            self.save_debug_segments(segs, output_dir)
+
+        cb(80, "Saving transcript")
+        transcript = ""
+        for seg in segs:
+            transcript += f"[{seg.speaker_id}] {seg.start:.2f}s - {seg.end:.2f}s\n"
+            transcript += f"{seg.transcription}\n\n"
+        if not transcript.strip():
+            logger.error("Generated transcript is empty")
+            return None, None, None
+        transcript_path = os.path.join(output_dir, "transcript.txt")
+        with open(transcript_path, "w", encoding="utf-8") as fh:
+            fh.write(transcript)
+
+        cb(100, "Processing completed")
+        return input_file, transcript, transcript_path
