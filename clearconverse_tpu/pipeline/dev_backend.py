@@ -1,0 +1,116 @@
+"""Deterministic weight-free model backend (dev/demo mode and tests).
+
+Implements the ModelBundle interface with signal-processing stand-ins: two
+synthetic "speakers" are distinguished by frequency band (low ≈ 300 Hz vs
+high ≈ 2000 Hz), so diarization, profiles, overlap separation and speaker
+matching all genuinely function — without any trained weights. This is the
+in-process fake backend SURVEY.md §4 prescribes for orchestration tests.
+"""
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+SR = 16000
+LOW, HIGH = 300.0, 2000.0
+
+
+def band_energy(clip: np.ndarray, lo: float, hi: float, sr: int = SR) -> float:
+    if len(clip) < 8:
+        return 0.0
+    spec = np.abs(np.fft.rfft(clip)) ** 2
+    freqs = np.fft.rfftfreq(len(clip), 1 / sr)
+    return float(spec[(freqs >= lo) & (freqs < hi)].sum())
+
+
+class DevModels:
+    frame_hop_seconds = 0.1
+
+    def __init__(self):
+        self._loaded = False
+        self.transcribe_calls: List[List[str]] = []  # prompts per batch call
+        self.echo_prompt = False
+
+    def models_are_loaded(self):
+        return self._loaded
+
+    def load_with_progress(self, cb=None):
+        for pct, msg in [(10, "sep"), (40, "whisper"), (70, "speakers"),
+                         (100, "Models loaded")]:
+            if cb:
+                cb(pct, msg)
+        self._loaded = True
+        return True
+
+    # -- embeddings: [low-energy, high-energy] direction ------------------
+    def embed_batch(self, audio: np.ndarray,
+                    lengths: Optional[np.ndarray] = None) -> np.ndarray:
+        out = np.zeros((len(audio), 4), np.float32)
+        for i, row in enumerate(audio):
+            n = int(lengths[i]) if lengths is not None else len(row)
+            clip = row[:n]
+            lo = band_energy(clip, 100, 800)
+            hi = band_energy(clip, 1200, 3500)
+            v = np.array([lo, hi, 1e-6, 1e-6], np.float32)
+            out[i] = v / (np.linalg.norm(v) + 1e-12)
+        return out
+
+    # -- segmentation: slot 0 = low speaker, slot 1 = high ----------------
+    def segment_frames(self, audio: np.ndarray) -> np.ndarray:
+        hop = int(self.frame_hop_seconds * SR)
+        B, T = audio.shape
+        F = T // hop
+        out = np.zeros((B, F, 3), np.float32)
+        for b in range(B):
+            for f in range(F):
+                fr = audio[b, f * hop : (f + 1) * hop]
+                lo = band_energy(fr, 100, 800)
+                hi = band_energy(fr, 1200, 3500)
+                total = band_energy(fr, 0, 8000) + 1e-9
+                out[b, f, 0] = 1.0 if lo / total > 0.25 and lo > 1e-3 else 0.0
+                out[b, f, 1] = 1.0 if hi / total > 0.25 and hi > 1e-3 else 0.0
+        return out
+
+    # -- separation: split by frequency band ------------------------------
+    def separate_batch(self, audio: np.ndarray) -> np.ndarray:
+        B, T = audio.shape
+        out = np.zeros((B, T, 2), np.float32)
+        for b in range(B):
+            spec = np.fft.rfft(audio[b])
+            freqs = np.fft.rfftfreq(T, 1 / SR)
+            low_mask = freqs < 1000
+            out[b, :, 0] = np.fft.irfft(spec * low_mask, n=T)
+            out[b, :, 1] = np.fft.irfft(spec * ~low_mask, n=T)
+        return out
+
+    # -- transcription: deterministic content token -----------------------
+    def transcribe_batch(self, audio: np.ndarray, prompts: Sequence[str],
+                         temperature: float = 0.0) -> List[str]:
+        self.transcribe_calls.append(list(prompts))
+        texts = []
+        for row, prompt in zip(audio, prompts):
+            lo = band_energy(row, 100, 800)
+            hi = band_energy(row, 1200, 3500)
+            kind = "low" if lo >= hi else "high"
+            n = int(np.sum(np.abs(row) > 1e-4) / SR * 10)
+            if self.echo_prompt:
+                texts.append(f"[{prompt}]{kind}{n}")
+            else:
+                texts.append(f"{kind} speech {n}")
+        return texts
+
+
+def synth_conversation() -> np.ndarray:
+    """12 s: L(0-3), H(3.5-6), L(6.2-8.9), L+H overlap (9.5-11.5).
+    The 0.6 s gap before the overlap keeps the last L segment un-merged
+    (merge_gap_threshold is 0.5)."""
+    t = np.arange(12 * SR) / SR
+    low = 0.5 * np.sin(2 * np.pi * LOW * t)
+    high = 0.5 * np.sin(2 * np.pi * HIGH * t)
+
+    def g(a, b):
+        return ((t >= a) & (t < b)).astype(np.float32)
+
+    x = (low * (g(0, 3) + g(6.2, 8.9) + g(9.5, 11.5))
+         + high * (g(3.5, 6) + g(9.5, 11.5)))
+    return x.astype(np.float32)

@@ -1,0 +1,251 @@
+"""API surface tests: the full serving stack (our HTTP server + routes +
+task runner + fake engine) driven over real sockets, checking
+byte-compatibility with the reference's responses (SURVEY.md §2.2)."""
+
+import base64
+import hashlib
+import json
+import os
+import socket
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+import requests
+
+from clearconverse_tpu.audio.wav import write_wav
+from clearconverse_tpu.config import Config, TPUConfig
+from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+from clearconverse_tpu.serve.app import create_app
+from clearconverse_tpu.serve.pdf import generate_transcript_pdf
+
+from fakes import SR, FakeModels, synth_conversation
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    root = tmp_path_factory.mktemp("srv")
+    out_dir, temp_dir = str(root / "processed"), str(root / "uploads")
+
+    def engine_factory():
+        return TranscriptionEngine(Config(noise_reduction_amount=0.0),
+                                   TPUConfig(), models=FakeModels())
+
+    app = create_app(out_dir, temp_dir, engine_factory, start_cleanup=False)
+
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+
+    import asyncio
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        try:
+            loop.run_until_complete(app.serve("127.0.0.1", port))
+        except RuntimeError:
+            pass  # loop stopped at teardown
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{port}"
+    for _ in range(100):
+        try:
+            requests.get(base + "/health", timeout=1)
+            break
+        except requests.exceptions.ConnectionError:
+            time.sleep(0.05)
+    yield {"base": base, "out": out_dir, "temp": temp_dir, "port": port}
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def _upload(server, name="conv.wav"):
+    audio = synth_conversation()
+    path = os.path.join(server["temp"], "src.wav")
+    write_wav(path, audio, SR)
+    with open(path, "rb") as fh:
+        r = requests.post(server["base"] + "/upload-file",
+                          files={"file": (name, fh, "audio/wav")})
+    assert r.status_code == 200, r.text
+    return r.json()
+
+
+def _wait_complete(server, task_id, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        st = requests.get(f"{server['base']}/task/{task_id}/status").json()
+        if st.get("status") in ("completed", "error", "cancelled"):
+            return st
+        time.sleep(0.3)
+    raise TimeoutError("task did not finish")
+
+
+def test_health(server):
+    r = requests.get(server["base"] + "/health")
+    assert r.status_code == 200 and r.json() == {"status": "ok"}
+
+
+def test_upload_validates_extension(server):
+    r = requests.post(server["base"] + "/upload-file",
+                      files={"file": ("x.txt", b"hi", "text/plain")})
+    assert r.status_code == 400
+    assert r.json()["detail"] == "Invalid file type provided."
+
+
+def test_upload_size_cap_says_10mb(server):
+    big = b"\0" * (26 * 1024 * 1024)
+    r = requests.post(server["base"] + "/upload-file",
+                      files={"file": ("big.wav", big, "audio/wav")})
+    assert r.status_code == 413
+    # Reference quirk: 25 MB cap, "10MB" message (back/api.py:1777).
+    assert "10MB" in r.json()["detail"]
+
+
+def test_upload_and_preview(server):
+    up = _upload(server)
+    assert "task_id" in up and up["preview_url"].startswith("/preview/")
+    r = requests.get(server["base"] + up["preview_url"])
+    assert r.status_code == 200 and r.content[:4] == b"RIFF"
+
+
+def test_transcribe_lifecycle(server):
+    up = _upload(server, "meeting.wav")
+    tid = up["task_id"]
+    r = requests.post(f"{server['base']}/transcribe/{tid}")
+    assert r.status_code == 200 and r.json()["task_id"] == tid
+
+    st = _wait_complete(server, tid)
+    assert st["status"] == "completed", st
+    assert st["download_url"] == f"/download/{tid}/transcript.txt"
+
+    # Idempotency marker (back/api.py:2006-2016).
+    r = requests.post(f"{server['base']}/transcribe/{tid}")
+    assert r.json()["status"] == "already_completed"
+
+    # Transcript download + JSON payload.
+    r = requests.get(server["base"] + st["download_url"])
+    assert r.status_code == 200
+    assert r.text.startswith("[SPEAKER_")
+    r = requests.get(f"{server['base']}/transcription/{tid}")
+    body = r.json()
+    assert body["task_id"] == tid and "[SPEAKER_" in body["transcription"]
+
+    # PDF export.
+    r = requests.get(f"{server['base']}/download-pdf/{tid}")
+    assert r.status_code == 200
+    assert r.content.startswith(b"%PDF-1.4")
+    assert "meeting-Transcript.pdf" in r.headers.get("Content-Disposition", "")
+
+
+def test_unknown_task_status(server):
+    st = requests.get(f"{server['base']}/task/nope/status").json()
+    assert st == {"status": "not_found"}
+    r = requests.get(f"{server['base']}/transcription/nope")
+    assert r.status_code == 404
+    r = requests.post(f"{server['base']}/transcribe/nope")
+    assert r.status_code == 404
+    assert "detail" in r.json()
+
+
+def test_cancel_flow(server):
+    up = _upload(server)
+    tid = up["task_id"]
+    r = requests.post(f"{server['base']}/cancel/{tid}")
+    assert r.json()["status"] == "cancelled"
+    st = requests.get(f"{server['base']}/task/{tid}/status").json()
+    assert st["status"] == "cancelled"
+    r = requests.get(f"{server['base']}/transcription/{tid}")
+    assert r.status_code == 202 and r.json()["status"] == "cancelled"
+    # Upload preserved → can re-transcribe.
+    assert requests.post(f"{server['base']}/transcribe/{tid}").status_code in (200,)
+    _wait_complete(server, tid)
+
+
+def test_model_loading_status_exists(server):
+    r = requests.get(server["base"] + "/model-loading-status")
+    assert r.status_code == 200 and "progress" in r.json()
+
+
+def test_result_endpoint(server):
+    r = requests.get(f"{server['base']}/task/ghost/result")
+    assert r.status_code == 404
+
+
+def test_cleanup_endpoint(server):
+    up = _upload(server)
+    tid = up["task_id"]
+    r = requests.delete(f"{server['base']}/cleanup/{tid}")
+    body = r.json()
+    assert body["status"] == "success"
+    assert body["details"]["preserved_uploads"] is False
+    # Upload is gone → transcribe 404s.
+    assert requests.post(f"{server['base']}/transcribe/{tid}").status_code == 404
+
+
+def test_websocket_progress(server):
+    up = _upload(server)
+    tid = up["task_id"]
+    requests.post(f"{server['base']}/transcribe/{tid}")
+
+    # Minimal RFC6455 client.
+    sock = socket.create_connection(("127.0.0.1", server["port"]), timeout=30)
+    key = base64.b64encode(os.urandom(16)).decode()
+    sock.sendall((f"GET /ws/progress/{tid} HTTP/1.1\r\n"
+                  f"Host: localhost\r\nUpgrade: websocket\r\n"
+                  f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+                  f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += sock.recv(4096)
+    head, _, rest = buf.partition(b"\r\n\r\n")
+    assert b"101" in head.split(b"\r\n")[0]
+    expect = base64.b64encode(hashlib.sha1(
+        (key + "258EAFA5-E914-47DA-95CA-C5AB0DC85B11").encode()).digest()).decode()
+    assert expect.encode() in head
+
+    def read_frame(buf):
+        while len(buf) < 2:
+            buf += sock.recv(4096)
+        n = buf[1] & 0x7F
+        off = 2
+        if n == 126:
+            while len(buf) < 4:
+                buf += sock.recv(4096)
+            n = struct.unpack(">H", buf[2:4])[0]
+            off = 4
+        while len(buf) < off + n:
+            buf += sock.recv(4096)
+        return buf[off:off + n], buf[off + n:]
+
+    messages = []
+    deadline = time.time() + 60
+    buf = rest
+    while time.time() < deadline:
+        payload, buf = read_frame(buf)
+        msg = json.loads(payload)
+        messages.append(msg)
+        if msg.get("progress") == 100:
+            break
+    sock.close()
+    assert messages, "no WS messages received"
+    assert messages[-1]["progress"] == 100
+    assert "complete" in messages[-1]["message"].lower()
+
+
+def test_pdf_generator_structure(tmp_path):
+    text = ("[SPEAKER_A] 0.00s - 3.00s\nhello there\n\n"
+            "[SPEAKER_B] 3.50s - 6.00s\nhow are you " * 40)
+    out = tmp_path / "t.pdf"
+    generate_transcript_pdf(text, str(out), "call.wav")
+    data = out.read_bytes()
+    assert data.startswith(b"%PDF-1.4")
+    assert data.rstrip().endswith(b"%%EOF")
+    assert b"/Type /Page" in data
+    assert data.count(b"/Type /Page ") >= 2 or b"/Count 2" in data or b"/Count 3" in data
+    assert b"Speaker A:" in data
+    assert rb"\(0.00s - 3.00s\)" in data  # parens are PDF-escaped
+    assert b"[call.wav] Transcript" in data
