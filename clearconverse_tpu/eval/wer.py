@@ -1,0 +1,53 @@
+"""Word error rate (jiwer-style, first-party — jiwer is not vendored).
+
+WER = (substitutions + deletions + insertions) / reference words, via
+Levenshtein alignment over normalized word sequences.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Sequence, Tuple
+
+
+def normalize_text(text: str) -> List[str]:
+    """Whisper-style light normalization: lowercase, strip punctuation
+    (keeping intra-word apostrophes), collapse whitespace."""
+    text = text.lower()
+    text = re.sub(r"[^\w\s']", " ", text)
+    text = re.sub(r"\s'+|'+\s", " ", text)
+    return text.split()
+
+
+def edit_ops(ref: Sequence[str], hyp: Sequence[str]) -> Dict[str, int]:
+    """Minimal-edit alignment counts between token sequences."""
+    n, m = len(ref), len(hyp)
+    # dp[i][j] = (cost, subs, dels, ins)
+    INF = 1 << 30
+    prev = [(j, 0, 0, j) for j in range(m + 1)]
+    for i in range(1, n + 1):
+        cur: List[Tuple[int, int, int, int]] = [(i, 0, i, 0)] + [(INF, 0, 0, 0)] * m
+        for j in range(1, m + 1):
+            if ref[i - 1] == hyp[j - 1]:
+                cand = [(prev[j - 1][0], *prev[j - 1][1:])]
+            else:
+                cand = [(prev[j - 1][0] + 1, prev[j - 1][1] + 1,
+                         prev[j - 1][2], prev[j - 1][3])]
+            cand.append((prev[j][0] + 1, prev[j][1], prev[j][2] + 1, prev[j][3]))
+            cand.append((cur[j - 1][0] + 1, cur[j - 1][1], cur[j - 1][2],
+                         cur[j - 1][3] + 1))
+            cur[j] = min(cand)
+        prev = cur
+    _, subs, dels, ins = prev[m]
+    return {"substitutions": subs, "deletions": dels, "insertions": ins,
+            "hits": n - subs - dels}
+
+
+def word_error_rate(reference: str, hypothesis: str,
+                    normalize: bool = True) -> float:
+    ref = normalize_text(reference) if normalize else reference.split()
+    hyp = normalize_text(hypothesis) if normalize else hypothesis.split()
+    if not ref:
+        return 0.0 if not hyp else float(len(hyp))
+    ops = edit_ops(ref, hyp)
+    return (ops["substitutions"] + ops["deletions"] + ops["insertions"]) / len(ref)

@@ -1,0 +1,130 @@
+"""Eval metric tests: WER against hand-computed cases, DER with known
+overlap geometry, harness artifacts on the fake backend."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from clearconverse_tpu.eval.wer import edit_ops, normalize_text, word_error_rate
+from clearconverse_tpu.eval.der import diarization_error_rate
+from clearconverse_tpu.eval.harness import build_sweep_grid, run_sweep
+
+from fakes import SR, FakeModels, synth_conversation
+
+
+# ------------------------------------------------------------------- WER
+
+def test_wer_identical():
+    assert word_error_rate("hello world", "hello world") == 0.0
+
+
+def test_wer_known_counts():
+    # ref: a b c d ; hyp: a x c  → 1 sub + 1 del = 2/4
+    assert word_error_rate("a b c d", "a x c") == pytest.approx(0.5)
+    ops = edit_ops(["a", "b", "c", "d"], ["a", "x", "c"])
+    assert ops == {"substitutions": 1, "deletions": 1, "insertions": 0,
+                   "hits": 2}
+
+
+def test_wer_insertion():
+    assert word_error_rate("a b", "a x b") == pytest.approx(0.5)
+
+
+def test_wer_normalization():
+    assert normalize_text("Hello, World! don't") == ["hello", "world", "don't"]
+    assert word_error_rate("Hello, world.", "hello world") == 0.0
+
+
+def test_wer_empty_reference():
+    assert word_error_rate("", "") == 0.0
+    assert word_error_rate("", "a b") == 2.0
+
+
+# ------------------------------------------------------------------- DER
+
+def test_der_perfect():
+    ref = [(0.0, 5.0, "A"), (5.0, 10.0, "B")]
+    out = diarization_error_rate(ref, ref, collar=0.0)
+    assert out["der"] == pytest.approx(0.0)
+    assert out["total"] == pytest.approx(10.0, abs=0.02)
+
+
+def test_der_label_permutation_is_free():
+    ref = [(0.0, 5.0, "A"), (5.0, 10.0, "B")]
+    hyp = [(0.0, 5.0, "spk2"), (5.0, 10.0, "spk1")]
+    assert diarization_error_rate(ref, hyp, collar=0.0)["der"] == pytest.approx(0.0)
+
+
+def test_der_missed_speech():
+    ref = [(0.0, 10.0, "A")]
+    hyp = [(0.0, 5.0, "A")]
+    out = diarization_error_rate(ref, hyp, collar=0.0)
+    assert out["missed"] == pytest.approx(5.0, abs=0.05)
+    assert out["der"] == pytest.approx(0.5, abs=0.01)
+
+
+def test_der_false_alarm():
+    ref = [(0.0, 5.0, "A")]
+    hyp = [(0.0, 10.0, "A")]
+    out = diarization_error_rate(ref, hyp, collar=0.0)
+    assert out["false_alarm"] == pytest.approx(5.0, abs=0.05)
+
+
+def test_der_confusion():
+    ref = [(0.0, 5.0, "A"), (5.0, 10.0, "B")]
+    hyp = [(0.0, 7.5, "X"), (7.5, 10.0, "Y")]
+    out = diarization_error_rate(ref, hyp, collar=0.0)
+    # X maps to A; 5.0-7.5 of B's speech is labeled X → confusion 2.5 s.
+    assert out["confusion"] == pytest.approx(2.5, abs=0.05)
+    assert out["der"] == pytest.approx(0.25, abs=0.01)
+
+
+def test_der_collar_forgives_boundaries():
+    ref = [(0.0, 5.0, "A")]
+    hyp = [(0.1, 5.1, "A")]
+    strict = diarization_error_rate(ref, hyp, collar=0.0)["der"]
+    with_collar = diarization_error_rate(ref, hyp, collar=0.25)["der"]
+    assert with_collar < strict
+
+
+# ----------------------------------------------------------------- harness
+
+def test_sweep_grid_structure():
+    grid = build_sweep_grid()
+    # base + 9 params × 2 variations + 3 presets = 22
+    assert len(grid) == 22
+    assert grid[0] == {"min_overlap_duration_for_separation": 0.60}
+    assert build_sweep_grid(limit=5) == grid[:5]
+
+
+def test_run_sweep_artifacts(tmp_path):
+    from clearconverse_tpu.audio.wav import write_wav
+    from clearconverse_tpu.config import Config, TPUConfig
+    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+
+    wav = tmp_path / "conv.wav"
+    write_wav(str(wav), synth_conversation(), SR)
+
+    def factory(cfg):
+        return TranscriptionEngine(cfg.replace(noise_reduction_amount=0.0),
+                                   TPUConfig(), models=FakeModels())
+
+    results = run_sweep([str(wav)], str(tmp_path / "sweep"),
+                        configs=[{}, {"merge_gap_threshold": 0.4}],
+                        engine_factory=factory,
+                        ground_truth_text={str(wav): "low speech 29 high speech"})
+    assert len(results) == 2
+    assert all(r.transcript for r in results)
+    assert all(r.rtfx > 0 for r in results)
+    assert results[0].wer is not None
+
+    sweep = tmp_path / "sweep"
+    assert (sweep / "evaluation.csv").exists()
+    assert (sweep / "transcript_comparison.html").exists()
+    summary = json.loads((sweep / "results_summary.json").read_text())
+    assert len(summary) == 2 and "rtfx" in summary[0]
+    csv_text = (sweep / "evaluation.csv").read_text()
+    assert "Speaker Attribution Score (1-5)" in csv_text  # manual cols kept
+    assert "WER" in csv_text
