@@ -1,0 +1,102 @@
+"""Native (C++) host-side audio codec, built lazily with g++ and loaded via
+ctypes (pybind11 is not vendored in this image). The pure-NumPy path in
+audio/wav.py is the always-available fallback; this accelerates PCM
+unpacking/interleaving for large uploads."""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = os.path.join(os.path.dirname(__file__), "wavcodec.cc")
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "libwavcodec.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", _LIB_PATH, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, OSError) as exc:
+        logger.warning("wavcodec build failed: %s", exc)
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the codec library; None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) or (
+                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as exc:
+            logger.warning("wavcodec load failed: %s", exc)
+            return None
+        u8 = ctypes.POINTER(ctypes.c_uint8)
+        f32 = ctypes.POINTER(ctypes.c_float)
+        for name in ("decode_s16", "decode_s24", "decode_s32", "decode_u8",
+                     "decode_f32", "decode_f64"):
+            fn = getattr(lib, name)
+            fn.argtypes = [u8, ctypes.c_int64, ctypes.c_int, f32, ctypes.c_int64]
+            fn.restype = ctypes.c_int
+        lib.encode_s16.argtypes = [f32, ctypes.c_int, ctypes.c_int64, u8]
+        lib.encode_s16.restype = ctypes.c_int
+        lib.mono_mix.argtypes = [f32, ctypes.c_int, ctypes.c_int64, f32]
+        lib.mono_mix.restype = ctypes.c_int
+        lib.peak_normalize.argtypes = [f32, ctypes.c_int64, ctypes.c_float]
+        lib.peak_normalize.restype = ctypes.c_float
+        _lib = lib
+        return _lib
+
+
+_DECODERS = {(1, 16): "decode_s16", (1, 24): "decode_s24", (1, 32): "decode_s32",
+             (1, 8): "decode_u8", (3, 32): "decode_f32", (3, 64): "decode_f64"}
+
+
+def decode_payload(payload: bytes, fmt_tag: int, bits: int,
+                   channels: int) -> Optional[np.ndarray]:
+    """Native PCM decode → planar float32 [channels, frames]; None if the
+    library or format is unavailable (callers fall back to NumPy)."""
+    lib = get_lib()
+    name = _DECODERS.get((fmt_tag, bits))
+    if lib is None or name is None:
+        return None
+    bytes_per = {8: 1, 16: 2, 24: 3, 32: 4, 64: 8}[bits]
+    frames = len(payload) // bytes_per // channels
+    out = np.empty((channels, frames), np.float32)
+    buf = np.frombuffer(payload, np.uint8)
+    rc = getattr(lib, name)(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(payload),
+        channels, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), frames)
+    return out if rc == 0 else None
+
+
+def encode_s16(planar: np.ndarray) -> Optional[bytes]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    planar = np.ascontiguousarray(planar, np.float32)
+    channels, frames = planar.shape
+    out = np.empty(channels * frames * 2, np.uint8)
+    rc = lib.encode_s16(planar.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                        channels, frames,
+                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out.tobytes() if rc == 0 else None

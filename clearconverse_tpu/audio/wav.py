@@ -47,6 +47,14 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
         raise ValueError(f"{path}: missing fmt/data chunk")
 
     tag, channels, rate, bits = fmt
+    # C++ fast path (audio/native): PCM unpack + de-interleave in one pass.
+    try:
+        from clearconverse_tpu.audio import native
+        planar = native.decode_payload(payload, tag, bits, channels)
+        if planar is not None:
+            return planar, rate
+    except Exception:  # noqa: BLE001 — NumPy path is always correct
+        pass
     samples = _decode_pcm(payload, tag, bits)
     if channels > 1:
         usable = (samples.shape[0] // channels) * channels
@@ -97,9 +105,16 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
     if samples.ndim == 1:
         samples = samples[None, :]
     channels, _ = samples.shape
-    interleaved = samples.T.reshape(-1)
-    pcm = np.clip(np.round(interleaved * 32767.0), -32768, 32767).astype("<i2")
-    body = pcm.tobytes()
+    body = None
+    try:
+        from clearconverse_tpu.audio import native
+        body = native.encode_s16(samples)
+    except Exception:  # noqa: BLE001
+        body = None
+    if body is None:
+        interleaved = samples.T.reshape(-1)
+        pcm = np.clip(np.round(interleaved * 32767.0), -32768, 32767).astype("<i2")
+        body = pcm.tobytes()
 
     hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
     hdr += b"fmt " + struct.pack(
