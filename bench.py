@@ -31,7 +31,7 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from clearconverse_tpu.audio.mel import log_mel_spectrogram
+    from clearconverse_tpu.audio.mel import log_mel_auto
     from clearconverse_tpu.models.decoding import (
         DecodeOptions, build_prompt_batch, greedy_decode)
     from clearconverse_tpu.models.whisper import init_whisper_params, model_dims
@@ -52,7 +52,7 @@ def main() -> None:
 
     @jax.jit
     def pipeline(params, audio):
-        mel = log_mel_spectrogram(audio)
+        mel = log_mel_auto(audio)
         return greedy_decode(params, mel, prompts, lens, dims, opts, 1)
 
     out = pipeline(params, audio)  # compile + warmup

@@ -133,14 +133,14 @@ class ModelBundle:
         self._ensure()
         import jax
         import jax.numpy as jnp
-        from clearconverse_tpu.audio.mel import log_mel_spectrogram, pad_or_trim
+        from clearconverse_tpu.audio.mel import log_mel_auto, pad_or_trim
         from clearconverse_tpu.models.decoding import (
             DecodeOptions, build_prompt_batch, greedy_decode)
 
         params, dims, tok = self._whisper
         sp = tok.specials
         audio = pad_or_trim(jnp.asarray(audio, jnp.float32), 30 * 16000)
-        mel = log_mel_spectrogram(audio)
+        mel = log_mel_auto(audio)
 
         prompt_lists = []
         for p in prompts:
