@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -29,6 +30,14 @@ def main() -> None:
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: first-ever compile of the small.en
+    # pipeline takes minutes over the device tunnel; subsequent runs hit
+    # the cache.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/cc_tpu_jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
     from clearconverse_tpu.audio.mel import log_mel_auto
@@ -55,13 +64,17 @@ def main() -> None:
         mel = log_mel_auto(audio)
         return greedy_decode(params, mel, prompts, lens, dims, opts, 1)
 
-    out = pipeline(params, audio)  # compile + warmup
-    jax.block_until_ready(out)
+    def sync(result):
+        # block_until_ready is a NO-OP on the axon tunnel platform (verified);
+        # a tiny host transfer is the only reliable execution barrier.
+        np.asarray(result["lengths"][:1])
+
+    sync(pipeline(params, audio))  # compile + warmup
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = pipeline(params, audio)
-    jax.block_until_ready(out)
+        sync(out)
     dt = time.perf_counter() - t0
 
     audio_seconds = B * seg_sec * args.iters
