@@ -167,18 +167,23 @@ class TranscriptionEngine:
     # ------------------------------------------------------------ main
     def process_file(self, file_path: str) -> Optional[Dict]:
         cfg = self.config
+        from clearconverse_tpu.utils.tracing import StageTimer
+        timer = StageTimer()
         try:
             from clearconverse_tpu.audio.decode import ensure_wav_format, load_audio
-            file_path = ensure_wav_format(file_path)
-            wave, sr = load_audio(file_path, cfg.target_sample_rate,
-                                  cfg.noise_reduction_amount)
-            audio = np.asarray(wave, np.float32)
+            with timer.stage("load_audio"):
+                file_path = ensure_wav_format(file_path)
+                wave, sr = load_audio(file_path, cfg.target_sample_rate,
+                                      cfg.noise_reduction_amount)
+                audio = np.asarray(wave, np.float32)
             duration = len(audio) / sr
             logger.info("Processing audio file: %.2f seconds", duration)
 
-            vad = vad_intervals(self.models, audio, sr)
-            raw_segments = diarize(self.models, audio, sr,
-                                   cfg.min_speakers, cfg.max_speakers)
+            with timer.stage("vad"):
+                vad = vad_intervals(self.models, audio, sr)
+            with timer.stage("diarization"):
+                raw_segments = diarize(self.models, audio, sr,
+                                       cfg.min_speakers, cfg.max_speakers)
             logger.info("Diarization found %d raw segments", len(raw_segments))
 
             merged = S.merge_segments(raw_segments, cfg.merge_gap_threshold)
@@ -191,7 +196,8 @@ class TranscriptionEngine:
             else:
                 refined = merged
 
-            profiles = self._build_profiles(audio, sr, raw_segments)
+            with timer.stage("profiles"):
+                profiles = self._build_profiles(audio, sr, raw_segments)
             mapping = S.map_speakers(refined)
             overlap_regions = S.detect_overlap_regions(raw_segments,
                                                        cfg.overlap_threshold)
@@ -209,7 +215,9 @@ class TranscriptionEngine:
 
             non_ov_idx = [i for i, ov in enumerate(is_overlap)
                           if not ov and (refined[i][1] - refined[i][0]) >= cfg.min_segment_duration]
-            embs = self._embed_many([seg_audio[i] for i in non_ov_idx], sr)
+            timer.spans.append(("classify", 0.0))
+            with timer.stage("segment_embeddings"):
+                embs = self._embed_many([seg_audio[i] for i in non_ov_idx], sr)
             needs_secondary: Dict[int, bool] = {}
             for i, emb in zip(non_ov_idx, embs):
                 prof = profiles.get(refined[i][2])
@@ -342,7 +350,8 @@ class TranscriptionEngine:
                     prev_end = seg_end
 
             # ---------- phase 3: wavefront batched transcription ----------
-            self._transcribe_wavefront(items, sr)
+            with timer.stage("transcription"):
+                self._transcribe_wavefront(items, sr)
 
             processed = [S.AudioSegment(
                 start=it["start"], end=it["end"], speaker_id=it["speaker"],
@@ -359,7 +368,9 @@ class TranscriptionEngine:
                 "speakers": list(mapping.values()),
                 "rapid_exchanges": sum(1 for s_ in processed
                                        if s_.metadata.get("rapid_exchange", False)),
+                "stage_times": timer.as_dict(),
             }
+            logger.info("pipeline stages: %s", timer.summary())
             return {"segments": processed, "metadata": metadata}
         except Exception as exc:  # noqa: BLE001 — reference returns None (api.py:1546)
             logger.error("Error in process_file: %s", exc, exc_info=True)

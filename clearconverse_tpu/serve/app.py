@@ -248,7 +248,13 @@ def create_app(output_dir: str = "processed_audio",
     @app.get("/model-loading-status")
     async def model_loading_status(req: Request):
         """Polled by the reference frontend but never implemented there
-        (front/src/App.tsx:94 — SURVEY.md §2.2)."""
+        (front/src/App.tsx:94 — SURVEY.md §2.2). Reports the shared
+        engine's real model state."""
+        engine = runner._engine
+        if engine is not None and engine.models_are_loaded():
+            return {"progress": 100, "message": "Models loaded"}
+        if runner.active_tasks:
+            return {"progress": 50, "message": "Models loading"}
         return model_loading
 
     # ------------------------------------------------------------ results

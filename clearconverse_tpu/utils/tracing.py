@@ -1,0 +1,76 @@
+"""Per-stage tracing + device profiling.
+
+The reference has no tracing at all (SURVEY.md §5.1 — only a wall-clock
+``elapsed_seconds``). This module provides:
+
+  * ``StageTimer`` — labeled wall-clock spans; the engine times every
+    pipeline stage and attaches the table to result metadata, and the
+    serve layer logs it per task,
+  * ``device_trace`` — context manager around ``jax.profiler`` traces
+    (TensorBoard format) for kernel-level inspection on TPU,
+  * sync helper that actually blocks on the axon tunnel platform (where
+    ``block_until_ready`` is a no-op — measured; see bench.py).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import time
+from typing import Dict, List, Optional, Tuple
+
+logger = logging.getLogger(__name__)
+
+
+def force_sync(x) -> None:
+    """Reliable execution barrier: tiny host transfer of the first leaf.
+    (On the axon tunnel platform block_until_ready returns immediately.)"""
+    import jax
+    import numpy as np
+
+    leaves = jax.tree.leaves(x)
+    if leaves:
+        np.asarray(jax.tree.leaves(x)[0]).reshape(-1)[:1]
+
+
+class StageTimer:
+    """Accumulates labeled spans; nested use via the context manager."""
+
+    def __init__(self):
+        self.spans: List[Tuple[str, float]] = []
+        self._open: Dict[str, float] = {}
+
+    @contextlib.contextmanager
+    def stage(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.spans.append((name, time.perf_counter() - t0))
+
+    def as_dict(self) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        for name, dt in self.spans:
+            out[name] = out.get(name, 0.0) + dt
+        return out
+
+    def summary(self) -> str:
+        total = sum(dt for _, dt in self.spans)
+        parts = [f"{name}={dt:.2f}s" for name, dt in self.spans]
+        return f"total={total:.2f}s " + " ".join(parts)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: Optional[str] = None):
+    """jax.profiler trace wrapper; no-op when log_dir is None."""
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        logger.info("device trace written to %s", log_dir)
