@@ -144,6 +144,9 @@ def layer_norm(x: jnp.ndarray, p: Dict[str, jnp.ndarray], eps: float = 1e-5) -> 
 
 
 def dense(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    if "wq" in p:  # int8 per-channel quantized leaf (ops/quantize.py)
+        from clearconverse_tpu.ops.quantize import dense_quantized
+        return dense_quantized(x, p)
     y = jnp.dot(x, p["w"].astype(x.dtype), preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]

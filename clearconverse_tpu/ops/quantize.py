@@ -1,0 +1,69 @@
+"""Int8 weight quantization for the HBM-bound decode path.
+
+Each greedy-decode step streams every decoder weight from HBM (~230 MB in
+bf16 for small.en); at batch sizes this pipeline runs, the MXU is idle
+waiting on that stream. Symmetric per-output-channel int8 quantization
+halves the traffic; dequantization happens on-chip (fused into the matmul by
+XLA, or explicitly in VMEM via the Pallas kernel in ops/pallas/qmm.py).
+
+Scope: decoder linear weights only. Embedding/logit tables, layernorms and
+the encoder stay full precision — the encoder is compute-bound and runs once
+per segment, and logits drive argmax directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[K, N] float → {"wq": int8 [K, N], "scale": f32 [N]} (symmetric,
+    per output channel)."""
+    w = jnp.asarray(w, jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    wq = jnp.clip(jnp.round(w / scale[None, :]), -127, 127).astype(jnp.int8)
+    return {"wq": wq, "scale": scale.astype(jnp.float32)}
+
+
+def dense_quantized(x: jnp.ndarray, p: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """Matmul against a quantized weight dict ({"wq","scale"[,"b"]})."""
+    y = jnp.dot(x, p["wq"].astype(x.dtype), preferred_element_type=jnp.float32)
+    y = y * p["scale"].astype(jnp.float32)[None, ...]
+    if "b" in p:
+        y = y + p["b"]
+    return y.astype(x.dtype)
+
+
+def _quantize_linear(p: Dict[str, Any]) -> Dict[str, Any]:
+    q = quantize_weight(p["w"])
+    if "b" in p:
+        q["b"] = p["b"]
+    return q
+
+
+def quantize_whisper_decoder(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Return params with every decoder block linear int8-quantized. The
+    pytree keeps its structure; quantized leaves are {"wq","scale"[,"b"]}
+    dicts which models/whisper.dense dispatches on."""
+    out = dict(params)
+    dec = dict(params["decoder"])
+    blocks = []
+    for blk in dec["blocks"]:
+        nb = dict(blk)
+        for attn_key in ("attn", "cross"):
+            group = dict(blk[attn_key])
+            for name in ("q", "k", "v", "out"):
+                group[name] = _quantize_linear(group[name])
+            nb[attn_key] = group
+        mlp = dict(blk["mlp"])
+        mlp["fc1"] = _quantize_linear(mlp["fc1"])
+        mlp["fc2"] = _quantize_linear(mlp["fc2"])
+        nb["mlp"] = mlp
+        blocks.append(nb)
+    dec["blocks"] = blocks
+    out["decoder"] = dec
+    return out
