@@ -378,23 +378,58 @@ class TranscriptionEngine:
 
     def _transcribe_wavefront(self, items: List[Dict], sr: int) -> None:
         """Resolve context-chained prompts in generations; each generation is
-        one set of bucket-batched decode calls."""
-        remaining = set(range(len(items)))
+        one set of bucket-batched decode calls.
+
+        Segments longer than whisper's 30 s window split into chunk units
+        chained on each other's transcript (the same context rule whisper's
+        own ``condition_on_previous_text`` applies across internal windows);
+        chunk texts re-join into the item's single transcript block."""
+        from clearconverse_tpu.pipeline.batching import split_long
+
+        # Expand items into (item, chunk) units with intra-item chaining.
+        units: List[Dict] = []
+        item_units: List[List[int]] = []
+        for i, it in enumerate(items):
+            chunks = split_long(np.asarray(it["audio"], np.float32), sr, 30.0)
+            unit_ids = []
+            for k, chunk in enumerate(chunks):
+                units.append(dict(item=i, chunk=k, audio=chunk, text=None,
+                                  prev_unit=unit_ids[-1] if k else None))
+                unit_ids.append(len(units) - 1)
+            item_units.append(unit_ids)
+
+        def item_text(i: int) -> str:
+            return " ".join((units[u]["text"] or "").strip()
+                            for u in item_units[i]).strip()
+
+        remaining = set(range(len(units)))
         while remaining:
-            ready = [i for i in remaining
-                     if items[i]["depends_on"] is None
-                     or items[i]["depends_on"] not in remaining]
-            if not ready:  # cycle cannot happen (deps point backwards)
+            ready = []
+            for u in remaining:
+                unit = units[u]
+                if unit["prev_unit"] is not None:
+                    if unit["prev_unit"] in remaining:
+                        continue
+                else:
+                    dep = items[unit["item"]]["depends_on"]
+                    if dep is not None and any(v in remaining
+                                               for v in item_units[dep]):
+                        continue
+                ready.append(u)
+            if not ready:  # deps point backwards; cannot happen
                 ready = list(remaining)
+
             clips, prompts = [], []
-            for i in ready:
-                it = items[i]
-                if it["prompt"] is not None:
+            for u in ready:
+                unit = units[u]
+                it = items[unit["item"]]
+                if unit["prev_unit"] is not None:
+                    prompts.append(f"{(units[unit['prev_unit']]['text'] or '').strip()} ")
+                elif it["prompt"] is not None:
                     prompts.append(it["prompt"])
                 else:
-                    prev_text = items[it["depends_on"]].get("text", "")
-                    prompts.append(f"{prev_text.strip()} ")
-                clips.append(np.asarray(it["audio"], np.float32))
+                    prompts.append(f"{item_text(it['depends_on'])} ")
+                clips.append(unit["audio"])
             for idx, padded, lens in batch_audio(
                     clips, sr, self.tpu.duration_buckets,
                     self.config.transcription_batch_size):
@@ -402,8 +437,11 @@ class TranscriptionEngine:
                     padded, [prompts[j] for j in idx],
                     temperature=self.config.temperature)
                 for row, j in enumerate(idx):
-                    items[ready[j]]["text"] = texts[row]
+                    units[ready[j]]["text"] = texts[row]
             remaining -= set(ready)
+
+        for i in range(len(items)):
+            items[i]["text"] = item_text(i)
 
     # ------------------------------------------------------------ outputs
     def save_segments(self, segs: List[S.AudioSegment], output_dir: str) -> None:

@@ -169,3 +169,54 @@ def test_load_models_progress_parity(engine):
     ok = engine.load_models_with_progress(lambda p, m: stages.append(p))
     assert ok and engine.models_are_loaded()
     assert stages[-1] == 100
+
+
+def test_wavefront_splits_long_segments(engine):
+    """>30 s clips chunk into 30 s units chained on each other's text."""
+    fake = engine.models
+    fake.echo_prompt = True
+    fake.transcribe_calls.clear()
+    sr = SR
+    tone = (0.4 * np.sin(2 * np.pi * 300 * np.arange(70 * sr) / sr)).astype(np.float32)
+    items = [dict(audio=tone, prompt="P0", depends_on=None)]
+    engine._transcribe_wavefront(items, sr)
+    # Three chunks (30+30+10): the echo fake nests each chunk's prompt in
+    # brackets, so chaining is visible in the joined text.
+    text = items[0]["text"]
+    assert text.startswith("[P0]low296")     # chunk 1: static prompt
+    assert text.endswith("low98")            # chunk 3: final 10 s
+    # Three generations, one chunk each; each later chunk's prompt is the
+    # previous chunk's full transcript.
+    assert len(fake.transcribe_calls) == 3
+    chunk1_text = "[P0]low296"
+    assert fake.transcribe_calls[1][0].strip() == chunk1_text
+    assert fake.transcribe_calls[2][0].strip().startswith("[" + chunk1_text)
+
+
+def test_rapid_exchange_and_secondary_paths(tmp_path):
+    """Rapid exchange flag set on a <0.5 s turnaround; secondary diarization
+    triggers when a segment's embedding mismatches its profile."""
+    from clearconverse_tpu.audio.wav import write_wav
+    from clearconverse_tpu.config import Config, TPUConfig
+    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+
+    sr = SR
+    t = np.arange(10 * sr) / sr
+    low = 0.5 * np.sin(2 * np.pi * 300 * t)
+    high = 0.5 * np.sin(2 * np.pi * 2000 * t)
+
+    def g(a, b):
+        return ((t >= a) & (t < b)).astype(np.float32)
+
+    # L(0-3), H starts 0.3 s after L ends → rapid exchange.
+    x = (low * g(0, 3) + high * g(3.3, 6)).astype(np.float32)
+    wav = tmp_path / "rapid.wav"
+    write_wav(str(wav), x, sr)
+
+    eng = TranscriptionEngine(Config(noise_reduction_amount=0.0),
+                              TPUConfig(), models=FakeModels())
+    res = eng.process_file(str(wav))
+    assert res is not None
+    assert res["metadata"]["rapid_exchanges"] >= 1
+    assert "stage_times" in res["metadata"]
+    assert res["metadata"]["stage_times"].get("transcription", 0) >= 0
