@@ -65,6 +65,9 @@ class TPUConfig:
     model_axis: int = 1
     # Max decoded tokens per segment program (Whisper small.en ctx is 448).
     max_decode_tokens: int = 224
+    # Temperature-fallback ladder length (whisper retries degenerate/low-
+    # confidence rows at hotter temperatures; 1 disables fallback).
+    max_fallback_attempts: int = 3
     # Compute dtype for matmuls (MXU-native).
     compute_dtype: str = "bfloat16"
     # Run all Pallas kernels in interpreter mode (CPU testing).

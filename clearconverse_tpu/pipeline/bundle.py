@@ -33,6 +33,11 @@ class ModelBundle:
         self._ecapa = None         # params
         self._pyannet = None       # params
         self._sepformer = None     # params
+        # Dims default to the production configurations; tests inject
+        # smaller ones alongside hand-built params.
+        self._ecapa_dims = None
+        self._pyannet_dims = None
+        self._sepformer_dims = None
 
     # ---------------------------------------------------------------- load
     def models_are_loaded(self) -> bool:
@@ -149,19 +154,51 @@ class ModelBundle:
         max_p = max(len(p) for p in prompt_lists)
         toks, lens = build_prompt_batch(prompt_lists, max_p, pad_id=sp.eot)
 
-        opts = DecodeOptions(
-            max_tokens=self.tpu.max_decode_tokens,
-            temperature=temperature, eot=sp.eot,
-            suppress_blank=True, blank_token=220,
-            suppress_tokens=tuple(range(sp.timestamp_begin, sp.n_vocab)),
-            compute_dtype=jnp.bfloat16 if self.tpu.compute_dtype == "bfloat16"
-            else jnp.float32)
-        rng = jax.random.PRNGKey(0) if temperature > 0 else None
-        out = greedy_decode(params, mel, jnp.asarray(toks), jnp.asarray(lens),
-                            dims, opts, max_p, rng)
-        tokens = np.asarray(out["tokens"])
-        lengths = np.asarray(out["lengths"])
-        return [tok.decode(tokens[i, :lengths[i]]) for i in range(len(prompts))]
+        cdt = (jnp.bfloat16 if self.tpu.compute_dtype == "bfloat16"
+               else jnp.float32)
+
+        def decode_at(temp: float):
+            opts = DecodeOptions(
+                max_tokens=self.tpu.max_decode_tokens,
+                temperature=temp, eot=sp.eot,
+                suppress_blank=True, blank_token=220,
+                suppress_tokens=tuple(range(sp.timestamp_begin, sp.n_vocab)),
+                compute_dtype=cdt)
+            rng = jax.random.PRNGKey(0) if temp > 0 else None
+            out = greedy_decode(params, mel, jnp.asarray(toks),
+                                jnp.asarray(lens), dims, opts, max_p, rng)
+            return (np.asarray(out["tokens"]), np.asarray(out["lengths"]),
+                    np.asarray(out["sum_logprob"]))
+
+        # Whisper's quality-gated temperature fallback (DecodingTask
+        # semantics): retry rows whose text is degenerate (compression ratio
+        # > 2.4) or low-confidence (avg logprob < -1.0) at hotter
+        # temperatures. The full batch re-decodes each round so program
+        # shapes stay static; accepted rows just keep their earlier text.
+        import zlib
+
+        def quality_ok(text: str, sum_lp: float, n_tok: int) -> bool:
+            data = text.encode("utf-8")
+            ratio = (len(data) / len(zlib.compress(data))) if data else 0.0
+            avg_lp = sum_lp / max(n_tok + 1, 1)
+            return ratio <= 2.4 and avg_lp >= -1.0
+
+        ladder = [temperature] + [t for t in (0.2, 0.4, 0.6, 0.8, 1.0)
+                                  if t > temperature]
+        ladder = ladder[: max(1, self.tpu.max_fallback_attempts)]
+        texts: List[Optional[str]] = [None] * len(prompts)
+        for attempt, temp in enumerate(ladder):
+            tokens, lengths, sum_lp = decode_at(temp)
+            last = attempt == len(ladder) - 1
+            for i in range(len(prompts)):
+                if texts[i] is not None:
+                    continue
+                text = tok.decode(tokens[i, : lengths[i]])
+                if last or quality_ok(text, float(sum_lp[i]), int(lengths[i])):
+                    texts[i] = text
+            if all(t is not None for t in texts):
+                break
+        return [t or "" for t in texts]
 
     def embed_batch(self, audio: np.ndarray,
                     lengths: Optional[np.ndarray] = None) -> np.ndarray:
@@ -170,27 +207,34 @@ class ModelBundle:
         import jax.numpy as jnp
         from clearconverse_tpu.models.ecapa import ecapa_embed
         lens = jnp.asarray(lengths) if lengths is not None else None
+        from clearconverse_tpu.models.ecapa import EcapaDims
+        dims = self._ecapa_dims or EcapaDims()
         return np.asarray(ecapa_embed(self._ecapa, jnp.asarray(audio, jnp.float32),
-                                      lens))
+                                      lens, dims))
 
     def segment_frames(self, audio: np.ndarray) -> np.ndarray:
         """[B, T] window chunks → [B, F, 3] per-frame speaker activities."""
         self._ensure()
         import jax.numpy as jnp
         from clearconverse_tpu.models.pyannet import (
-            powerset_to_multilabel, pyannet_forward)
-        logp = pyannet_forward(self._pyannet, jnp.asarray(audio, jnp.float32))
+            PyannetDims, powerset_to_multilabel, pyannet_forward)
+        dims = self._pyannet_dims or PyannetDims()
+        logp = pyannet_forward(self._pyannet, jnp.asarray(audio, jnp.float32),
+                               dims)
         return np.asarray(powerset_to_multilabel(logp))
 
     @property
     def frame_hop_seconds(self) -> float:
         from clearconverse_tpu.models.pyannet import PyannetDims
-        return PyannetDims().frame_hop_seconds
+        return (self._pyannet_dims or PyannetDims()).frame_hop_seconds
 
     def separate_batch(self, audio: np.ndarray) -> np.ndarray:
         """[B, T] mixtures → [B, T, 2] separated sources."""
         self._ensure()
         import jax.numpy as jnp
-        from clearconverse_tpu.models.resepformer import sepformer_separate
+        from clearconverse_tpu.models.resepformer import (
+            SepformerDims, sepformer_separate)
+        dims = self._sepformer_dims or SepformerDims()
         return np.asarray(sepformer_separate(self._sepformer,
-                                             jnp.asarray(audio, jnp.float32)))
+                                             jnp.asarray(audio, jnp.float32),
+                                             dims))

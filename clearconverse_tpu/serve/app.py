@@ -507,6 +507,10 @@ def main():
         logger.info("JAX devices: %s", jax.devices())
     except Exception as exc:  # noqa: BLE001 — serve even without a device
         logger.warning("JAX backend init failed: %s", exc)
+    # Model directory scaffold (reference setup_model_directories,
+    # back/api.py:2791-2807): where checkpoints/ft overlays are looked up.
+    for sub in ("", "whisper-ft", "resepformer-ft", "embedding", "segmentation"):
+        os.makedirs(os.path.join(env["model_cache_dir"], sub), exist_ok=True)
     app = create_app()
     app.cors_origins = env["cors_origins"]
     app.run(env["api_host"], env["api_port"])

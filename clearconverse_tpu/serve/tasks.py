@@ -105,6 +105,13 @@ class TaskRunner:
             progress_callback(100, "Transcription complete")
             with open(completed_marker, "w") as fh:
                 fh.write(f"Transcription completed at {datetime.now().isoformat()}")
+            # The reference's forked worker could never write result_store
+            # (separate address space — SURVEY.md §2.2 quirk); in-process we
+            # can make /task/{id}/result real.
+            self.result_store[task_id] = {
+                "status": "completed",
+                "download_url": f"/download/{task_id}/transcript.txt",
+            }
         except TaskCancelled:
             logger.info("Task %s cancelled", task_id)
         except Exception as exc:  # noqa: BLE001 — parity: error marker

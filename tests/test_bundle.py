@@ -1,0 +1,73 @@
+"""ModelBundle tests with an injected tiny whisper: the real transcribe
+path (mel → batched decode → tokenizer → temperature fallback) on CPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clearconverse_tpu.config import Config, TPUConfig
+from clearconverse_tpu.models.tokenizer import ByteFallbackTokenizer
+from clearconverse_tpu.models.whisper import WhisperDims, init_whisper_params
+from clearconverse_tpu.pipeline.bundle import ModelBundle
+
+
+@pytest.fixture(scope="module")
+def bundle():
+    # A real bundle with a hand-injected tiny whisper (loading small.en on
+    # CPU would dominate the suite runtime). Mels stay 80 so the standard
+    # frontend applies; the tokenizer's byte fallback keeps specials valid.
+    dims = WhisperDims(n_mels=80, n_vocab=51864, n_audio_ctx=1500,
+                       n_audio_state=64, n_audio_head=2, n_audio_layer=1,
+                       n_text_ctx=448, n_text_state=64, n_text_head=2,
+                       n_text_layer=1)
+    tpu = TPUConfig(max_decode_tokens=8, max_fallback_attempts=2,
+                    compute_dtype="float32")
+    b = ModelBundle(Config(), tpu)
+    b._whisper = (init_whisper_params(jax.random.PRNGKey(0), dims), dims,
+                  ByteFallbackTokenizer(english=True))
+    from clearconverse_tpu.models.ecapa import EcapaDims, init_ecapa_params
+    from clearconverse_tpu.models.pyannet import PyannetDims, init_pyannet_params
+    from clearconverse_tpu.models.resepformer import SepformerDims, init_sepformer_params
+    ecapa_dims = EcapaDims(
+        n_mels=24, channels=32, mfa_channels=48, attention_channels=16,
+        embedding_dim=16, res2net_scale=4)
+    b._ecapa = init_ecapa_params(jax.random.PRNGKey(1), ecapa_dims)
+    b._ecapa_dims = ecapa_dims
+    sep_dims = SepformerDims(
+        enc_channels=16, d_model=16, n_heads=2, chunk_size=20, n_repeats=1,
+        n_intra_layers=1, n_inter_layers=1)
+    b._sepformer = init_sepformer_params(jax.random.PRNGKey(2), sep_dims)
+    b._sepformer_dims = sep_dims
+    pn_dims = PyannetDims(
+        sinc_filters=8, conv_channels=8, lstm_hidden=8, lstm_layers=1,
+        linear_dims=(8,))
+    b._pyannet = init_pyannet_params(jax.random.PRNGKey(3), pn_dims)
+    b._pyannet_dims = pn_dims
+    b._loaded = True
+    return b
+
+
+def test_transcribe_batch_runs_with_fallback(bundle, rng):
+    audio = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+    texts = bundle.transcribe_batch(audio, ["", "context prompt"],
+                                    temperature=0.0)
+    assert len(texts) == 2
+    assert all(isinstance(t, str) for t in texts)
+
+
+def test_transcribe_batch_temperature_path(bundle, rng):
+    audio = rng.standard_normal((1, 8000)).astype(np.float32) * 0.1
+    texts = bundle.transcribe_batch(audio, ["x"], temperature=0.1)
+    assert len(texts) == 1
+
+
+def test_embed_and_separate_paths(bundle, rng):
+    audio = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+    embs = bundle.embed_batch(audio, np.asarray([8000, 4000]))
+    assert embs.shape == (2, 16)
+    sep = bundle.separate_batch(audio)
+    assert sep.shape == (2, 8000, 2)
+    frames = bundle.segment_frames(audio)
+    assert frames.shape[0] == 2 and frames.shape[2] == 3
