@@ -1,0 +1,4 @@
+from clearconverse_tpu.serve.app import main
+
+if __name__ == "__main__":
+    main()

@@ -249,3 +249,61 @@ def test_pdf_generator_structure(tmp_path):
     assert b"Speaker A:" in data
     assert rb"\(0.00s - 3.00s\)" in data  # parens are PDF-escaped
     assert b"[call.wav] Transcript" in data
+
+
+def test_task_runner_error_marker(tmp_path):
+    """Failure detection parity (back/api.py:1742-1754): a crashing engine
+    produces error.txt + a final 100% error progress, and clears
+    in_progress.txt."""
+    import threading
+    from clearconverse_tpu.serve.tasks import TaskRunner
+
+    class Boom:
+        def run(self, *a, **k):
+            raise RuntimeError("synthetic failure")
+
+    runner = TaskRunner(str(tmp_path), lambda: Boom())
+    task_dir = tmp_path / "t1"
+    task_dir.mkdir()
+    (task_dir / "in_progress.txt").write_text("x")
+    runner._run_task("t1", "whatever.wav", threading.Event())
+
+    assert (task_dir / "error.txt").exists()
+    assert "synthetic failure" in (task_dir / "error.txt").read_text()
+    assert not (task_dir / "in_progress.txt").exists()
+    import json as _json
+    prog = _json.loads((task_dir / "progress.json").read_text())
+    assert prog["progress"] == 100 and "Error" in prog["message"]
+
+
+def test_task_runner_cancel_cooperative(tmp_path):
+    """Cancellation: the cancel event aborts at the next progress callback;
+    no completed/error markers are written after cancel."""
+    import threading, time as _time
+    from clearconverse_tpu.serve.tasks import TaskRunner
+
+    started = threading.Event()
+
+    class Slow:
+        def run(self, f, output_dir, debug_mode, progress_callback):
+            progress_callback(30, "working")
+            started.set()
+            for _ in range(100):
+                _time.sleep(0.05)
+                progress_callback(31, "still working")  # raises on cancel
+            return f, "text", "p"
+
+    runner = TaskRunner(str(tmp_path), lambda: Slow())
+    runner.start("t2", "x.wav")
+    assert started.wait(5)
+    runner.cancel("t2")
+    runner_thread_done = False
+    for _ in range(100):
+        if not any(t["thread"].is_alive() for t in runner.active_tasks.values()):
+            runner_thread_done = True
+            break
+        _time.sleep(0.05)
+    task_dir = tmp_path / "t2"
+    assert (task_dir / "cancelled.txt").exists()
+    assert not (task_dir / "completed.txt").exists()
+    assert not (task_dir / "error.txt").exists()
