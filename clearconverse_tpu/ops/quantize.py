@@ -3,8 +3,10 @@
 Each greedy-decode step streams every decoder weight from HBM (~230 MB in
 bf16 for small.en); at batch sizes this pipeline runs, the MXU is idle
 waiting on that stream. Symmetric per-output-channel int8 quantization
-halves the traffic; dequantization happens on-chip (fused into the matmul by
-XLA, or explicitly in VMEM via the Pallas kernel in ops/pallas/qmm.py).
+halves the traffic; dequantization happens on-chip, fused
+into the matmul by XLA. (Measured on v5e: neutral at batch <= 32, where the
+decode loop is cross-attention-KV-streaming-bound, not weight-bound; kept
+as an option for larger batches / bigger decoders.)
 
 Scope: decoder linear weights only. Embedding/logit tables, layernorms and
 the encoder stay full precision — the encoder is compute-bound and runs once
