@@ -41,6 +41,9 @@ class DecodeOptions:
     # + special tokens + timestamp range for notimestamps decoding).
     suppress_tokens: Tuple[int, ...] = ()
     compute_dtype: Any = jnp.float32
+    # Store cross-attention K/V int8 (halves the decode loop's dominant
+    # HBM stream; see models/whisper.precompute_cross_kv).
+    int8_cross_kv: bool = False
 
 
 def build_prompt_batch(prompt_lists, max_prompt_len: int, pad_id: int):
@@ -95,7 +98,7 @@ def greedy_decode(
     cdt = opts.compute_dtype
 
     audio = whisper_encode(params, mel, dims, cdt)
-    cross_kv = precompute_cross_kv(params, audio)
+    cross_kv = precompute_cross_kv(params, audio, int8=opts.int8_cross_kv)
     self_kv = init_kv_cache(dims, B, max_len, cdt)
 
     pad = (P - prompt_lens)[:, None]                      # [B,1]

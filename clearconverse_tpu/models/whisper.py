@@ -214,14 +214,34 @@ def _conv1d(x: jnp.ndarray, p: Dict[str, jnp.ndarray], stride: int) -> jnp.ndarr
 
 # ------------------------------------------------------------------ decoder
 
-def precompute_cross_kv(params: Dict[str, Any], audio: jnp.ndarray) -> List[Dict[str, jnp.ndarray]]:
+def precompute_cross_kv(params: Dict[str, Any], audio: jnp.ndarray,
+                        int8: bool = False) -> List[Dict[str, jnp.ndarray]]:
     """Per-layer cross-attention K/V from encoder output (computed once per
-    segment, reused every decode step)."""
+    segment, re-read EVERY decode step — measured as the decode loop's HBM
+    bottleneck on v5e). ``int8=True`` stores K/V quantized per channel,
+    halving the per-step stream; dequantization fuses into the attention
+    einsums."""
     out = []
     for blk in params["decoder"]["blocks"]:
-        out.append({"k": dense(audio, blk["cross"]["k"]),
-                    "v": dense(audio, blk["cross"]["v"])})
+        k = dense(audio, blk["cross"]["k"])
+        v = dense(audio, blk["cross"]["v"])
+        if int8:
+            out.append({"k8": _quant_kv(k), "v8": _quant_kv(v)})
+        else:
+            out.append({"k": k, "v": v})
     return out
+
+
+def _quant_kv(x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """[B, T, D] → int8 values + per-(B, D) scales (amax over time)."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return {"q": q.astype(jnp.int8), "scale": scale.astype(jnp.float32)}
+
+
+def _dequant_kv(p: Dict[str, jnp.ndarray], dtype) -> jnp.ndarray:
+    return (p["q"].astype(dtype) * p["scale"].astype(dtype))
 
 
 def init_kv_cache(dims: WhisperDims, batch: int, max_len: int,
@@ -264,8 +284,13 @@ def decoder_forward(
         x = x + dense(h, blk["attn"]["out"])
 
         h = layer_norm(x, blk["cross_ln"])
-        h = attention(dense(h, blk["cross"]["q"]),
-                      ckv["k"].astype(compute_dtype), ckv["v"].astype(compute_dtype),
+        if "k8" in ckv:
+            ck = _dequant_kv(ckv["k8"], compute_dtype)
+            cv = _dequant_kv(ckv["v8"], compute_dtype)
+        else:
+            ck = ckv["k"].astype(compute_dtype)
+            cv = ckv["v"].astype(compute_dtype)
+        h = attention(dense(h, blk["cross"]["q"]), ck, cv,
                       cross_mask, dims.n_text_head)
         x = x + dense(h, blk["cross"]["out"])
         x = x + _mlp(layer_norm(x, blk["mlp_ln"]), blk["mlp"])

@@ -68,3 +68,21 @@ def test_greedy_decode_with_quantized_decoder(rng):
     # Random tiny models have near-uniform logits, so token agreement isn't
     # guaranteed — but the program must run and produce valid ids.
     assert ((t_quant >= 0) & (t_quant < 64)).all()
+
+
+def test_int8_cross_kv_decode_close(rng):
+    """int8 cross-KV decode stays close to the full-precision path."""
+    params = init_whisper_params(jax.random.PRNGKey(0), TINY)
+    mel = jnp.asarray(rng.standard_normal((2, 16, 50)).astype(np.float32) * 0.3)
+    toks, lens = build_prompt_batch([[1], [1]], 1, pad_id=0)
+    full = greedy_decode(params, mel, jnp.asarray(toks), jnp.asarray(lens),
+                         TINY, DecodeOptions(max_tokens=8, eot=63,
+                                             suppress_blank=False), 1)
+    q = greedy_decode(params, mel, jnp.asarray(toks), jnp.asarray(lens),
+                      TINY, DecodeOptions(max_tokens=8, eot=63,
+                                          suppress_blank=False,
+                                          int8_cross_kv=True), 1)
+    # Logprob sums should be close (random logits are near-uniform so token
+    # agreement isn't guaranteed at tiny scale).
+    np.testing.assert_allclose(np.asarray(full["sum_logprob"]),
+                               np.asarray(q["sum_logprob"]), atol=0.5)
