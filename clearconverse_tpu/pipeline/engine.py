@@ -166,6 +166,47 @@ class TranscriptionEngine:
 
     # ------------------------------------------------------------ main
     def process_file(self, file_path: str) -> Optional[Dict]:
+        prep = self._prepare_file(file_path)
+        if prep is None:
+            return None
+        with prep["timer"].stage("transcription"):
+            self._transcribe_wavefront(prep["items"], prep["sr"])
+        return self._finalize(prep)
+
+    def process_files(self, file_paths: List[str]) -> List[Optional[Dict]]:
+        """Batched multi-file processing: per-file analysis phases run
+        normally, then ALL files' transcription items merge into one
+        wavefront so segments from different requests share device batches
+        (driver config 5; impossible in the reference's one-process-per-task
+        design, SURVEY.md §2.5)."""
+        preps = [self._prepare_file(p) for p in file_paths]
+        merged: List[Dict] = []
+        offsets: List[int] = []
+        for prep in preps:
+            offsets.append(len(merged))
+            if prep is None:
+                continue
+            off = len(merged)
+            for it in prep["items"]:
+                it = dict(it)
+                if it["depends_on"] is not None:
+                    it["depends_on"] += off
+                merged.append(it)
+        if merged:
+            sr = next(p["sr"] for p in preps if p is not None)
+            self._transcribe_wavefront(merged, sr)
+        results: List[Optional[Dict]] = []
+        for prep, off in zip(preps, offsets):
+            if prep is None:
+                results.append(None)
+                continue
+            n = len(prep["items"])
+            for local, it in zip(prep["items"], merged[off : off + n]):
+                local["text"] = it.get("text", "")
+            results.append(self._finalize(prep))
+        return results
+
+    def _prepare_file(self, file_path: str) -> Optional[Dict]:
         cfg = self.config
         from clearconverse_tpu.utils.tracing import StageTimer
         timer = StageTimer()
@@ -349,32 +390,34 @@ class TranscriptionEngine:
                                       [mapping.get(s_, s_) for s_ in involved[i]]}))
                     prev_end = seg_end
 
-            # ---------- phase 3: wavefront batched transcription ----------
-            with timer.stage("transcription"):
-                self._transcribe_wavefront(items, sr)
-
-            processed = [S.AudioSegment(
-                start=it["start"], end=it["end"], speaker_id=it["speaker"],
-                audio=it["audio"], is_overlap=it["is_overlap"],
-                transcription=it.get("text", ""), confidence=it["confidence"],
-                metadata=it["metadata"]) for it in items]
-            processed.sort(key=lambda x: x.start)
-
-            metadata = {
-                "duration": duration,
-                "speaker_a_segments": meta_counts.get("SPEAKER_A", 0),
-                "speaker_b_segments": meta_counts.get("SPEAKER_B", 0),
-                "total_segments": len(processed),
-                "speakers": list(mapping.values()),
-                "rapid_exchanges": sum(1 for s_ in processed
-                                       if s_.metadata.get("rapid_exchange", False)),
-                "stage_times": timer.as_dict(),
-            }
-            logger.info("pipeline stages: %s", timer.summary())
-            return {"segments": processed, "metadata": metadata}
+            return {"items": items, "sr": sr, "duration": duration,
+                    "mapping": mapping, "meta_counts": meta_counts,
+                    "timer": timer}
         except Exception as exc:  # noqa: BLE001 — reference returns None (api.py:1546)
             logger.error("Error in process_file: %s", exc, exc_info=True)
             return None
+
+    def _finalize(self, prep: Dict) -> Dict:
+        items, timer = prep["items"], prep["timer"]
+        processed = [S.AudioSegment(
+            start=it["start"], end=it["end"], speaker_id=it["speaker"],
+            audio=it["audio"], is_overlap=it["is_overlap"],
+            transcription=it.get("text", ""), confidence=it["confidence"],
+            metadata=it["metadata"]) for it in items]
+        processed.sort(key=lambda x: x.start)
+
+        metadata = {
+            "duration": prep["duration"],
+            "speaker_a_segments": prep["meta_counts"].get("SPEAKER_A", 0),
+            "speaker_b_segments": prep["meta_counts"].get("SPEAKER_B", 0),
+            "total_segments": len(processed),
+            "speakers": list(prep["mapping"].values()),
+            "rapid_exchanges": sum(1 for s_ in processed
+                                   if s_.metadata.get("rapid_exchange", False)),
+            "stage_times": timer.as_dict(),
+        }
+        logger.info("pipeline stages: %s", timer.summary())
+        return {"segments": processed, "metadata": metadata}
 
     def _transcribe_wavefront(self, items: List[Dict], sr: int) -> None:
         """Resolve context-chained prompts in generations; each generation is

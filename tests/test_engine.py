@@ -220,3 +220,37 @@ def test_rapid_exchange_and_secondary_paths(tmp_path):
     assert res["metadata"]["rapid_exchanges"] >= 1
     assert "stage_times" in res["metadata"]
     assert res["metadata"]["stage_times"].get("transcription", 0) >= 0
+
+
+def test_process_files_merges_transcription_batches(tmp_path):
+    """Multi-file requests share transcription device batches: transcribe
+    calls shrink vs. sequential per-file processing, results match."""
+    from clearconverse_tpu.audio.wav import write_wav
+    from clearconverse_tpu.config import Config, TPUConfig
+    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+    audio = synth_conversation()
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"conv{i}.wav"
+        write_wav(str(p), audio, SR)
+        paths.append(str(p))
+
+    # Wide batches so sharing is visible in call counts.
+    wide = TranscriptionEngine(Config(noise_reduction_amount=0.0,
+                                      transcription_batch_size=32),
+                               TPUConfig(), models=FakeModels())
+    fake = wide.models
+    results = wide.process_files(paths)
+    merged_calls = len(fake.transcribe_calls)
+    assert all(r is not None for r in results)
+    texts = [[s.transcription for s in r["segments"]] for r in results]
+    assert texts[0] == texts[1]  # identical files → identical transcripts
+    # Both files' generation-0 items decoded in ONE shared batch call.
+    assert merged_calls == 1
+    assert len(fake.transcribe_calls[0]) == 2 * len(texts[0])
+
+    fake.transcribe_calls.clear()
+    seq = [wide.process_file(p) for p in paths]
+    seq_calls = len(fake.transcribe_calls)
+    assert merged_calls < seq_calls  # shared batches
+    assert [[s.transcription for s in r["segments"]] for r in seq] == texts
