@@ -150,6 +150,35 @@ class ByteFallbackTokenizer:
         return bytes(keep).decode("utf-8", errors="replace")
 
 
+_NON_SPEECH_SYMBOLS = (
+    list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
+    + ["<<", ">>", "<<<", ">>>", "--", "---", "-(", "-[", "('", '("', "((",
+       "))", "(((", ")))", "[[", "]]", "{{", "}}", "♪♪", "♪♪♪", "♩", "♪",
+       "♫", "♬", "♭", "♮", "♯"])
+
+
+def non_speech_tokens(tokenizer) -> Tuple[int, ...]:
+    """Whisper's default suppress list (``suppress_tokens="-1"``): token ids
+    whose text is a non-speech symbol, with and without a leading space.
+    Empty for the byte-fallback tokenizer (no linguistic vocabulary)."""
+    vocab = getattr(tokenizer, "vocab", None)
+    if not vocab:
+        return ()
+    ids = set()
+    b2u = _byte_unicode_map()
+
+    def lookup(text: str) -> Optional[int]:
+        mapped = "".join(b2u[b] for b in text.encode("utf-8"))
+        return vocab.get(mapped)
+
+    for sym in _NON_SPEECH_SYMBOLS:
+        for cand in (sym, " " + sym):
+            tid = lookup(cand)
+            if tid is not None:
+                ids.add(tid)
+    return tuple(sorted(ids))
+
+
 def load_tokenizer(model_dir: Optional[str] = None, english: bool = True):
     """HF vocab.json+merges.txt or tiktoken rank file → BPETokenizer; else
     ByteFallbackTokenizer."""

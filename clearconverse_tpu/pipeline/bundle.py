@@ -157,12 +157,18 @@ class ModelBundle:
         cdt = (jnp.bfloat16 if self.tpu.compute_dtype == "bfloat16"
                else jnp.float32)
 
+        from clearconverse_tpu.models.tokenizer import non_speech_tokens
+        suppress = tuple(sorted(set(non_speech_tokens(tok))
+                                | set(range(sp.timestamp_begin, sp.n_vocab))
+                                | {sp.sot, sp.sot_prev, sp.sot_lm,
+                                   sp.translate, sp.transcribe, sp.no_speech}))
+
         def decode_at(temp: float):
             opts = DecodeOptions(
                 max_tokens=self.tpu.max_decode_tokens,
                 temperature=temp, eot=sp.eot,
                 suppress_blank=True, blank_token=220,
-                suppress_tokens=tuple(range(sp.timestamp_begin, sp.n_vocab)),
+                suppress_tokens=suppress,
                 compute_dtype=cdt)
             rng = jax.random.PRNGKey(0) if temp > 0 else None
             out = greedy_decode(params, mel, jnp.asarray(toks),

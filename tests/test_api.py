@@ -307,3 +307,15 @@ def test_task_runner_cancel_cooperative(tmp_path):
     assert (task_dir / "cancelled.txt").exists()
     assert not (task_dir / "completed.txt").exists()
     assert not (task_dir / "error.txt").exists()
+
+
+def test_concurrent_transcribe_requests(server):
+    """Two simultaneous tasks both complete (the in-process executor
+    serializes device work; the benign progress.json read/write race is
+    guarded like the reference's, back/api.py:2570-2571)."""
+    ups = [_upload(server, f"c{i}.wav") for i in range(2)]
+    for up in ups:
+        requests.post(f"{server['base']}/transcribe/{up['task_id']}")
+    for up in ups:
+        st = _wait_complete(server, up["task_id"])
+        assert st["status"] == "completed", st

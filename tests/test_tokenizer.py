@@ -71,3 +71,17 @@ def test_byte_fallback_roundtrip():
     ids = tok.encode(text)
     assert tok.decode(ids + [tok.specials.eot]) == text
     assert tok.specials.n_vocab == 51864
+
+
+def test_non_speech_tokens_from_vocab():
+    from clearconverse_tpu.models.tokenizer import non_speech_tokens
+    tok = _toy_tokenizer()
+    ids = non_speech_tokens(tok)
+    # Single-char symbols present in the byte-level vocab get suppressed.
+    assert tok.vocab["".join([_byte_unicode_map()[ord("#")]])] in ids
+    assert len(ids) > 5
+
+
+def test_non_speech_tokens_byte_fallback_empty():
+    from clearconverse_tpu.models.tokenizer import non_speech_tokens
+    assert non_speech_tokens(ByteFallbackTokenizer()) == ()
