@@ -1,0 +1,159 @@
+"""Word-level timestamps via cross-attention alignment.
+
+The reference requests ``word_timestamps=True`` on every transcribe call
+(back/api.py:1290, 1440, 1477) — openai-whisper computes them by DTW over
+cross-attention weights. This module provides the same capability, batched:
+
+  1. one teacher-forced decoder pass over the generated tokens captures
+     per-layer cross-attention weights [B, heads, T_tok, T_audio]
+     (a single device program — no per-token Python loop),
+  2. head-averaged attention is monotonically aligned to audio frames with
+     dynamic time warping on host,
+  3. token times merge into word spans using the tokenizer's word pieces.
+
+Whisper proper uses model-specific alignment heads; without those tables we
+average heads of the upper half of the decoder stack, which tracks the same
+signal for timing purposes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from clearconverse_tpu.models.whisper import (
+    WhisperDims, dense, layer_norm, precompute_cross_kv, _mlp, _split_heads,
+    attention)
+
+AUDIO_FRAME_S = 0.02   # encoder frame = 2 mel hops = 20 ms
+
+
+def cross_attention_weights(params: Dict[str, Any], tokens: jnp.ndarray,
+                            audio: jnp.ndarray, dims: WhisperDims,
+                            compute_dtype=jnp.float32) -> jnp.ndarray:
+    """Teacher-forced pass → averaged cross-attention [B, T_tok, T_audio]
+    from the upper half of the decoder layers."""
+    dec = params["decoder"]
+    B, T = tokens.shape
+    x = dec["tok"][tokens].astype(compute_dtype) + \
+        dec["pos"][:T][None].astype(compute_dtype)
+    k_ = jnp.arange(T)[None, None, None, :]
+    q_ = jnp.arange(T)[None, None, :, None]
+    causal = jnp.where(k_ <= q_, 0.0, -1e9).astype(jnp.float32)
+    cross_kv = precompute_cross_kv(params, audio)
+
+    collect = []
+    half = dims.n_text_layer // 2
+    for li, (blk, ckv) in enumerate(zip(dec["blocks"], cross_kv)):
+        h = layer_norm(x, blk["attn_ln"])
+        h = attention(dense(h, blk["attn"]["q"]), dense(h, blk["attn"]["k"]),
+                      dense(h, blk["attn"]["v"]), causal, dims.n_text_head)
+        x = x + dense(h, blk["attn"]["out"])
+
+        h = layer_norm(x, blk["cross_ln"])
+        q = dense(h, blk["cross"]["q"])
+        ck = ckv["k"].astype(compute_dtype)
+        cv = ckv["v"].astype(compute_dtype)
+        dh = q.shape[-1] // dims.n_text_head
+        scale = dh ** -0.25
+        qh = _split_heads(q, dims.n_text_head) * scale
+        kh = _split_heads(ck, dims.n_text_head) * scale
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                            preferred_element_type=jnp.float32)
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        if li >= half:
+            collect.append(w.mean(axis=1))          # [B, T_tok, T_audio]
+        vh = _split_heads(cv, dims.n_text_head)
+        o = jnp.einsum("bhqk,bkhd->bqhd", w.astype(compute_dtype), vh,
+                       preferred_element_type=jnp.float32)
+        x = x + dense(o.reshape(q.shape).astype(compute_dtype),
+                      blk["cross"]["out"])
+        x = x + _mlp(layer_norm(x, blk["mlp_ln"]), blk["mlp"])
+    return jnp.mean(jnp.stack(collect), axis=0)
+
+
+def dtw_path(attn: np.ndarray) -> List[Tuple[int, int]]:
+    """Monotonic alignment through a [T_tok, T_audio] attention matrix
+    (maximize summed attention; moves: right, down, diagonal)."""
+    T, F = attn.shape
+    cost = np.full((T + 1, F + 1), -np.inf)
+    cost[0, :] = 0.0
+    back = np.zeros((T, F), np.int8)
+    for i in range(1, T + 1):
+        for j in range(1, F + 1):
+            cands = (cost[i - 1, j - 1], cost[i, j - 1], cost[i - 1, j])
+            b = int(np.argmax(cands))
+            cost[i, j] = cands[b] + attn[i - 1, j - 1]
+            back[i - 1, j - 1] = b
+    path = []
+    i, j = T - 1, F - 1
+    while i >= 0 and j >= 0:
+        path.append((i, j))
+        b = back[i, j]
+        if b == 0:
+            i, j = i - 1, j - 1
+        elif b == 1:
+            j -= 1
+        else:
+            i -= 1
+    return path[::-1]
+
+
+def token_times(attn: np.ndarray, n_tokens: int,
+                frame_s: float = AUDIO_FRAME_S) -> List[Tuple[float, float]]:
+    """[T_tok, T_audio] attention → per-token (start, end) seconds."""
+    path = dtw_path(attn[:n_tokens])
+    starts = {}
+    ends = {}
+    for ti, fi in path:
+        starts.setdefault(ti, fi)
+        ends[ti] = fi
+    return [(starts.get(t, 0) * frame_s, (ends.get(t, 0) + 1) * frame_s)
+            for t in range(n_tokens)]
+
+
+def word_timestamps(tokenizer, token_ids: List[int],
+                    times: List[Tuple[float, float]]) -> List[Dict[str, Any]]:
+    """Group token spans into words: a new word starts on a leading-space
+    piece (GPT-2 BPE convention) or at the sequence start."""
+    words: List[Dict[str, Any]] = []
+    for tid, (t0, t1) in zip(token_ids, times):
+        piece = tokenizer.decode([tid], skip_special=True)
+        if not piece:
+            continue
+        if words and not piece.startswith(" "):
+            words[-1]["word"] += piece
+            words[-1]["end"] = t1
+        else:
+            words.append({"word": piece.strip() and piece or piece,
+                          "start": t0, "end": t1})
+    for w in words:
+        w["word"] = w["word"].strip()
+    return [w for w in words if w["word"]]
+
+
+def align_batch(params: Dict[str, Any], tokenizer,
+                tokens: np.ndarray, lengths: np.ndarray,
+                audio_features: jnp.ndarray, dims: WhisperDims,
+                sot: int) -> List[List[Dict[str, Any]]]:
+    """Full batched alignment: generated tokens (+SOT prefix) → per-row word
+    timestamp lists."""
+    B = tokens.shape[0]
+    max_len = int(lengths.max()) if B else 0
+    teacher = np.full((B, max_len + 1), sot, np.int32)
+    for b in range(B):
+        teacher[b, 1 : 1 + lengths[b]] = tokens[b, : lengths[b]]
+    attn = np.asarray(cross_attention_weights(
+        params, jnp.asarray(teacher), audio_features, dims))
+    out = []
+    for b in range(B):
+        n = int(lengths[b])
+        if n == 0:
+            out.append([])
+            continue
+        times = token_times(attn[b, 1 : 1 + n], n)  # skip the SOT row
+        out.append(word_timestamps(tokenizer, list(tokens[b, :n]), times))
+    return out

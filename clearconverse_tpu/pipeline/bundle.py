@@ -132,9 +132,15 @@ class ModelBundle:
             self.load_with_progress()
 
     def transcribe_batch(self, audio: np.ndarray, prompts: Sequence[str],
-                         temperature: float = 0.0) -> List[str]:
+                         temperature: float = 0.0,
+                         word_timestamps: bool = False):
         """[B, T] padded 16 kHz segments + per-row prompt strings → texts.
-        One device program: mel → encoder → batched greedy decode."""
+        One device program: mel → encoder → batched greedy decode.
+
+        ``word_timestamps=True`` (the reference passes it on every call,
+        back/api.py:1290) additionally returns per-row word lists
+        [{"word","start","end"}] from a batched teacher-forced
+        cross-attention alignment pass → returns (texts, words)."""
         self._ensure()
         import jax
         import jax.numpy as jnp
@@ -193,8 +199,11 @@ class ModelBundle:
                                   if t > temperature]
         ladder = ladder[: max(1, self.tpu.max_fallback_attempts)]
         texts: List[Optional[str]] = [None] * len(prompts)
+        final_tokens = final_lengths = None
         for attempt, temp in enumerate(ladder):
             tokens, lengths, sum_lp = decode_at(temp)
+            if final_tokens is None:
+                final_tokens, final_lengths = tokens.copy(), lengths.copy()
             last = attempt == len(ladder) - 1
             for i in range(len(prompts)):
                 if texts[i] is not None:
@@ -202,9 +211,20 @@ class ModelBundle:
                 text = tok.decode(tokens[i, : lengths[i]])
                 if last or quality_ok(text, float(sum_lp[i]), int(lengths[i])):
                     texts[i] = text
+                    final_tokens[i] = tokens[i]
+                    final_lengths[i] = lengths[i]
             if all(t is not None for t in texts):
                 break
-        return [t or "" for t in texts]
+        out_texts = [t or "" for t in texts]
+        if not word_timestamps:
+            return out_texts
+
+        from clearconverse_tpu.models.alignment import align_batch
+        from clearconverse_tpu.models.whisper import whisper_encode
+        feats = whisper_encode(params, mel, dims, cdt)
+        words = align_batch(params, tok, final_tokens, final_lengths,
+                            feats, dims, sot=sp.sot)
+        return out_texts, words
 
     def embed_batch(self, audio: np.ndarray,
                     lengths: Optional[np.ndarray] = None) -> np.ndarray:

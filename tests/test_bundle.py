@@ -71,3 +71,13 @@ def test_embed_and_separate_paths(bundle, rng):
     assert sep.shape == (2, 8000, 2)
     frames = bundle.segment_frames(audio)
     assert frames.shape[0] == 2 and frames.shape[2] == 3
+
+
+def test_transcribe_batch_word_timestamps(bundle, rng):
+    audio = rng.standard_normal((1, 16000)).astype(np.float32) * 0.1
+    texts, words = bundle.transcribe_batch(audio, [""], temperature=0.0,
+                                           word_timestamps=True)
+    assert len(texts) == 1 and len(words) == 1
+    for w in words[0]:
+        assert set(w) == {"word", "start", "end"}
+        assert 0.0 <= w["start"] <= w["end"]
