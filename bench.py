@@ -22,13 +22,15 @@ import numpy as np
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=16,
+    ap.add_argument("--batch", type=int, default=32,
                     help="30 s segments per device program")
     ap.add_argument("--decode-tokens", type=int, default=96,
                     help="tokens decoded per segment (~3.2 tok/s of speech)")
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--int8-kv", action="store_true",
-                    help="int8 cross-attention KV (measured +6.6%% RTFx)")
+    ap.add_argument("--int8-kv", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="int8 cross-attention KV (2.3x decode at B=32: "
+                    "the loop is cross-KV-streaming-bound)")
     args = ap.parse_args()
 
     import jax
