@@ -27,10 +27,9 @@ def main() -> None:
     ap.add_argument("--decode-tokens", type=int, default=96,
                     help="tokens decoded per segment (~3.2 tok/s of speech)")
     ap.add_argument("--iters", type=int, default=3)
-    ap.add_argument("--int8-kv", action=argparse.BooleanOptionalAction,
-                    default=True,
-                    help="int8 cross-attention KV (2.3x decode at B=32: "
-                    "the loop is cross-KV-streaming-bound)")
+    ap.add_argument("--kv-bits", type=int, default=8, choices=(16, 8, 4),
+                    help="cross-attention KV width (the decode loop is "
+                    "cross-KV-streaming-bound; 8-bit = 2.3x decode at B=32)")
     args = ap.parse_args()
 
     import jax
@@ -60,7 +59,7 @@ def main() -> None:
     opts = DecodeOptions(max_tokens=args.decode_tokens, temperature=0.0,
                          eot=-1,  # never matches → fixed decode length
                          suppress_blank=False, compute_dtype=jnp.bfloat16,
-                         int8_cross_kv=args.int8_kv)
+                         cross_kv_bits=args.kv_bits)
     prompts, lens = build_prompt_batch([[50257]] * B, 1, pad_id=50256)
     prompts, lens = jnp.asarray(prompts), jnp.asarray(lens)
 

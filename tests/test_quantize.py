@@ -81,8 +81,14 @@ def test_int8_cross_kv_decode_close(rng):
     q = greedy_decode(params, mel, jnp.asarray(toks), jnp.asarray(lens),
                       TINY, DecodeOptions(max_tokens=8, eot=63,
                                           suppress_blank=False,
-                                          int8_cross_kv=True), 1)
+                                          cross_kv_bits=8), 1)
     # Logprob sums should be close (random logits are near-uniform so token
     # agreement isn't guaranteed at tiny scale).
     np.testing.assert_allclose(np.asarray(full["sum_logprob"]),
                                np.asarray(q["sum_logprob"]), atol=0.5)
+    q4 = greedy_decode(params, mel, jnp.asarray(toks), jnp.asarray(lens),
+                       TINY, DecodeOptions(max_tokens=8, eot=63,
+                                           suppress_blank=False,
+                                           cross_kv_bits=4), 1)
+    np.testing.assert_allclose(np.asarray(full["sum_logprob"]),
+                               np.asarray(q4["sum_logprob"]), atol=0.8)
