@@ -68,6 +68,13 @@ class TPUConfig:
     # Temperature-fallback ladder length (whisper retries degenerate/low-
     # confidence rows at hotter temperatures; 1 disables fallback).
     max_fallback_attempts: int = 3
+    # Pad every segment to whisper's full 30 s window (reference-exact
+    # numerics). False = pad only to the duration bucket: 3-6x less encoder
+    # compute + cross-KV streaming for short segments, at a small quality
+    # risk (whisper is trained on 30 s windows).
+    pad_to_full_window: bool = True
+    # Cross-attention KV storage width for the decode loop (16/8/4).
+    cross_kv_bits: int = 8
     # Compute dtype for matmuls (MXU-native).
     compute_dtype: str = "bfloat16"
     # Run all Pallas kernels in interpreter mode (CPU testing).

@@ -150,7 +150,11 @@ class ModelBundle:
 
         params, dims, tok = self._whisper
         sp = tok.specials
-        audio = pad_or_trim(jnp.asarray(audio, jnp.float32), 30 * 16000)
+        if self.tpu.pad_to_full_window:
+            target = 30 * 16000
+        else:  # bucket-length windows: shorter encoder ctx, less cross-KV
+            target = min(-(-audio.shape[1] // 16000) * 16000, 30 * 16000)
+        audio = pad_or_trim(jnp.asarray(audio, jnp.float32), target)
         mel = log_mel_auto(audio)
 
         prompt_lists = []
@@ -175,7 +179,8 @@ class ModelBundle:
                 temperature=temp, eot=sp.eot,
                 suppress_blank=True, blank_token=220,
                 suppress_tokens=suppress,
-                compute_dtype=cdt)
+                compute_dtype=cdt,
+                cross_kv_bits=self.tpu.cross_kv_bits)
             rng = jax.random.PRNGKey(0) if temp > 0 else None
             out = greedy_decode(params, mel, jnp.asarray(toks),
                                 jnp.asarray(lens), dims, opts, max_p, rng)

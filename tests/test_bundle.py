@@ -81,3 +81,15 @@ def test_transcribe_batch_word_timestamps(bundle, rng):
     for w in words[0]:
         assert set(w) == {"word", "start", "end"}
         assert 0.0 <= w["start"] <= w["end"]
+
+
+def test_bucketed_window_mode(bundle, rng):
+    """pad_to_full_window=False encodes at bucket length (shorter ctx)."""
+    import dataclasses
+    bundle.tpu = dataclasses.replace(bundle.tpu, pad_to_full_window=False)
+    try:
+        audio = rng.standard_normal((2, 3 * 16000)).astype(np.float32) * 0.1
+        texts = bundle.transcribe_batch(audio, ["", ""])
+        assert len(texts) == 2
+    finally:
+        bundle.tpu = dataclasses.replace(bundle.tpu, pad_to_full_window=True)
