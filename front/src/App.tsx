@@ -33,6 +33,27 @@ export default function App() {
   const [wsFailed, setWsFailed] = useState(false);
   const pollTimer = useRef<number | null>(null);
 
+  const [modelStatus, setModelStatus] = useState<string | null>(null);
+
+  // Model-loading poll while processing (the reference polls this endpoint
+  // and 404s; here it reports real state).
+  useEffect(() => {
+    if (stage !== "processing") {
+      setModelStatus(null);
+      return;
+    }
+    const timer = window.setInterval(async () => {
+      try {
+        const resp = await fetch(`${API_BASE_URL}/model-loading-status`);
+        const body = await resp.json();
+        setModelStatus(body.progress < 100 ? body.message : null);
+      } catch {
+        /* endpoint optional */
+      }
+    }, STATUS_POLL_INTERVAL_MS);
+    return () => window.clearInterval(timer);
+  }, [stage]);
+
   // sendBeacon cleanup on page unload (preserves uploads server-side).
   useEffect(() => {
     const onUnload = () => {
@@ -203,6 +224,7 @@ export default function App() {
             onSocketFailed={() => setWsFailed(true)}
           />
           <ProgressBar progress={progress} message={progressMessage} />
+          {modelStatus && <p className="tagline">{modelStatus}</p>}
           <div className="row">
             <button className="danger" onClick={cancelTranscription}>
               Cancel
