@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from clearconverse_tpu.models.whisper import (
     WhisperDims, decoder_forward, init_kv_cache, precompute_cross_kv,
-    whisper_encode,
+    stack_decoder, whisper_encode,
 )
 
 _NEG_INF = -1e9
@@ -44,6 +44,9 @@ class DecodeOptions:
     # Cross-attention K/V storage width (16, 8, or 4 bits): the decode
     # loop's dominant HBM stream (models/whisper.precompute_cross_kv).
     cross_kv_bits: int = 16
+    # lax.scan over stacked decoder layers: ~12x fewer instructions per
+    # decode step (models/whisper.stack_decoder).
+    scan_layers: bool = False
 
     @property
     def int8_cross_kv(self) -> bool:  # back-compat alias
@@ -102,8 +105,10 @@ def greedy_decode(
     cdt = opts.compute_dtype
 
     audio = whisper_encode(params, mel, dims, cdt)
+    if opts.scan_layers:
+        params = stack_decoder(params)
     cross_kv = precompute_cross_kv(params, audio, bits=opts.cross_kv_bits)
-    self_kv = init_kv_cache(dims, B, max_len, cdt)
+    self_kv = init_kv_cache(dims, B, max_len, cdt, stacked=opts.scan_layers)
 
     pad = (P - prompt_lens)[:, None]                      # [B,1]
     slot = jnp.arange(P)[None, :]

@@ -255,6 +255,22 @@ def _conv1d(x: jnp.ndarray, p: Dict[str, jnp.ndarray], stride: int) -> jnp.ndarr
 
 # ------------------------------------------------------------------ decoder
 
+def stack_decoder(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Stack the decoder block list into one pytree of [L, ...] leaves so
+    decoder_forward can ``lax.scan`` over layers — collapsing the per-step
+    instruction count ~12× (the decode loop on this platform is per-op
+    overhead-bound, not FLOP/HBM-bound; measured). Pure data movement; the
+    unstacked tree is untouched."""
+    out = dict(params)
+    dec = dict(params["decoder"])
+    blocks = dec["blocks"]
+    if isinstance(blocks, dict):   # already stacked
+        return params
+    dec["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    out["decoder"] = dec
+    return out
+
+
 def precompute_cross_kv(params: Dict[str, Any], audio: jnp.ndarray,
                         bits: int = 16) -> List[Dict[str, jnp.ndarray]]:
     """Per-layer cross-attention K/V from encoder output (computed once per
@@ -262,8 +278,19 @@ def precompute_cross_kv(params: Dict[str, Any], audio: jnp.ndarray,
     bottleneck on v5e). ``bits`` ∈ {16, 8, 4} stores K/V quantized per
     channel, cutting the per-step stream 2×/4×; dequantization fuses into
     the attention einsums. int4 attention-weight error ≈ 2e-4 (measured)."""
+    blocks = params["decoder"]["blocks"]
+    if isinstance(blocks, dict):   # stacked decoder: one einsum for all layers
+        cw = blocks["cross"]
+        k = jnp.einsum("btd,ldo->lbto", audio, cw["k"]["w"].astype(audio.dtype),
+                       preferred_element_type=jnp.float32).astype(audio.dtype)
+        v = jnp.einsum("btd,ldo->lbto", audio, cw["v"]["w"].astype(audio.dtype),
+                       preferred_element_type=jnp.float32).astype(audio.dtype)
+        v = v + cw["v"]["b"][:, None, None, :].astype(audio.dtype)
+        if bits in (4, 8):
+            return {"k8": _quant_kv(k, bits), "v8": _quant_kv(v, bits)}
+        return {"k": k, "v": v}
     out = []
-    for blk in params["decoder"]["blocks"]:
+    for blk in blocks:
         k = dense(audio, blk["cross"]["k"])
         v = dense(audio, blk["cross"]["v"])
         if bits in (4, 8):
@@ -274,10 +301,10 @@ def precompute_cross_kv(params: Dict[str, Any], audio: jnp.ndarray,
 
 
 def _quant_kv(x: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
-    """[B, T, D] → int8/int4 values + per-(B, D) scales (amax over time)."""
+    """[..., T, D] → int8/int4 values + per-channel scales (amax over T)."""
     qmax = 127.0 if bits == 8 else 7.0
     dtype = jnp.int8 if bits == 8 else jnp.int4
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=1, keepdims=True)
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-2, keepdims=True)
     scale = jnp.maximum(amax / qmax, 1e-12)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -qmax, qmax)
     return {"q": q.astype(dtype), "scale": scale.astype(jnp.float32)}
@@ -288,7 +315,10 @@ def _dequant_kv(p: Dict[str, jnp.ndarray], dtype) -> jnp.ndarray:
 
 
 def init_kv_cache(dims: WhisperDims, batch: int, max_len: int,
-                  dtype: jnp.dtype = jnp.float32) -> List[Dict[str, jnp.ndarray]]:
+                  dtype: jnp.dtype = jnp.float32, stacked: bool = False):
+    if stacked:
+        shape = (dims.n_text_layer, batch, max_len, dims.n_text_state)
+        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
     return [{"k": jnp.zeros((batch, max_len, dims.n_text_state), dtype),
              "v": jnp.zeros((batch, max_len, dims.n_text_state), dtype)}
             for _ in range(dims.n_text_layer)]
@@ -313,15 +343,16 @@ def decoder_forward(
     """
     dec = params["decoder"]
     x = dec["tok"][tokens].astype(compute_dtype) + dec["pos"][positions].astype(compute_dtype)
-    new_kv = []
-    for blk, skv, ckv in zip(dec["blocks"], self_kv, cross_kv):
+
+    def layer(x, blk, skv, ckv):
         h = layer_norm(x, blk["attn_ln"])
         q = dense(h, blk["attn"]["q"])
         k_new = dense(h, blk["attn"]["k"])
         v_new = dense(h, blk["attn"]["v"])
-        k_all = jax.lax.dynamic_update_slice_in_dim(skv["k"], k_new.astype(skv["k"].dtype), cache_index, 1)
-        v_all = jax.lax.dynamic_update_slice_in_dim(skv["v"], v_new.astype(skv["v"].dtype), cache_index, 1)
-        new_kv.append({"k": k_all, "v": v_all})
+        k_all = jax.lax.dynamic_update_slice_in_dim(
+            skv["k"], k_new.astype(skv["k"].dtype), cache_index, 1)
+        v_all = jax.lax.dynamic_update_slice_in_dim(
+            skv["v"], v_new.astype(skv["v"].dtype), cache_index, 1)
         h = attention(q, k_all.astype(compute_dtype), v_all.astype(compute_dtype),
                       self_mask, dims.n_text_head)
         x = x + dense(h, blk["attn"]["out"])
@@ -337,6 +368,22 @@ def decoder_forward(
                       cross_mask, dims.n_text_head)
         x = x + dense(h, blk["cross"]["out"])
         x = x + _mlp(layer_norm(x, blk["mlp_ln"]), blk["mlp"])
+        return x, {"k": k_all, "v": v_all}
+
+    if isinstance(dec["blocks"], dict):
+        # Stacked decoder (stack_decoder): scan over layers — ~12× fewer
+        # instructions per decode step (the loop is per-op-overhead-bound on
+        # this platform, measured).
+        def body(carry, sliced):
+            blk, skv, ckv = sliced
+            return layer(carry, blk, skv, ckv)
+
+        x, new_kv = jax.lax.scan(body, x, (dec["blocks"], self_kv, cross_kv))
+    else:
+        new_kv = []
+        for blk, skv, ckv in zip(dec["blocks"], self_kv, cross_kv):
+            x, kv = layer(x, blk, skv, ckv)
+            new_kv.append(kv)
 
     x = layer_norm(x, dec["ln"])
     logits = jnp.dot(x.astype(jnp.float32), dec["tok"].T.astype(jnp.float32),

@@ -150,3 +150,18 @@ def test_model_dims_registry():
     assert model_dims("tiny").n_vocab == 51865
     with pytest.raises(ValueError):
         model_dims("huge")
+
+
+def test_scan_layers_matches_loop(hf_model, params, mel):
+    """Stacked-scan decoder == unrolled decoder, token for token."""
+    opts_loop = DecodeOptions(max_tokens=6, eot=VOCAB - 1, suppress_blank=False)
+    opts_scan = DecodeOptions(max_tokens=6, eot=VOCAB - 1, suppress_blank=False,
+                              scan_layers=True)
+    toks, lens = build_prompt_batch([[1], [1]], 1, pad_id=0)
+    a = greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                      jnp.asarray(lens), DIMS, opts_loop, 1)
+    b = greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                      jnp.asarray(lens), DIMS, opts_scan, 1)
+    np.testing.assert_array_equal(np.asarray(a["tokens"]), np.asarray(b["tokens"]))
+    np.testing.assert_allclose(np.asarray(a["sum_logprob"]),
+                               np.asarray(b["sum_logprob"]), atol=1e-4)
