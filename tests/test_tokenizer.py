@@ -85,3 +85,38 @@ def test_non_speech_tokens_from_vocab():
 def test_non_speech_tokens_byte_fallback_empty():
     from clearconverse_tpu.models.tokenizer import non_speech_tokens
     assert non_speech_tokens(ByteFallbackTokenizer()) == ()
+
+
+def test_load_tokenizer_from_vocab_files(tmp_path):
+    """HF-format vocab.json + merges.txt load into a working BPETokenizer."""
+    import json
+    from clearconverse_tpu.models.tokenizer import load_tokenizer
+
+    b2u = _byte_unicode_map()
+
+    def u(s):
+        return "".join(b2u[b] for b in s.encode())
+
+    vocab = {ch: i for i, ch in enumerate(sorted(set(b2u.values())))}
+    vocab[u("he")] = len(vocab)
+    vocab[u("llo")] = len(vocab)
+    (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+    (tmp_path / "merges.txt").write_text(
+        "#version: 0.2\n"
+        f"{u('h')} {u('e')}\n"
+        f"{u('l')} {u('l')}\n"
+        f"{u('ll')} {u('o')}\n")
+    tok = load_tokenizer(str(tmp_path), english=True)
+    from clearconverse_tpu.models.tokenizer import BPETokenizer
+    assert isinstance(tok, BPETokenizer)
+    ids = tok.encode("hello")
+    assert tok.decode(ids) == "hello"
+    # "he" merged; "llo" via ll+o merge.
+    assert ids[0] == vocab[u("he")]
+
+
+def test_load_tokenizer_fallback_when_missing(tmp_path):
+    from clearconverse_tpu.models.tokenizer import (ByteFallbackTokenizer,
+                                                    load_tokenizer)
+    assert isinstance(load_tokenizer(str(tmp_path)), ByteFallbackTokenizer)
+    assert isinstance(load_tokenizer(None), ByteFallbackTokenizer)
