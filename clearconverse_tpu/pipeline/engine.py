@@ -533,6 +533,37 @@ class TranscriptionEngine:
         with open(debug / "segments_metadata.json", "w") as fh:
             json.dump(metadata, fh, indent=2)
 
+    def _write_outputs(self, results: Dict, output_dir: str,
+                       debug_mode: bool, cb: Callable):
+        """The output tail of run(): segment dumps + transcript.txt
+        (back/api.py:1244-1274 semantics)."""
+        cb(60, "Saving processed segments")
+        segs = results.get("segments") or []
+        if not segs:
+            logger.error("No segments were generated during processing")
+            return None, None
+        if not any(s.transcription and s.transcription.strip() for s in segs):
+            logger.error("No transcriptions were generated for any segments")
+            return None, None
+
+        self.save_segments(segs, output_dir)
+        if debug_mode:
+            self.save_debug_segments(segs, output_dir)
+
+        cb(80, "Saving transcript")
+        transcript = ""
+        for seg in segs:
+            transcript += f"[{seg.speaker_id}] {seg.start:.2f}s - {seg.end:.2f}s\n"
+            transcript += f"{seg.transcription}\n\n"
+        if not transcript.strip():
+            logger.error("Generated transcript is empty")
+            return None, None
+        transcript_path = os.path.join(output_dir, "transcript.txt")
+        with open(transcript_path, "w", encoding="utf-8") as fh:
+            fh.write(transcript)
+        cb(100, "Processing completed")
+        return transcript, transcript_path
+
     def run(self, input_file: str, output_dir: str = "processed_audio",
             debug_mode: bool = False,
             progress_callback: Optional[Callable] = None):
@@ -553,31 +584,41 @@ class TranscriptionEngine:
         results = self.process_file(input_file)
         if results is None:
             return None, None, None
-
-        cb(60, "Saving processed segments")
-        segs = results.get("segments") or []
-        if not segs:
-            logger.error("No segments were generated during processing")
+        transcript, transcript_path = self._write_outputs(
+            results, output_dir, debug_mode, cb)
+        if transcript is None:
             return None, None, None
-        if not any(s.transcription and s.transcription.strip() for s in segs):
-            logger.error("No transcriptions were generated for any segments")
-            return None, None, None
-
-        self.save_segments(segs, output_dir)
-        if debug_mode:
-            self.save_debug_segments(segs, output_dir)
-
-        cb(80, "Saving transcript")
-        transcript = ""
-        for seg in segs:
-            transcript += f"[{seg.speaker_id}] {seg.start:.2f}s - {seg.end:.2f}s\n"
-            transcript += f"{seg.transcription}\n\n"
-        if not transcript.strip():
-            logger.error("Generated transcript is empty")
-            return None, None, None
-        transcript_path = os.path.join(output_dir, "transcript.txt")
-        with open(transcript_path, "w", encoding="utf-8") as fh:
-            fh.write(transcript)
-
-        cb(100, "Processing completed")
         return input_file, transcript, transcript_path
+
+    def run_many(self, inputs: List[Tuple[str, str]],
+                 progress_callbacks: Optional[List[Callable]] = None):
+        """Grouped run: list of (input_file, output_dir) processed with the
+        transcription phase batched ACROSS files (process_files). Returns a
+        list of (input_file, transcript, transcript_path) / (None, None,
+        None) tuples — one per input, same contract as run()."""
+        cbs = progress_callbacks or [None] * len(inputs)
+
+        def cb(i, pct, msg):
+            if cbs[i]:
+                cbs[i](pct, msg)
+
+        for i in range(len(inputs)):
+            cb(i, 5, "Starting processing")
+        if not self.models_are_loaded():
+            if not self.load_models_with_progress(cbs[0]):
+                return [(None, None, None)] * len(inputs)
+        for i, (_, out_dir) in enumerate(inputs):
+            os.makedirs(out_dir, exist_ok=True)
+            cb(i, 30, "Running file processing")
+
+        results = self.process_files([p for p, _ in inputs])
+        out = []
+        for i, ((path, out_dir), res) in enumerate(zip(inputs, results)):
+            if res is None:
+                out.append((None, None, None))
+                continue
+            transcript, tpath = self._write_outputs(
+                res, out_dir, False, lambda pct, msg, i=i: cb(i, pct, msg))
+            out.append((path, transcript, tpath) if transcript
+                       else (None, None, None))
+        return out

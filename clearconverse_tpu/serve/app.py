@@ -373,7 +373,7 @@ def create_app(output_dir: str = "processed_audio",
                     pass
             # Dead-worker detection (back/api.py:2574-2599).
             info = runner.active_tasks.get(task_id)
-            if info and not info["thread"].is_alive():
+            if info and not runner.is_alive(task_id):
                 if not any(marker(m) for m in
                            ("completed.txt", "error.txt", "cancelled.txt")):
                     await asyncio.sleep(2)

@@ -1,5 +1,5 @@
 """Task orchestration: the reference's marker-file protocol with an
-in-process executor.
+in-process, group-batching executor.
 
 Protocol parity (back/api.py:1689-1754): per task directory
 ``{output_dir}/{task_id}/`` with ``progress.json`` + markers
@@ -7,13 +7,16 @@ Protocol parity (back/api.py:1689-1754): per task directory
 written with the same contents and ordering — the WS poller and status
 endpoint read EXACTLY what the reference's do.
 
-Execution difference (the designed one, SURVEY.md §5.8): instead of a
-``multiprocessing.Process`` per task that cold-loads every model
-(back/api.py:1718), tasks run on a worker thread against ONE shared
-TranscriptionEngine whose models load once; the TPU stays owned by this
-process. Cancellation is cooperative: a per-task event checked at every
-progress boundary (device programs are short, so latency is bounded) —
-replacing the reference's psutil process-tree kill (back/api.py:2029-2042).
+Execution differences (designed, SURVEY.md §5.8):
+  * ONE shared TranscriptionEngine — models load once, not per forked worker
+    (the reference reloads everything per task, back/api.py:1718).
+  * A dispatcher thread drains the queue; when several tasks are waiting it
+    runs them as ONE grouped engine call (engine.run_many) whose
+    transcription batches mix segments across requests — impossible in the
+    reference's process-per-task design.
+  * Cancellation is cooperative: a per-task event checked at progress
+    boundaries (single tasks abort mid-run; grouped tasks skip their output
+    writes and their directory is already replaced by cancelled.txt).
 """
 
 from __future__ import annotations
@@ -24,10 +27,13 @@ import os
 import shutil
 import threading
 import time
+from collections import deque
 from datetime import datetime
-from typing import Callable, Dict, Optional
+from typing import Callable, Dict, List, Optional, Tuple
 
 logger = logging.getLogger(__name__)
+
+MAX_GROUP = 4   # tasks batched into one engine call
 
 
 class TaskCancelled(Exception):
@@ -35,17 +41,22 @@ class TaskCancelled(Exception):
 
 
 class TaskRunner:
-    def __init__(self, output_dir: str, engine_factory: Callable):
+    def __init__(self, output_dir: str, engine_factory: Callable,
+                 max_group: int = MAX_GROUP):
         self.output_dir = output_dir
         self._engine_factory = engine_factory
         self._engine = None
         self._engine_lock = threading.Lock()   # one TPU program at a time
+        self.max_group = max_group
         # In-memory stores, same roles as back/api.py:94-578.
         self.active_tasks: Dict[str, Dict] = {}
         self.progress_store: Dict[str, Dict] = {}
         self.result_store: Dict[str, Dict] = {}
         self.uploaded_files: Dict[str, str] = {}
         self.original_filenames: Dict[str, str] = {}
+        self._queue: deque = deque()
+        self._wakeup = threading.Event()
+        self._dispatcher: Optional[threading.Thread] = None
 
     # ------------------------------------------------------------- engine
     def engine(self):
@@ -60,71 +71,152 @@ class TaskRunner:
     # -------------------------------------------------------------- start
     def start(self, task_id: str, file_path: str) -> None:
         cancel = threading.Event()
-        thread = threading.Thread(target=self._run_task,
-                                  args=(task_id, file_path, cancel),
-                                  daemon=True)
+        done = threading.Event()
         self.active_tasks[task_id] = {
-            "thread": thread, "cancel": cancel,
+            "cancel": cancel, "done": done,
             "start_time": time.time(), "file_path": file_path,
         }
-        thread.start()
+        self._queue.append((task_id, file_path, cancel, done))
+        if self._dispatcher is None or not self._dispatcher.is_alive():
+            self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                                daemon=True)
+            self._dispatcher.start()
+        self._wakeup.set()
 
     def is_alive(self, task_id: str) -> bool:
         info = self.active_tasks.get(task_id)
-        return bool(info and info["thread"].is_alive())
+        return bool(info and not info["done"].is_set())
 
-    def _run_task(self, task_id: str, file_path: str, cancel: threading.Event) -> None:
-        task_dir = os.path.join(self.output_dir, task_id)
-        os.makedirs(task_dir, exist_ok=True)
-        completed_marker = os.path.join(task_dir, "completed.txt")
-        if os.path.exists(completed_marker):
-            logger.info("Task %s already completed, skipping", task_id)
-            return
+    def _dispatch_loop(self) -> None:
+        while True:
+            if not self._queue:
+                self._wakeup.clear()
+                if not self._wakeup.wait(timeout=60):
+                    if not self._queue:
+                        return  # idle: let the thread retire
+                continue
+            group: List[Tuple] = []
+            while self._queue and len(group) < self.max_group:
+                task_id, path, cancel, done = self._queue.popleft()
+                if cancel.is_set():
+                    done.set()
+                    continue
+                group.append((task_id, path, cancel, done))
+            if not group:
+                continue
+            try:
+                if len(group) == 1:
+                    self._run_task(*group[0][:3])
+                else:
+                    self._run_group(group)
+            except Exception as exc:  # noqa: BLE001 — keep dispatching
+                logger.error("dispatcher error: %s", exc, exc_info=True)
+            finally:
+                for _, _, _, done in group:
+                    done.set()
 
+    # -------------------------------------------------------------- single
+    def _make_progress_cb(self, task_id: str, task_dir: str,
+                          cancel: threading.Event, raise_on_cancel: bool):
         def progress_callback(percent, message):
             if cancel.is_set():
-                raise TaskCancelled()
-            progress_file = os.path.join(task_dir, "progress.json")
-            with open(progress_file, "w") as fh:
+                if raise_on_cancel:
+                    raise TaskCancelled()
+                return
+            with open(os.path.join(task_dir, "progress.json"), "w") as fh:
                 json.dump({"progress": percent, "message": message}, fh)
             logger.info("Task %s: %s%% - %s", task_id, percent, message)
+        return progress_callback
 
+    def _finish_ok(self, task_id: str, task_dir: str, cb) -> None:
         in_progress = os.path.join(task_dir, "in_progress.txt")
+        if os.path.exists(in_progress):
+            os.remove(in_progress)
+        cb(100, "Transcription complete")
+        with open(os.path.join(task_dir, "completed.txt"), "w") as fh:
+            fh.write(f"Transcription completed at {datetime.now().isoformat()}")
+        # The reference's forked worker could never write result_store
+        # (separate address space — SURVEY.md §2.2 quirk); in-process we can.
+        self.result_store[task_id] = {
+            "status": "completed",
+            "download_url": f"/download/{task_id}/transcript.txt",
+        }
+
+    def _finish_error(self, task_id: str, task_dir: str, cb, exc) -> None:
+        with open(os.path.join(task_dir, "error.txt"), "w") as fh:
+            fh.write(f"Error: {exc}")
+        in_progress = os.path.join(task_dir, "in_progress.txt")
+        if os.path.exists(in_progress):
+            os.remove(in_progress)
         try:
-            progress_callback(5, "Starting model initialization...")
+            cb(100, f"Error: {exc}")
+        except TaskCancelled:
+            pass
+
+    def _run_task(self, task_id: str, file_path: str,
+                  cancel: threading.Event) -> None:
+        task_dir = os.path.join(self.output_dir, task_id)
+        os.makedirs(task_dir, exist_ok=True)
+        if os.path.exists(os.path.join(task_dir, "completed.txt")):
+            logger.info("Task %s already completed, skipping", task_id)
+            return
+        cb = self._make_progress_cb(task_id, task_dir, cancel,
+                                    raise_on_cancel=True)
+        try:
+            cb(5, "Starting model initialization...")
             with self._engine_lock:
                 if cancel.is_set():
                     raise TaskCancelled()
                 _, transcript, _ = self.engine().run(
                     file_path, output_dir=task_dir, debug_mode=False,
-                    progress_callback=progress_callback)
+                    progress_callback=cb)
             if transcript is None:
                 raise RuntimeError("Processing produced no transcript")
-            if os.path.exists(in_progress):
-                os.remove(in_progress)
-            progress_callback(100, "Transcription complete")
-            with open(completed_marker, "w") as fh:
-                fh.write(f"Transcription completed at {datetime.now().isoformat()}")
-            # The reference's forked worker could never write result_store
-            # (separate address space — SURVEY.md §2.2 quirk); in-process we
-            # can make /task/{id}/result real.
-            self.result_store[task_id] = {
-                "status": "completed",
-                "download_url": f"/download/{task_id}/transcript.txt",
-            }
+            self._finish_ok(task_id, task_dir, cb)
         except TaskCancelled:
             logger.info("Task %s cancelled", task_id)
         except Exception as exc:  # noqa: BLE001 — parity: error marker
             logger.error("Error in transcription process: %s", exc)
             if not cancel.is_set():
-                with open(os.path.join(task_dir, "error.txt"), "w") as fh:
-                    fh.write(f"Error: {exc}")
-                if os.path.exists(in_progress):
-                    os.remove(in_progress)
-                try:
-                    progress_callback(100, f"Error: {exc}")
-                except TaskCancelled:
-                    pass
+                self._finish_error(task_id, task_dir, cb, exc)
+
+    # -------------------------------------------------------------- group
+    def _run_group(self, group: List[Tuple]) -> None:
+        """Several queued tasks → one engine.run_many call (cross-request
+        transcription batching)."""
+        inputs, cbs, live = [], [], []
+        for task_id, path, cancel, _done in group:
+            task_dir = os.path.join(self.output_dir, task_id)
+            os.makedirs(task_dir, exist_ok=True)
+            if os.path.exists(os.path.join(task_dir, "completed.txt")):
+                continue
+            cb = self._make_progress_cb(task_id, task_dir, cancel,
+                                        raise_on_cancel=False)
+            cb(5, "Starting model initialization...")
+            inputs.append((path, task_dir))
+            cbs.append(cb)
+            live.append((task_id, task_dir, cancel, cb))
+        if not inputs:
+            return
+        logger.info("Grouped run: %d tasks share transcription batches",
+                    len(inputs))
+        try:
+            with self._engine_lock:
+                results = self.engine().run_many(inputs, cbs)
+        except Exception as exc:  # noqa: BLE001 — whole group errored
+            for task_id, task_dir, cancel, cb in live:
+                if not cancel.is_set():
+                    self._finish_error(task_id, task_dir, cb, exc)
+            return
+        for (task_id, task_dir, cancel, cb), (_, transcript, _) in zip(live, results):
+            if cancel.is_set():
+                logger.info("Task %s cancelled during grouped run", task_id)
+                continue
+            if transcript is None:
+                self._finish_error(task_id, task_dir, cb,
+                                   "Processing produced no transcript")
+            else:
+                self._finish_ok(task_id, task_dir, cb)
 
     # -------------------------------------------------------------- cancel
     def cancel(self, task_id: str) -> None:

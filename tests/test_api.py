@@ -297,12 +297,11 @@ def test_task_runner_cancel_cooperative(tmp_path):
     runner.start("t2", "x.wav")
     assert started.wait(5)
     runner.cancel("t2")
-    runner_thread_done = False
     for _ in range(100):
-        if not any(t["thread"].is_alive() for t in runner.active_tasks.values()):
-            runner_thread_done = True
+        if not runner.active_tasks:
             break
         _time.sleep(0.05)
+    _time.sleep(0.3)  # let the dispatcher notice the cancel
     task_dir = tmp_path / "t2"
     assert (task_dir / "cancelled.txt").exists()
     assert not (task_dir / "completed.txt").exists()
@@ -319,3 +318,42 @@ def test_concurrent_transcribe_requests(server):
     for up in ups:
         st = _wait_complete(server, up["task_id"])
         assert st["status"] == "completed", st
+
+
+def test_grouped_task_execution(tmp_path):
+    """_run_group: several queued tasks execute as one engine.run_many call
+    with full marker/result parity per task."""
+    import threading
+    from clearconverse_tpu.audio.wav import write_wav
+    from clearconverse_tpu.config import Config, TPUConfig
+    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+    from clearconverse_tpu.serve.tasks import TaskRunner
+
+    audio = synth_conversation()
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"g{i}.wav"
+        write_wav(str(p), audio, SR)
+        paths.append(str(p))
+
+    fake = FakeModels()
+    runner = TaskRunner(str(tmp_path / "out"),
+                        lambda: TranscriptionEngine(
+                            Config(noise_reduction_amount=0.0),
+                            TPUConfig(), models=fake))
+    group = [(f"t{i}", paths[i], threading.Event(), threading.Event())
+             for i in range(2)]
+    for tid, _, _, _ in group:
+        (tmp_path / "out" / tid).mkdir(parents=True, exist_ok=True)
+        (tmp_path / "out" / tid / "in_progress.txt").write_text("x")
+    runner._run_group(group)
+
+    for tid, _, _, _ in group:
+        tdir = tmp_path / "out" / tid
+        assert (tdir / "completed.txt").exists()
+        assert not (tdir / "in_progress.txt").exists()
+        assert (tdir / "transcript.txt").read_text().startswith("[SPEAKER_")
+        assert runner.result_store[tid]["status"] == "completed"
+    # Transcription batches were shared (one gen-0 call covers both files).
+    first_call_rows = len(fake.transcribe_calls[0])
+    assert first_call_rows >= 8  # both files' generation-0 items together
