@@ -13,7 +13,7 @@ import logging
 import os
 import shutil
 import subprocess
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 import numpy as np

@@ -21,7 +21,7 @@ from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
-from clearconverse_tpu.models.whisper import WhisperDims, model_dims, sinusoids
+from clearconverse_tpu.models.whisper import WhisperDims, model_dims
 
 
 def _np(t) -> np.ndarray:

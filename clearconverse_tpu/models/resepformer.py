@@ -21,7 +21,7 @@ decoder is a strided transposed conv, not a scatter.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

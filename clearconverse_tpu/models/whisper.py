@@ -21,7 +21,6 @@ Attention uses whisper's (d_head)^-0.25 scaling on both q and k.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

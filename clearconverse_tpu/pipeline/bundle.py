@@ -54,15 +54,13 @@ class ModelBundle:
 
         try:
             cb(10, "Loading separation model")
-            from clearconverse_tpu.models.resepformer import (
-                SepformerDims, init_sepformer_params)
-            from clearconverse_tpu.models.convert import load_torch_state_dict
             self._sepformer = self._load_sepformer()
 
             cb(40, "Loading Whisper model")
             from clearconverse_tpu.models.convert import load_whisper
             from clearconverse_tpu.models.tokenizer import load_tokenizer
             from clearconverse_tpu.models.whisper import init_whisper_params
+
             params, dims = load_whisper(self.model_dir, self.config.whisper_model_size)
             if params is None:
                 logger.warning("no whisper checkpoint in %s; using random init",

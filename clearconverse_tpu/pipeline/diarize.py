@@ -19,7 +19,7 @@ with (1, 2) speaker bounds.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import logging
 import re
 import tempfile
-from typing import Optional, Tuple
+from typing import Optional
 from urllib.parse import urlparse
 
 import requests

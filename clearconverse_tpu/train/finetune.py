@@ -11,7 +11,6 @@ FLOPs for HBM on long mel inputs.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -23,7 +22,7 @@ from clearconverse_tpu.models.whisper import (
     WhisperDims, decoder_forward, init_kv_cache, precompute_cross_kv,
     whisper_encode)
 from clearconverse_tpu.parallel.mesh import DATA_AXIS
-from clearconverse_tpu.parallel.sharding import whisper_param_spec, replicated_spec
+from clearconverse_tpu.parallel.sharding import whisper_param_spec
 
 
 @dataclasses.dataclass
