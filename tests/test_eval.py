@@ -128,3 +128,17 @@ def test_run_sweep_artifacts(tmp_path):
     csv_text = (sweep / "evaluation.csv").read_text()
     assert "Speaker Attribution Score (1-5)" in csv_text  # manual cols kept
     assert "WER" in csv_text
+
+
+def test_der_on_synthetic_diarization():
+    """End-to-end: the diarizer's output scores a low DER against the
+    synthetic conversation's known ground truth (incl. the overlap region)."""
+    from clearconverse_tpu.pipeline.diarize import diarize
+
+    audio = synth_conversation()
+    hyp = diarize(FakeModels(), audio, SR, 1, 2)
+    ref = [(0.0, 3.0, "L"), (3.5, 6.0, "H"), (6.2, 8.9, "L"),
+           (9.5, 11.5, "L"), (9.5, 11.5, "H")]
+    out = diarization_error_rate(ref, hyp, collar=0.25)
+    assert out["der"] < 0.25, out
+    assert out["total"] > 9.0

@@ -98,3 +98,34 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_inference_matches_single_device():
+    """Data-parallel greedy decode over the mesh == single-device decode."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from clearconverse_tpu.models.decoding import (
+        DecodeOptions, build_prompt_batch, greedy_decode)
+
+    dims = WhisperDims(n_mels=16, n_vocab=64, n_audio_ctx=16, n_audio_state=32,
+                       n_audio_head=4, n_audio_layer=1, n_text_ctx=16,
+                       n_text_state=32, n_text_head=4, n_text_layer=1)
+    params = init_whisper_params(jax.random.PRNGKey(0), dims)
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.standard_normal((8, 16, 32)).astype(np.float32) * 0.3)
+    opts = DecodeOptions(max_tokens=6, eot=63, suppress_blank=False)
+    toks, lens = build_prompt_batch([[1]] * 8, 1, pad_id=0)
+
+    single = greedy_decode(params, mel, jnp.asarray(toks), jnp.asarray(lens),
+                           dims, opts, 1)
+
+    mesh = build_mesh(data=4, model=2)
+    with mesh:
+        sp = shard_params(params, mesh)
+        data_sh = NamedSharding(mesh, P("data"))
+        mel_s = jax.device_put(mel, NamedSharding(mesh, P("data", None, None)))
+        toks_s = jax.device_put(jnp.asarray(toks), data_sh)
+        lens_s = jax.device_put(jnp.asarray(lens), data_sh)
+        sharded = greedy_decode(sp, mel_s, toks_s, lens_s, dims, opts, 1)
+    np.testing.assert_array_equal(np.asarray(single["tokens"]),
+                                  np.asarray(sharded["tokens"]))
