@@ -385,6 +385,10 @@ def decoder_forward(
             new_kv.append(kv)
 
     x = layer_norm(x, dec["ln"])
-    logits = jnp.dot(x.astype(jnp.float32), dec["tok"].T.astype(jnp.float32),
+    # Logits in compute_dtype with f32 accumulation: halves the per-step
+    # token-table read in bf16 mode (159 MB f32 otherwise); argmax margins
+    # dwarf bf16 noise. f32 mode is unchanged.
+    logits = jnp.dot(x.astype(compute_dtype),
+                     dec["tok"].T.astype(compute_dtype),
                      preferred_element_type=jnp.float32)
     return logits, new_kv
