@@ -261,10 +261,15 @@ class TranscriptionEngine:
                 embs = self._embed_many([seg_audio[i] for i in non_ov_idx], sr)
             needs_secondary: Dict[int, bool] = {}
             for i, emb in zip(non_ov_idx, embs):
+                if emb is None:   # too short to embed → no rescue (api.py:1407)
+                    needs_secondary[i] = False
+                    continue
                 prof = profiles.get(refined[i][2])
-                sim = self._cos(emb, prof) if (emb is not None and prof is not None) else None
-                needs_secondary[i] = (sim is not None
-                                      and sim < cfg.secondary_diarization_threshold)
+                # Reference semantics (api.py:1412-1414): a missing profile
+                # counts as similarity 0 → below threshold → secondary
+                # diarization (e.g. with use_speaker_embeddings=False).
+                sim = self._cos(emb, prof) if prof is not None else 0.0
+                needs_secondary[i] = sim < cfg.secondary_diarization_threshold
 
             # Secondary diarization (each call is itself batched internally).
             secondary: Dict[int, List[S.LabeledSegment]] = {}

@@ -254,3 +254,23 @@ def test_process_files_merges_transcription_batches(tmp_path):
     seq_calls = len(fake.transcribe_calls)
     assert merged_calls < seq_calls  # shared batches
     assert [[s.transcription for s in r["segments"]] for r in seq] == texts
+
+
+def test_profiles_disabled_triggers_secondary(tmp_path):
+    """use_speaker_embeddings=False → no profiles → every embeddable
+    non-overlap segment takes the secondary-diarization path (reference
+    api.py:1412-1414 treats a missing profile as similarity 0)."""
+    from clearconverse_tpu.audio.wav import write_wav
+    from clearconverse_tpu.config import Config, TPUConfig
+    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+
+    wav = tmp_path / "c.wav"
+    write_wav(str(wav), synth_conversation(), SR)
+    eng = TranscriptionEngine(
+        Config(noise_reduction_amount=0.0, use_speaker_embeddings=False),
+        TPUConfig(), models=FakeModels())
+    res = eng.process_file(str(wav))
+    assert res is not None and res["segments"]
+    # Secondary diarization relabels with its own clustering; segments exist
+    # and carry transcriptions regardless.
+    assert all(s.transcription for s in res["segments"])
