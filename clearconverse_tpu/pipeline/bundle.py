@@ -159,7 +159,11 @@ class ModelBundle:
         for p in prompts:
             ids = [sp.sot_prev] + tok.encode(p.strip())[-200:] if p.strip() else []
             prompt_lists.append(ids + [sp.sot, sp.no_timestamps])
-        max_p = max(len(p) for p in prompt_lists)
+        # Bucket the prompt length: max_prompt_len is a static jit arg, so
+        # arbitrary lengths would recompile the decode program per batch
+        # (minutes per shape on TPU). Buckets keep the shape set tiny.
+        need = max(len(p) for p in prompt_lists)
+        max_p = next(b for b in (4, 16, 64, 256) if b >= min(need, 256))
         toks, lens = build_prompt_batch(prompt_lists, max_p, pad_id=sp.eot)
 
         cdt = (jnp.bfloat16 if self.tpu.compute_dtype == "bfloat16"

