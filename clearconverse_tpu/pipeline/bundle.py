@@ -18,6 +18,16 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def _row_bucket(n: int) -> int:
+    """Next power-of-two row count: every device-facing batch pads to one of
+    a tiny set of shapes so jit programs compile once per (rows, length)
+    bucket instead of per request (minutes per shape on TPU)."""
+    b = 1
+    while b < n:
+        b *= 2
+    return b
+
+
 class ModelBundle:
     """Real TPU-backed bundle. Lazy: heavy jit compilation happens at first
     use per bucket shape; ``load_with_progress`` mirrors the reference's
@@ -148,6 +158,11 @@ class ModelBundle:
 
         params, dims, tok = self._whisper
         sp = tok.specials
+        n_real = len(prompts)
+        rows = _row_bucket(n_real)
+        if rows > n_real:
+            audio = np.pad(np.asarray(audio), ((0, rows - n_real), (0, 0)))
+            prompts = list(prompts) + [""] * (rows - n_real)
         if self.tpu.pad_to_full_window:
             target = 30 * 16000
         else:  # bucket-length windows: shorter encoder ctx, less cross-KV
@@ -222,15 +237,16 @@ class ModelBundle:
                     final_lengths[i] = lengths[i]
             if all(t is not None for t in texts):
                 break
-        out_texts = [t or "" for t in texts]
+        out_texts = [t or "" for t in texts][:n_real]
         if not word_timestamps:
             return out_texts
 
         from clearconverse_tpu.models.alignment import align_batch
         from clearconverse_tpu.models.whisper import whisper_encode
         feats = whisper_encode(params, mel, dims, cdt)
-        words = align_batch(params, tok, final_tokens, final_lengths,
-                            feats, dims, sot=sp.sot)
+        words = align_batch(params, tok, final_tokens[:n_real],
+                            final_lengths[:n_real], feats[:n_real], dims,
+                            sot=sp.sot)
         return out_texts, words
 
     def embed_batch(self, audio: np.ndarray,
@@ -239,11 +255,19 @@ class ModelBundle:
         self._ensure()
         import jax.numpy as jnp
         from clearconverse_tpu.models.ecapa import ecapa_embed
+        audio = np.asarray(audio, np.float32)
+        n_real = audio.shape[0]
+        rows = _row_bucket(n_real)
+        if rows > n_real:
+            audio = np.pad(audio, ((0, rows - n_real), (0, 0)))
+            if lengths is not None:
+                lengths = np.pad(np.asarray(lengths), (0, rows - n_real),
+                                 constant_values=1)
         lens = jnp.asarray(lengths) if lengths is not None else None
         from clearconverse_tpu.models.ecapa import EcapaDims
         dims = self._ecapa_dims or EcapaDims()
-        return np.asarray(ecapa_embed(self._ecapa, jnp.asarray(audio, jnp.float32),
-                                      lens, dims))
+        return np.asarray(ecapa_embed(self._ecapa, jnp.asarray(audio),
+                                      lens, dims))[:n_real]
 
     def segment_frames(self, audio: np.ndarray) -> np.ndarray:
         """[B, T] window chunks → [B, F, 3] per-frame speaker activities."""
@@ -251,10 +275,14 @@ class ModelBundle:
         import jax.numpy as jnp
         from clearconverse_tpu.models.pyannet import (
             PyannetDims, powerset_to_multilabel, pyannet_forward)
+        audio = np.asarray(audio, np.float32)
+        n_real = audio.shape[0]
+        rows = _row_bucket(n_real)
+        if rows > n_real:
+            audio = np.pad(audio, ((0, rows - n_real), (0, 0)))
         dims = self._pyannet_dims or PyannetDims()
-        logp = pyannet_forward(self._pyannet, jnp.asarray(audio, jnp.float32),
-                               dims)
-        return np.asarray(powerset_to_multilabel(logp))
+        logp = pyannet_forward(self._pyannet, jnp.asarray(audio), dims)
+        return np.asarray(powerset_to_multilabel(logp))[:n_real]
 
     @property
     def frame_hop_seconds(self) -> float:
@@ -267,7 +295,12 @@ class ModelBundle:
         import jax.numpy as jnp
         from clearconverse_tpu.models.resepformer import (
             SepformerDims, sepformer_separate)
+        audio = np.asarray(audio, np.float32)
+        n_real = audio.shape[0]
+        rows = _row_bucket(n_real)
+        if rows > n_real:
+            audio = np.pad(audio, ((0, rows - n_real), (0, 0)))
         dims = self._sepformer_dims or SepformerDims()
         return np.asarray(sepformer_separate(self._sepformer,
-                                             jnp.asarray(audio, jnp.float32),
-                                             dims))
+                                             jnp.asarray(audio),
+                                             dims))[:n_real]

@@ -114,3 +114,16 @@ def test_prompt_length_bucketing(bundle, rng):
         bundle.transcribe_batch(audio, ["hi"])
         bundle.transcribe_batch(audio, ["a slightly longer prompt here ok"])
     assert set(seen) <= {4, 16, 64, 256}
+
+
+def test_row_bucketing_all_paths(bundle, rng):
+    """Odd batch sizes pad to power-of-two rows; results slice back."""
+    audio3 = rng.standard_normal((3, 8000)).astype(np.float32) * 0.1
+    texts = bundle.transcribe_batch(audio3, ["a", "b", "c"])
+    assert len(texts) == 3
+    embs = bundle.embed_batch(audio3, np.asarray([8000, 4000, 8000]))
+    assert embs.shape[0] == 3
+    sep = bundle.separate_batch(audio3)
+    assert sep.shape[0] == 3
+    frames = bundle.segment_frames(audio3)
+    assert frames.shape[0] == 3
