@@ -134,6 +134,37 @@ class ModelBundle:
                 logger.warning("pyannet ckpt load failed (%s); using init", exc)
         return init_pyannet_params(jax.random.PRNGKey(3))
 
+    # ---------------------------------------------------------- checkpoints
+    def save_native(self, path: str) -> None:
+        """Persist all four model families as one orbax checkpoint (the
+        framework's own format; the reference has no equivalent — its
+        'checkpoints' are only the consumed ft overlays, SURVEY.md §5.4)."""
+        self._ensure()
+        from clearconverse_tpu.train.checkpoint import save_checkpoint
+        whisper_params, _, _ = self._whisper
+        save_checkpoint(path, {
+            "whisper": whisper_params,
+            "ecapa": self._ecapa,
+            "pyannet": self._pyannet,
+            "sepformer": self._sepformer,
+        })
+
+    def load_native(self, path: str) -> None:
+        """Restore a save_native checkpoint (dims/tokenizer from config)."""
+        import jax
+        from clearconverse_tpu.models.tokenizer import load_tokenizer
+        from clearconverse_tpu.models.whisper import model_dims
+        from clearconverse_tpu.train.checkpoint import load_checkpoint
+        payload = load_checkpoint(path)["params"]
+        dims = model_dims(self.config.whisper_model_size)
+        english = self.config.whisper_model_size.endswith(".en")
+        tok = load_tokenizer(self.model_dir, english=english)
+        self._whisper = (jax.device_put(payload["whisper"]), dims, tok)
+        self._ecapa = payload["ecapa"]
+        self._pyannet = payload["pyannet"]
+        self._sepformer = payload["sepformer"]
+        self._loaded = True
+
     # ------------------------------------------------------------- compute
     def _ensure(self):
         if not self._loaded:
