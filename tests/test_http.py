@@ -1,0 +1,146 @@
+"""Unit tests for the first-party HTTP/WS framework internals
+(serve/http.py): multipart parsing, route compilation, WebSocket frame
+codec, duplicate-route rule."""
+
+import asyncio
+import json
+import struct
+
+import pytest
+
+from clearconverse_tpu.serve.http import (
+    App, WebSocket, _compile_path, json_response, parse_multipart)
+
+
+# ---------------------------------------------------------------- multipart
+
+def _mp_body(boundary: str, parts):
+    out = b""
+    for headers, content in parts:
+        out += f"--{boundary}\r\n".encode() + headers + b"\r\n\r\n" + content + b"\r\n"
+    return out + f"--{boundary}--\r\n".encode()
+
+
+def test_parse_multipart_fields_and_files():
+    b = "XBOUNDARYX"
+    body = _mp_body(b, [
+        (b'Content-Disposition: form-data; name="url"', b"http://x/y.mp3"),
+        (b'Content-Disposition: form-data; name="file"; filename="a.wav"\r\n'
+         b"Content-Type: audio/wav", b"RIFF\x00\x01binary\r\ndata"),
+    ])
+    fields, files = parse_multipart(body, f'multipart/form-data; boundary={b}')
+    assert fields == {"url": "http://x/y.mp3"}
+    assert files["file"].filename == "a.wav"
+    assert files["file"].content_type == "audio/wav"
+    assert files["file"].content == b"RIFF\x00\x01binary\r\ndata"
+
+
+def test_parse_multipart_quoted_boundary():
+    b = "qq123"
+    body = _mp_body(b, [(b'Content-Disposition: form-data; name="k"', b"v")])
+    fields, _ = parse_multipart(body, f'multipart/form-data; boundary="{b}"')
+    assert fields == {"k": "v"}
+
+
+# ------------------------------------------------------------------ routing
+
+def test_compile_path_params():
+    pat = _compile_path("/task/{task_id}/status")
+    m = pat.match("/task/abc-123/status")
+    assert m and m.group("task_id") == "abc-123"
+    assert not pat.match("/task/a/b/status")
+
+    pat = _compile_path("/download/{file_path:path}")
+    m = pat.match("/download/tid/transcript.txt")
+    assert m and m.group("file_path") == "tid/transcript.txt"
+
+
+def test_duplicate_route_first_wins():
+    app = App()
+
+    @app.get("/x/{i}")
+    async def first(req):
+        return {"v": 1}
+
+    @app.get("/x/{i}")
+    async def second(req):
+        return {"v": 2}
+
+    handlers = [fn for m, p, fn in app._routes if m == "GET"]
+    assert len(handlers) == 1 and handlers[0] is first
+
+
+def test_json_response():
+    r = json_response({"a": 1}, 202)
+    assert r.status == 202
+    assert json.loads(r.body) == {"a": 1}
+    assert r.content_type == "application/json"
+
+
+# --------------------------------------------------------------- websocket
+
+class _Writer:
+    def __init__(self):
+        self.data = b""
+
+    def write(self, b):
+        self.data += b
+
+    async def drain(self):
+        pass
+
+
+def _mask(payload: bytes, mask: bytes) -> bytes:
+    return bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+
+
+def test_ws_send_and_receive_roundtrip():
+    async def run():
+        reader = asyncio.StreamReader()
+        writer = _Writer()
+        ws = WebSocket(reader, writer, {})
+
+        await ws.send_json({"progress": 42, "message": "hi"})
+        frame = writer.data
+        assert frame[0] == 0x81                      # FIN + text
+        n = frame[1] & 0x7F
+        assert json.loads(frame[2 : 2 + n]) == {"progress": 42, "message": "hi"}
+
+        # Client→server masked text frame.
+        payload = b'{"x":1}'
+        mask = b"\x01\x02\x03\x04"
+        reader.feed_data(bytes([0x81, 0x80 | len(payload)]) + mask
+                         + _mask(payload, mask))
+        # Ping: transparently answered with a pong.
+        reader.feed_data(bytes([0x89, 0x80 | 2]) + mask + _mask(b"pi", mask))
+        reader.feed_data(bytes([0x81, 0x80 | 2]) + mask + _mask(b"{}", mask))
+
+        writer.data = b""
+        assert await ws.receive_text() == '{"x":1}'
+        assert await ws.receive_text() == "{}"
+        assert writer.data[0] == 0x8A                # pong emitted
+
+        # Close frame → None.
+        reader.feed_data(bytes([0x88, 0x80]) + mask)
+        assert await ws.receive_text() is None
+        assert ws.closed
+
+    asyncio.run(run())
+
+
+def test_ws_extended_length_frames():
+    async def run():
+        reader = asyncio.StreamReader()
+        writer = _Writer()
+        ws = WebSocket(reader, writer, {})
+        payload = ("x" * 300).encode()
+        await ws.send_text(payload.decode())
+        assert writer.data[1] == 126
+        assert struct.unpack(">H", writer.data[2:4])[0] == 300
+
+        mask = b"\xaa\xbb\xcc\xdd"
+        reader.feed_data(bytes([0x81, 0x80 | 126]) + struct.pack(">H", 300)
+                         + mask + _mask(payload, mask))
+        assert await ws.receive_text() == payload.decode()
+
+    asyncio.run(run())
