@@ -65,11 +65,20 @@ def _file_activity(bundle, audio: np.ndarray, sr: int) -> Tuple[np.ndarray, floa
     return act.astype(np.float32), fhop
 
 
+def file_activity(bundle, audio: np.ndarray, sr: int):
+    """Public entry: one batched segmentation pass → (activity, frame_hop).
+    The engine computes this ONCE and feeds both VAD and diarization (the
+    reference runs two separate full-file neural passes, back/api.py:1311 +
+    1317)."""
+    return _file_activity(bundle, audio, sr)
+
+
 def vad_intervals(bundle, audio: np.ndarray, sr: int,
                   onset: float = 0.5, offset: float = 0.5,
-                  min_on: float = 0.1, min_off: float = 0.1) -> List[Interval]:
+                  min_on: float = 0.1, min_off: float = 0.1,
+                  activity=None) -> List[Interval]:
     """Voice activity = any-speaker activity (reference back/api.py:1311)."""
-    act, fhop = _file_activity(bundle, audio, sr)
+    act, fhop = activity if activity is not None else _file_activity(bundle, audio, sr)
     speech = act.max(axis=1) if act.size else np.zeros(0, np.float32)
     return binarize(speech, fhop, onset, offset, min_on, min_off)
 
@@ -77,9 +86,10 @@ def vad_intervals(bundle, audio: np.ndarray, sr: int,
 def diarize(bundle, audio: np.ndarray, sr: int,
             min_speakers: int = 1, max_speakers: int = 2,
             onset: float = 0.5, offset: float = 0.5,
-            cluster_threshold: float = 0.7) -> List[LabeledSegment]:
+            cluster_threshold: float = 0.7,
+            activity=None) -> List[LabeledSegment]:
     """Full diarization → chronologically sorted labeled segments."""
-    act, fhop = _file_activity(bundle, audio, sr)
+    act, fhop = activity if activity is not None else _file_activity(bundle, audio, sr)
     if act.size == 0:
         return []
 

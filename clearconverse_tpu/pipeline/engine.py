@@ -30,7 +30,7 @@ import numpy as np
 from clearconverse_tpu.config import Config, TPUConfig
 from clearconverse_tpu.pipeline import segments as S
 from clearconverse_tpu.pipeline.batching import batch_audio
-from clearconverse_tpu.pipeline.diarize import diarize, vad_intervals
+from clearconverse_tpu.pipeline.diarize import diarize, file_activity, vad_intervals
 
 logger = logging.getLogger(__name__)
 
@@ -221,10 +221,12 @@ class TranscriptionEngine:
             logger.info("Processing audio file: %.2f seconds", duration)
 
             with timer.stage("vad"):
-                vad = vad_intervals(self.models, audio, sr)
+                activity = file_activity(self.models, audio, sr)
+                vad = vad_intervals(self.models, audio, sr, activity=activity)
             with timer.stage("diarization"):
                 raw_segments = diarize(self.models, audio, sr,
-                                       cfg.min_speakers, cfg.max_speakers)
+                                       cfg.min_speakers, cfg.max_speakers,
+                                       activity=activity)
             logger.info("Diarization found %d raw segments", len(raw_segments))
 
             merged = S.merge_segments(raw_segments, cfg.merge_gap_threshold)
