@@ -51,6 +51,20 @@ def ensure_wav_format(file_path: str) -> str:
         return file_path
 
 
+# Length ladder (seconds): device programs compile per shape, so arbitrary
+# upload lengths would each pay a fresh multi-minute compile of the
+# resample/denoise programs. Audio pads to the next bucket (zeros are
+# masked out of the denoise statistics) and slices back after.
+_LEN_BUCKETS_S = (1, 2, 5, 10, 30, 60, 120, 300, 600, 1500)
+
+
+def _next_bucket(n: int, sr: int) -> int:
+    for s in _LEN_BUCKETS_S:
+        if n <= s * sr:
+            return s * sr
+    return -(-n // (300 * sr)) * (300 * sr)  # beyond ladder: 5-min multiples
+
+
 def load_audio(file_path: str, target_sr: int = TARGET_SR,
                noise_reduction_amount: float = 0.5,
                denoise: bool = True) -> Tuple[jnp.ndarray, int]:
@@ -58,14 +72,26 @@ def load_audio(file_path: str, target_sr: int = TARGET_SR,
 
     Reference semantics (back/api.py:799-838): stereo→mono mean, resample to
     16 kHz, stationary spectral-gate denoise, peak-normalize (+1e-8).
+    Shapes are bucketed (see _LEN_BUCKETS_S); outputs match the unbucketed
+    computation exactly for resample (zero tail padding both ways) and via
+    masked statistics for the gate.
     """
     file_path = ensure_wav_format(file_path)
-    samples, sr = read_wav(file_path)          # [C, T]
-    wave = jnp.asarray(samples.mean(axis=0))   # mono mean (api.py:823)
+    samples, sr = read_wav(file_path)              # [C, T]
+    mono = samples.mean(axis=0)                     # mono mean (api.py:823)
+    n_in = len(mono)
+    wave = jnp.asarray(np.pad(mono, (0, _next_bucket(n_in, sr) - n_in)))
+    n_out = n_in
     if sr != target_sr:
         wave = resample(wave, sr, target_sr)
+        import math
+        n_out = int(math.ceil(target_sr * n_in / sr))
     if denoise and noise_reduction_amount > 0:
-        wave = _denoise.spectral_gate(wave, target_sr, prop_decrease=noise_reduction_amount)
+        mask = (jnp.arange(wave.shape[-1]) < n_out).astype(jnp.float32)
+        wave = _denoise.spectral_gate(wave[None], target_sr,
+                                      prop_decrease=noise_reduction_amount,
+                                      mask=mask[None])[0]
+    wave = wave[:n_out]
     wave = _denoise.peak_normalize(wave)
     return wave, target_sr
 

@@ -205,3 +205,42 @@ def test_peak_normalize():
     x = jnp.asarray([0.0, 0.25, -0.5])
     y = np.asarray(peak_normalize(x))
     assert abs(y[2] + 1.0) < 1e-6
+
+
+def test_load_audio_bucketing_preserves_output(tmp_path, rng):
+    """Length-bucketed load_audio (shape discipline) slices back to the
+    exact content length and matches an unbucketed reference computation."""
+    from clearconverse_tpu.audio.decode import load_audio, _next_bucket
+    from clearconverse_tpu.audio.resample import resample as _resample
+    from clearconverse_tpu.audio.denoise import peak_normalize
+
+    assert _next_bucket(15999, 16000) == 16000
+    assert _next_bucket(16001, 16000) == 2 * 16000
+    assert _next_bucket(1501 * 16000, 16000) == 1800 * 16000
+
+    sr_in = 22050
+    x = np.clip(rng.standard_normal(int(1.3 * sr_in)) * 0.3, -0.99, 0.99).astype(np.float32)
+    p = str(tmp_path / "odd.wav")
+    wavmod.write_wav(p, x, sr_in)
+
+    wave, sr = load_audio(p, denoise=False)
+    assert sr == 16000
+    import math
+    expect_len = math.ceil(16000 * len(x) / sr_in)
+    assert wave.shape[-1] == expect_len
+
+    # Matches the unbucketed computation (zero tail padding is equivalent).
+    y, _ = wavmod.read_wav(p)
+    ref = _resample(jnp.asarray(y.mean(axis=0)), sr_in, 16000)
+    ref = peak_normalize(ref)
+    np.testing.assert_allclose(np.asarray(wave), np.asarray(ref), atol=1e-5)
+
+
+def test_load_audio_with_denoise_runs(tmp_path, rng):
+    from clearconverse_tpu.audio.decode import load_audio
+    x = np.clip(rng.standard_normal(20000) * 0.2, -0.99, 0.99).astype(np.float32)
+    p = str(tmp_path / "d.wav")
+    wavmod.write_wav(p, x, 16000)
+    wave, _ = load_audio(p, noise_reduction_amount=0.5)
+    assert wave.shape[-1] == 20000
+    assert np.isfinite(np.asarray(wave)).all()
