@@ -275,26 +275,28 @@ class TranscriptionEngine:
 
             # Secondary diarization (each call is itself batched internally).
             secondary: Dict[int, List[S.LabeledSegment]] = {}
-            for i, flagged in needs_secondary.items():
-                if not flagged:
-                    continue
-                s, e, _ = refined[i]
-                try:
-                    subs = diarize(self.models, seg_audio[i], sr, 1, 2)
-                    subs = S.merge_segments(subs, cfg.merge_gap_threshold) \
-                        if subs else [(0.0, e - s, "UNKNOWN")]
-                except Exception as exc:  # → UNKNOWN (back/api.py:1135-1137)
-                    logger.error("Secondary diarization failed: %s", exc)
-                    subs = [(0.0, e - s, "UNKNOWN")]
-                secondary[i] = subs
+            with timer.stage("secondary_diarization"):
+                for i, flagged in needs_secondary.items():
+                    if not flagged:
+                        continue
+                    s, e, _ = refined[i]
+                    try:
+                        subs = diarize(self.models, seg_audio[i], sr, 1, 2)
+                        subs = S.merge_segments(subs, cfg.merge_gap_threshold) \
+                            if subs else [(0.0, e - s, "UNKNOWN")]
+                    except Exception as exc:  # → UNKNOWN (back/api.py:1135-1137)
+                        logger.error("Secondary diarization failed: %s", exc)
+                        subs = [(0.0, e - s, "UNKNOWN")]
+                    secondary[i] = subs
 
             # Overlap resegmentation + separation (batched across segments).
             ov_idx = [i for i, ov in enumerate(is_overlap)
                       if ov and (refined[i][1] - refined[i][0]) >= cfg.min_segment_duration]
             mapped_profiles = {mapping.get(k, k): v for k, v in profiles.items()}
-            spans_per_seg = self._resegment_overlaps(
-                audio, sr, [(refined[i][0], refined[i][1]) for i in ov_idx],
-                mapped_profiles)
+            with timer.stage("overlap_reseg"):
+                spans_per_seg = self._resegment_overlaps(
+                    audio, sr, [(refined[i][0], refined[i][1]) for i in ov_idx],
+                    mapped_profiles)
 
             # Separate every overlap span in one batch; embed all sources in one.
             span_clips, span_meta = [], []   # (ov position, span)
@@ -303,14 +305,15 @@ class TranscriptionEngine:
                     span_clips.append(S.extract_segment(audio, ss, se, sr))
                     span_meta.append((pos, ss, se, sspk))
             sep_sources: List[Optional[np.ndarray]] = [None] * len(span_clips)
-            for idx, padded, lens in batch_audio(span_clips, sr,
-                                                 self.tpu.duration_buckets, 16):
-                try:
-                    sep = self.models.separate_batch(padded)  # [B,T,2]
-                    for row, j in enumerate(idx):
-                        sep_sources[j] = sep[row, : lens[row], :]
-                except Exception as exc:
-                    logger.error("Separation failed: %s", exc)
+            with timer.stage("separation"):
+                for idx, padded, lens in batch_audio(span_clips, sr,
+                                                     self.tpu.duration_buckets, 16):
+                    try:
+                        sep = self.models.separate_batch(padded)  # [B,T,2]
+                        for row, j in enumerate(idx):
+                            sep_sources[j] = sep[row, : lens[row], :]
+                    except Exception as exc:
+                        logger.error("Separation failed: %s", exc)
 
             src_clips, src_owner = [], []
             for j, sep in enumerate(sep_sources):
