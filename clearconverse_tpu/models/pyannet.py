@@ -199,6 +199,42 @@ def lstm_forward(p: Dict[str, jnp.ndarray], x: jnp.ndarray,
     return jnp.swapaxes(hs, 0, 1)
 
 
+def bilstm_forward(layer: Dict[str, Dict[str, jnp.ndarray]],
+                   x: jnp.ndarray) -> jnp.ndarray:
+    """Bidirectional layer as ONE scan: the backward direction rides along
+    as a time-reversed second 'direction' axis, halving the number of
+    sequential scans (the BiLSTM is the diarizer's wall-clock bottleneck on
+    TPU — scans serialize). Exactly equals fwd‖bwd lstm_forward (tested)."""
+    B, T, _ = x.shape
+    H = layer["fwd"]["w_hh"].shape[0]
+    w_hh = jnp.stack([layer["fwd"]["w_hh"], layer["bwd"]["w_hh"]])  # [2,H,4H]
+
+    xs = jnp.swapaxes(x, 0, 1)                         # [T,B,D]
+    xs2 = jnp.stack([xs, xs[::-1]])                    # [2,T,B,D]
+    proj = jnp.stack([
+        jnp.einsum("tbd,dh->tbh", xs, layer["fwd"]["w_ih"],
+                   preferred_element_type=jnp.float32) + layer["fwd"]["b"],
+        jnp.einsum("tbd,dh->tbh", xs[::-1], layer["bwd"]["w_ih"],
+                   preferred_element_type=jnp.float32) + layer["bwd"]["b"],
+    ])                                                 # [2,T,B,4H]
+    proj = jnp.swapaxes(proj, 0, 1)                    # [T,2,B,4H]
+
+    def step(carry, xp):
+        h, c = carry                                   # [2,B,H]
+        gates = xp + jnp.einsum("dbh,dhg->dbg", h, w_hh,
+                                preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (h, c), h
+
+    init = (jnp.zeros((2, B, H), x.dtype), jnp.zeros((2, B, H), x.dtype))
+    _, hs = jax.lax.scan(step, init, proj)             # [T,2,B,H]
+    fwd = jnp.swapaxes(hs[:, 0], 0, 1)                 # [B,T,H]
+    bwd = jnp.swapaxes(hs[::-1, 1], 0, 1)
+    return jnp.concatenate([fwd, bwd], axis=-1)
+
+
 def pyannet_forward(params: Dict[str, Any], audio: jnp.ndarray,
                     dims: PyannetDims = PyannetDims()) -> jnp.ndarray:
     """[B, T] waveform → [B, frames, n_classes] scores.
@@ -207,9 +243,7 @@ def pyannet_forward(params: Dict[str, Any], audio: jnp.ndarray,
     """
     x = sincnet_forward(params["sincnet"], audio, dims)
     for layer in params["lstm"]:
-        fwd = lstm_forward(layer["fwd"], x)
-        bwd = lstm_forward(layer["bwd"], x, reverse=True)
-        x = jnp.concatenate([fwd, bwd], axis=-1)
+        x = bilstm_forward(layer, x)
     for lin in params["linear"]:
         x = jax.nn.leaky_relu(x @ lin["w"] + lin["b"])
     x = x @ params["classifier"]["w"] + params["classifier"]["b"]

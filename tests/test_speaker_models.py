@@ -203,3 +203,20 @@ def test_pyannote_lstm_converter_matches_torch():
         bwd = lstm_forward(layer["bwd"], h, reverse=True)
         h = jnp.concatenate([fwd, bwd], axis=-1)
     np.testing.assert_allclose(np.asarray(h), want.numpy(), atol=1e-5)
+
+
+def test_bilstm_fused_matches_separate_scans(rng):
+    from clearconverse_tpu.models.pyannet import bilstm_forward
+
+    D, H, B, T = 5, 8, 3, 13
+    def lp():
+        return {"w_ih": jnp.asarray(rng.standard_normal((D, 4 * H)).astype(np.float32) * 0.3),
+                "w_hh": jnp.asarray(rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.3),
+                "b": jnp.asarray(rng.standard_normal(4 * H).astype(np.float32) * 0.1)}
+    layer = {"fwd": lp(), "bwd": lp()}
+    x = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+
+    fused = np.asarray(bilstm_forward(layer, x))
+    fwd = np.asarray(lstm_forward(layer["fwd"], x))
+    bwd = np.asarray(lstm_forward(layer["bwd"], x, reverse=True))
+    np.testing.assert_allclose(fused, np.concatenate([fwd, bwd], -1), atol=1e-5)
