@@ -234,5 +234,101 @@ def convert_speechbrain_sepformer(encoder_sd: Dict[str, Any],
         params["encoder"]["w"] = np_(encoder_sd["conv1d.weight"]).transpose(2, 1, 0)
     if "conv_tr.weight" in decoder_sd:  # torch ConvTranspose1d [in, out, k]
         params["decoder"]["w"] = np_(decoder_sd["conv_tr.weight"]).transpose(2, 0, 1)
-    # Masknet mapping is format-specific; unknown keys leave init values.
+    # Masknet: exact import for this framework's canonical triplet naming
+    # (sepformer_to_state_dicts); other formats keep init values until a
+    # reference checkpoint is available to pin speechbrain's exact names.
+    if "bottleneck.proj.weight" in masknet_sd:
+        params = _import_masknet(params, masknet_sd, np_)
     return params
+
+
+def _lin_in(sd, pre, np_):
+    p = {"w": np_(sd[f"{pre}.weight"]).T}
+    if f"{pre}.bias" in sd:
+        p["b"] = np_(sd[f"{pre}.bias"])
+    return p
+
+
+def _ln_in(sd, pre, np_):
+    return {"g": np_(sd[f"{pre}.weight"]), "b": np_(sd[f"{pre}.bias"])}
+
+
+def _import_masknet(params, sd, np_):
+    mn = params
+    mn["bottleneck"] = {"ln": _ln_in(sd, "bottleneck.norm", np_),
+                        "proj": _lin_in(sd, "bottleneck.proj", np_)}
+
+    def tf_layer(pre):
+        return {
+            "ln1": _ln_in(sd, f"{pre}.ln1", np_),
+            "attn": {"qkv": _lin_in(sd, f"{pre}.attn.qkv", np_),
+                     "out": _lin_in(sd, f"{pre}.attn.out", np_)},
+            "ln2": _ln_in(sd, f"{pre}.ln2", np_),
+            "ff": {"fc1": _lin_in(sd, f"{pre}.ff.fc1", np_),
+                   "fc2": _lin_in(sd, f"{pre}.ff.fc2", np_)},
+        }
+
+    repeats = []
+    r = 0
+    while f"repeats.{r}.intra_norm.weight" in sd:
+        intra, inter = [], []
+        i = 0
+        while f"repeats.{r}.intra.{i}.ln1.weight" in sd:
+            intra.append(tf_layer(f"repeats.{r}.intra.{i}"))
+            i += 1
+        i = 0
+        while f"repeats.{r}.inter.{i}.ln1.weight" in sd:
+            inter.append(tf_layer(f"repeats.{r}.inter.{i}"))
+            i += 1
+        repeats.append({
+            "intra": intra,
+            "intra_ln": _ln_in(sd, f"repeats.{r}.intra_norm", np_),
+            "inter": inter,
+            "inter_ln": _ln_in(sd, f"repeats.{r}.inter_norm", np_),
+        })
+        r += 1
+    mn["repeats"] = repeats
+    mn["mask_out"] = {"prelu_a": np_(sd["mask.prelu.weight"]).reshape(()),
+                      "proj": _lin_in(sd, "mask.proj", np_)}
+    return mn
+
+
+def sepformer_to_state_dicts(params: Dict[str, Any]):
+    """Export our params as the ckpt triplet (encoder, masknet, decoder)
+    state dicts in this framework's canonical naming — the reference's
+    resepformer-ft layout (back/api.py:727-746), round-trippable through
+    convert_speechbrain_sepformer."""
+    def t(x):
+        return np.asarray(x)
+
+    encoder_sd = {"conv1d.weight": t(params["encoder"]["w"]).transpose(2, 1, 0)}
+    # ours [k, in, out] -> torch ConvTranspose1d [in, out, k]
+    decoder_sd = {"conv_tr.weight": t(params["decoder"]["w"]).transpose(1, 2, 0)}
+
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_lin(pre, p):
+        sd[f"{pre}.weight"] = t(p["w"]).T
+        if "b" in p:
+            sd[f"{pre}.bias"] = t(p["b"])
+
+    def put_ln(pre, p):
+        sd[f"{pre}.weight"] = t(p["g"])
+        sd[f"{pre}.bias"] = t(p["b"])
+
+    put_ln("bottleneck.norm", params["bottleneck"]["ln"])
+    put_lin("bottleneck.proj", params["bottleneck"]["proj"])
+    for r, rep in enumerate(params["repeats"]):
+        for kind in ("intra", "inter"):
+            for i, lyr in enumerate(rep[kind]):
+                pre = f"repeats.{r}.{kind}.{i}"
+                put_ln(f"{pre}.ln1", lyr["ln1"])
+                put_lin(f"{pre}.attn.qkv", lyr["attn"]["qkv"])
+                put_lin(f"{pre}.attn.out", lyr["attn"]["out"])
+                put_ln(f"{pre}.ln2", lyr["ln2"])
+                put_lin(f"{pre}.ff.fc1", lyr["ff"]["fc1"])
+                put_lin(f"{pre}.ff.fc2", lyr["ff"]["fc2"])
+            put_ln(f"repeats.{r}.{kind}_norm", rep[f"{kind}_ln"])
+    sd["mask.prelu.weight"] = t(params["mask_out"]["prelu_a"]).reshape(1)
+    put_lin("mask.proj", params["mask_out"]["proj"])
+    return encoder_sd, sd, decoder_sd
