@@ -123,10 +123,16 @@ def run_sweep(audio_files: Sequence[str],
         for af in audio_files:
             run_dir = out / f"config_{ci:02d}" / Path(af).stem
             run_dir.mkdir(parents=True, exist_ok=True)
+            if not engine.models_are_loaded():
+                engine.load_models_with_progress()
             t0 = time.perf_counter()
-            _, transcript, _ = engine.run(af, str(run_dir), debug_mode=False)
+            res = engine.process_file(af)
             wall = time.perf_counter() - t0
-            transcript = transcript or ""
+            transcript = ""
+            if res is not None:
+                transcript, _ = engine._write_outputs(
+                    res, str(run_dir), False, lambda *_: None)
+                transcript = transcript or ""
             from clearconverse_tpu.audio.wav import read_wav
             samples, sr = read_wav(af) if af.lower().endswith(".wav") else (None, 16000)
             dur = samples.shape[-1] / sr if samples is not None else 0.0
@@ -138,12 +144,10 @@ def run_sweep(audio_files: Sequence[str],
                     line for line in transcript.split("\n")
                     if line and not line.startswith("["))
                 rr.wer = word_error_rate(ground_truth_text[af], hyp_text)
-            if ground_truth_rttm and af in ground_truth_rttm:
-                res = engine.process_file(af)
-                if res:
-                    rr.der = diarization_error_rate(
-                        load_reference_rttm(ground_truth_rttm[af]),
-                        _segments_from_result(res))["der"]
+            if ground_truth_rttm and af in ground_truth_rttm and res:
+                rr.der = diarization_error_rate(
+                    load_reference_rttm(ground_truth_rttm[af]),
+                    _segments_from_result(res))["der"]
             results.append(rr)
     _write_artifacts(out, results)
     return results
