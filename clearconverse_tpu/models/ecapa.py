@@ -105,7 +105,6 @@ def init_ecapa_params(key: jax.Array, dims: EcapaDims = EcapaDims()) -> Dict[str
             "conv_out": _conv_init(next(keys), 1, C, C), "bn_out": _bn_init(C),
             "se": {"fc1": _conv_init(next(keys), 1, C, dims.attention_channels),
                    "fc2": _conv_init(next(keys), 1, dims.attention_channels, C)},
-            "dilation": d,
         }
         p["blocks"].append(blk)
     return p
@@ -145,7 +144,7 @@ def _se_block(x, p, mask):
     return x * s
 
 
-def _res2_block(x, blk, mask):
+def _res2_block(x, blk, mask, dilation):
     S = len(blk["res2"]) + 1
     y = jax.nn.relu(_bn(_conv(x, blk["conv_in"]), blk["bn_in"]))
     chunks = jnp.split(y, S, axis=-1)
@@ -153,7 +152,7 @@ def _res2_block(x, blk, mask):
     prev = None
     for i in range(1, S):
         h = chunks[i] if prev is None else chunks[i] + prev
-        h = jax.nn.relu(_bn(_conv(h, blk["res2"][i - 1], blk["dilation"]),
+        h = jax.nn.relu(_bn(_conv(h, blk["res2"][i - 1], dilation),
                             blk["res2_bn"][i - 1]))
         outs.append(h)
         prev = h
@@ -184,8 +183,8 @@ def ecapa_embed(params: Dict[str, Any], audio: jnp.ndarray,
     x = jax.nn.relu(_bn(_conv(feats, params["conv1"]), params["bn1"]))
     x = x * mask[..., None]  # keep padding inert through the conv stack
     feats_out: List[jnp.ndarray] = []
-    for blk in params["blocks"]:
-        x = _res2_block(x, blk, mask) * mask[..., None]
+    for blk, dilation in zip(params["blocks"], dims.dilations):
+        x = _res2_block(x, blk, mask, dilation) * mask[..., None]
         feats_out.append(x)
     x = jax.nn.relu(_conv(jnp.concatenate(feats_out, axis=-1), params["mfa"]))
 
@@ -239,7 +238,7 @@ def convert_speechbrain_ecapa(sd: Dict[str, Any],
         "asp_bn": bn("asp_bn.norm"),
         "fc": conv("fc.conv.conv"),
     }
-    for bi, dil in zip(range(1, 4), dims.dilations):
+    for bi in range(1, 4):
         pre = f"blocks.{bi}"
         blk = {
             "conv_in": conv(f"{pre}.tdnn1.conv.conv"),
@@ -252,7 +251,6 @@ def convert_speechbrain_ecapa(sd: Dict[str, Any],
             "bn_out": bn(f"{pre}.tdnn2.norm.norm"),
             "se": {"fc1": conv(f"{pre}.se_block.conv1"),
                    "fc2": conv(f"{pre}.se_block.conv2")},
-            "dilation": dil,
         }
         p["blocks"].append(blk)
     return p

@@ -48,6 +48,12 @@ class ModelBundle:
         self._ecapa_dims = None
         self._pyannet_dims = None
         self._sepformer_dims = None
+        # Jitted device programs, built lazily per dims (un-jitted eager
+        # dispatch costs ~30-100 ms per op over the device tunnel — measured
+        # 10.7 s vs 27.6 ms for one segmentation batch).
+        self._jit_embed = None
+        self._jit_segment = None
+        self._jit_separate = None
 
     # ---------------------------------------------------------------- load
     def models_are_loaded(self) -> bool:
@@ -291,14 +297,18 @@ class ModelBundle:
         rows = _row_bucket(n_real)
         if rows > n_real:
             audio = np.pad(audio, ((0, rows - n_real), (0, 0)))
-            if lengths is not None:
-                lengths = np.pad(np.asarray(lengths), (0, rows - n_real),
-                                 constant_values=1)
-        lens = jnp.asarray(lengths) if lengths is not None else None
+        if lengths is None:
+            lengths = np.full(n_real, audio.shape[1], np.int64)
+        lengths = np.pad(np.asarray(lengths), (0, rows - n_real),
+                         constant_values=1)
         from clearconverse_tpu.models.ecapa import EcapaDims
         dims = self._ecapa_dims or EcapaDims()
-        return np.asarray(ecapa_embed(self._ecapa, jnp.asarray(audio),
-                                      lens, dims))[:n_real]
+        if self._jit_embed is None:
+            import jax
+            self._jit_embed = jax.jit(
+                lambda p, a, l: ecapa_embed(p, a, l, dims))
+        return np.asarray(self._jit_embed(self._ecapa, jnp.asarray(audio),
+                                          jnp.asarray(lengths)))[:n_real]
 
     def segment_frames(self, audio: np.ndarray) -> np.ndarray:
         """[B, T] window chunks → [B, F, 3] per-frame speaker activities."""
@@ -312,8 +322,12 @@ class ModelBundle:
         if rows > n_real:
             audio = np.pad(audio, ((0, rows - n_real), (0, 0)))
         dims = self._pyannet_dims or PyannetDims()
-        logp = pyannet_forward(self._pyannet, jnp.asarray(audio), dims)
-        return np.asarray(powerset_to_multilabel(logp))[:n_real]
+        if self._jit_segment is None:
+            import jax
+            self._jit_segment = jax.jit(
+                lambda p, a: powerset_to_multilabel(pyannet_forward(p, a, dims)))
+        return np.asarray(self._jit_segment(self._pyannet,
+                                            jnp.asarray(audio)))[:n_real]
 
     @property
     def frame_hop_seconds(self) -> float:
@@ -332,6 +346,9 @@ class ModelBundle:
         if rows > n_real:
             audio = np.pad(audio, ((0, rows - n_real), (0, 0)))
         dims = self._sepformer_dims or SepformerDims()
-        return np.asarray(sepformer_separate(self._sepformer,
-                                             jnp.asarray(audio),
-                                             dims))[:n_real]
+        if self._jit_separate is None:
+            import jax
+            self._jit_separate = jax.jit(
+                lambda p, a: sepformer_separate(p, a, dims))
+        return np.asarray(self._jit_separate(self._sepformer,
+                                             jnp.asarray(audio)))[:n_real]
