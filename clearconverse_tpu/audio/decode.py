@@ -88,9 +88,8 @@ def load_audio(file_path: str, target_sr: int = TARGET_SR,
         n_out = int(math.ceil(target_sr * n_in / sr))
     if denoise and noise_reduction_amount > 0:
         mask = (jnp.arange(wave.shape[-1]) < n_out).astype(jnp.float32)
-        wave = _denoise.spectral_gate(wave[None], target_sr,
-                                      prop_decrease=noise_reduction_amount,
-                                      mask=mask[None])[0]
+        wave = _denoise.spectral_gate_jit(wave[None], noise_reduction_amount,
+                                          mask[None], sr=target_sr)[0]
     wave = wave[:n_out]
     wave = _denoise.peak_normalize(wave)
     return wave, target_sr

@@ -120,6 +120,18 @@ def spectral_gate(audio: jnp.ndarray, sr: int = 16000,
     return out[0] if squeeze else out
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("sr",))
+def spectral_gate_jit(audio: jnp.ndarray, prop_decrease: jnp.ndarray,
+                      mask: jnp.ndarray, sr: int = 16000) -> jnp.ndarray:
+    """Jitted batched gate (eager dispatch costs ~30-100 ms/op over the
+    device tunnel; the gate is ~25 ops). prop_decrease is traced so one
+    program serves every config value."""
+    return spectral_gate(audio, sr, prop_decrease, mask)
+
+
 def peak_normalize(audio: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
     """Peak normalization with the reference's epsilon (back/api.py:835)."""
     peak = jnp.max(jnp.abs(audio), axis=-1, keepdims=True)

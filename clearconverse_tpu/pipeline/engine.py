@@ -96,15 +96,15 @@ class TranscriptionEngine:
             return {}
 
         # Batched denoise (device) then batched embed.
-        from clearconverse_tpu.audio.denoise import spectral_gate, peak_normalize
+        from clearconverse_tpu.audio.denoise import spectral_gate_jit, peak_normalize
         import jax.numpy as jnp
         denoised: List[np.ndarray] = []
         for idx, padded, lens in batch_audio([c for _, c, _ in flat], sr,
                                              self.tpu.duration_buckets, 32):
             mask = (np.arange(padded.shape[1])[None, :] < lens[:, None]).astype(np.float32)
-            clean = spectral_gate(jnp.asarray(padded), sr,
-                                  self.config.noise_reduction_amount,
-                                  jnp.asarray(mask))
+            clean = spectral_gate_jit(jnp.asarray(padded),
+                                      self.config.noise_reduction_amount,
+                                      jnp.asarray(mask), sr=sr)
             clean = np.asarray(peak_normalize(clean))
             for row, j in enumerate(idx):
                 denoised.append((j, clean[row, : lens[row]]))
