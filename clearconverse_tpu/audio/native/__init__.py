@@ -6,6 +6,7 @@ unpacking/interleaving for large uploads."""
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import logging
 import os
 import subprocess
@@ -17,17 +18,29 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 _SRC = os.path.join(os.path.dirname(__file__), "wavcodec.cc")
-_LIB_PATH = os.path.join(os.path.dirname(__file__), "libwavcodec.so")
+_CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache", "cc_tpu_native")
 _lock = threading.Lock()
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", _LIB_PATH, _SRC]
+def _lib_path() -> str:
+    # Cache keyed on a content hash of the source: git does not preserve
+    # mtimes, so an mtime comparison against a prebuilt binary is
+    # checkout-order-dependent (ADVICE r1). A source edit changes the hash
+    # and forces a rebuild; no binary is ever committed.
+    with open(_SRC, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    return os.path.join(_CACHE_DIR, f"libwavcodec-{digest}.so")
+
+
+def _build(lib_path: str) -> bool:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    tmp = lib_path + f".tmp{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", tmp, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, lib_path)  # atomic vs concurrent builders
         return True
     except (subprocess.SubprocessError, OSError) as exc:
         logger.warning("wavcodec build failed: %s", exc)
@@ -41,12 +54,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) or (
-                os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
-            if not _build():
-                return None
+        lib_path = _lib_path()
+        if not os.path.exists(lib_path) and not _build(lib_path):
+            return None
         try:
-            lib = ctypes.CDLL(_LIB_PATH)
+            lib = ctypes.CDLL(lib_path)
         except OSError as exc:
             logger.warning("wavcodec load failed: %s", exc)
             return None

@@ -68,6 +68,18 @@ class TPUConfig:
     # Temperature-fallback ladder length (whisper retries degenerate/low-
     # confidence rows at hotter temperatures; 1 disables fallback).
     max_fallback_attempts: int = 3
+    # Independent samples drawn per row on sampling rungs (temperature > 0)
+    # of the fallback ladder, best kept by avg logprob — whisper's
+    # ``best_of`` (DecodingOptions default 5). Applies to retry rungs; the
+    # first rung decodes one sample per row so the common all-rows-pass case
+    # costs no extra compute.
+    best_of: int = 5
+    # Whisper's silence skip rule (transcribe defaults): a row is emitted
+    # empty when no_speech_prob > no_speech_threshold AND its avg logprob
+    # fails logprob_threshold (back/api.py:1286-1296 inherits this via
+    # whisper_model.transcribe).
+    no_speech_threshold: float = 0.6
+    logprob_threshold: float = -1.0
     # Pad every segment to whisper's full 30 s window (reference-exact
     # numerics). False = pad only to the duration bucket: 3-6x less encoder
     # compute + cross-KV streaming for short segments, at a small quality
@@ -79,6 +91,33 @@ class TPUConfig:
     compute_dtype: str = "bfloat16"
     # Run all Pallas kernels in interpreter mode (CPU testing).
     pallas_interpret: bool = False
+    # Segmentation binarization hysteresis (pyannote pipeline hyperparams;
+    # None = the 0.5 defaults). Lowered values make segments emerge from
+    # random-init weights — used by bench.py --engine and validation runs.
+    diarization_onset: Optional[float] = None
+    diarization_offset: Optional[float] = None
+
+
+def tpu_config_from_env(env: Optional[dict] = None) -> "TPUConfig":
+    """TPUConfig with ``CC_TPU_*`` environment overrides — the serving
+    entry point's way to select mesh axes and decode knobs without code
+    changes (no reference counterpart; these knobs are TPU-new)."""
+    src = env if env is not None else os.environ
+    kw = {}
+    for var, field, cast in (
+        ("CC_TPU_DATA_AXIS", "data_axis", int),
+        ("CC_TPU_MODEL_AXIS", "model_axis", int),
+        ("CC_TPU_CROSS_KV_BITS", "cross_kv_bits", int),
+        ("CC_TPU_MAX_FALLBACK", "max_fallback_attempts", int),
+        ("CC_TPU_BEST_OF", "best_of", int),
+        ("CC_TPU_COMPUTE_DTYPE", "compute_dtype", str),
+        ("CC_TPU_PAD_FULL_WINDOW", "pad_to_full_window",
+         lambda v: v not in ("0", "false", "False")),
+    ):
+        raw = src.get(var)
+        if raw not in (None, ""):
+            kw[field] = cast(raw)
+    return TPUConfig(**kw)
 
 
 def parse_env_file(path: str) -> dict:

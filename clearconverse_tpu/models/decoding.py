@@ -47,6 +47,12 @@ class DecodeOptions:
     # lax.scan over stacked decoder layers: ~12x fewer instructions per
     # decode step (models/whisper.stack_decoder).
     scan_layers: bool = False
+    # <|nospeech|> token id; when >= 0, greedy_decode also returns
+    # ``no_speech_prob`` — softmax probability of this token read from the
+    # raw (pre-suppression) prefill logits at the SOT slot, exactly where
+    # openai-whisper's DecodingTask reads it. The prompt layout fixes the
+    # SOT input at slot P-2 (prompts always end [sot, notimestamps]).
+    no_speech_token: int = -1
 
     @property
     def int8_cross_kv(self) -> bool:  # back-compat alias
@@ -98,8 +104,9 @@ def greedy_decode(
     rng: Optional[jax.Array] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Whole pipeline: encode → prefill → token loop. Returns
-    {"tokens": [B, max_tokens], "lengths": [B], "sum_logprob": [B]}.
-    ``tokens`` is EOT-padded after each row's end."""
+    {"tokens": [B, max_tokens], "lengths": [B], "sum_logprob": [B],
+    "no_speech_prob": [B]} — ``tokens`` is EOT-padded after each row's end;
+    ``no_speech_prob`` is zeros unless opts.no_speech_token is set."""
     B, P = prompt_tokens.shape
     max_len = max_prompt_len + opts.max_tokens
     cdt = opts.compute_dtype
@@ -127,6 +134,15 @@ def greedy_decode(
         params, prompt_tokens, positions, jnp.int32(0), self_kv, cross_kv,
         prefill_mask, None, dims, cdt)
     last_logits = logits[:, -1, :]                        # position P-1 = last real token
+
+    if opts.no_speech_token >= 0:
+        # Whisper's silence signal: P(no_speech) from the raw logits at the
+        # SOT input slot (openai-whisper DecodingTask._main_loop reads
+        # logits[:, sot_index]); our layout pins SOT at slot P-2.
+        sot_logits = logits[:, P - 2, :].astype(jnp.float32)
+        no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, opts.no_speech_token]
+    else:
+        no_speech_prob = jnp.zeros((B,), jnp.float32)
 
     first = _suppress(last_logits, opts, jnp.bool_(True))
     logp0 = jax.nn.log_softmax(first, axis=-1)
@@ -156,11 +172,16 @@ def greedy_decode(
         lg = _suppress(logits[:, 0, :], opts, jnp.bool_(False))
         logp = jax.nn.log_softmax(lg, axis=-1)
         nxt = _pick(lg, opts, rng, step)
-        nxt = jnp.where(finished, opts.eot, nxt)
-        slp = slp + jnp.where(finished, 0.0,
+        # openai-whisper caps sample_len so prompt+generation <= n_text_ctx;
+        # rows whose prompt is long enough to hit the context end force-finish
+        # instead of silently reusing the last positional embedding.
+        ctx_full = (prompt_lens + step) >= dims.n_text_ctx
+        done = finished | ctx_full
+        nxt = jnp.where(done, opts.eot, nxt)
+        slp = slp + jnp.where(done, 0.0,
                               jnp.take_along_axis(logp, nxt[:, None], 1)[:, 0])
         tokens = tokens.at[:, step].set(nxt)
-        finished = finished | (nxt == opts.eot)
+        finished = done | (nxt == opts.eot)
         return step + 1, tokens, kv, finished, slp, nxt
 
     _, tokens, _, finished, slp, _ = jax.lax.while_loop(
@@ -168,4 +189,5 @@ def greedy_decode(
 
     lengths = jnp.argmax(tokens == opts.eot, axis=1)
     lengths = jnp.where(jnp.any(tokens == opts.eot, axis=1), lengths, opts.max_tokens)
-    return {"tokens": tokens, "lengths": lengths, "sum_logprob": slp}
+    return {"tokens": tokens, "lengths": lengths, "sum_logprob": slp,
+            "no_speech_prob": no_speech_prob}

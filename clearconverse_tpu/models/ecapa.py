@@ -87,9 +87,11 @@ def init_ecapa_params(key: jax.Array, dims: EcapaDims = EcapaDims()) -> Dict[str
         "bn1": _bn_init(C),
         "blocks": [],
         "mfa": _conv_init(next(keys), 1, 3 * C, dims.mfa_channels),
+        "mfa_bn": _bn_init(dims.mfa_channels),
         "asp": {
             "conv1": _conv_init(next(keys), 1, 3 * dims.mfa_channels,
                                 dims.attention_channels),
+            "bn1": _bn_init(dims.attention_channels),
             "conv2": _conv_init(next(keys), 1, dims.attention_channels,
                                 dims.mfa_channels),
         },
@@ -126,13 +128,20 @@ def _bn(x, p, eps=1e-5):
     return (x - p["mean"]) * inv * p["g"] + p["b"]
 
 
+def _tdnn(x, conv_p, bn_p, dilation=1):
+    """speechbrain TDNNBlock semantics: conv → ReLU → BatchNorm (in that
+    order — norm LAST, ECAPA_TDNN.py TDNNBlock.forward)."""
+    return _bn(jax.nn.relu(_conv(x, conv_p, dilation)), bn_p)
+
+
 def _masked_mean_std(x, mask, eps=1e-12):
     """x [B,T,C], mask [B,T] → (mean, std) over valid frames."""
     m = mask[..., None]
     denom = jnp.maximum(jnp.sum(m, axis=1), 1.0)
     mean = jnp.sum(x * m, axis=1) / denom
     var = jnp.sum((x - mean[:, None, :]) ** 2 * m, axis=1) / denom
-    return mean, jnp.sqrt(var + eps)
+    # speechbrain _compute_statistics: sqrt(clamp(var, eps)).
+    return mean, jnp.sqrt(jnp.maximum(var, eps))
 
 
 def _se_block(x, p, mask):
@@ -146,18 +155,17 @@ def _se_block(x, p, mask):
 
 def _res2_block(x, blk, mask, dilation):
     S = len(blk["res2"]) + 1
-    y = jax.nn.relu(_bn(_conv(x, blk["conv_in"]), blk["bn_in"]))
+    y = _tdnn(x, blk["conv_in"], blk["bn_in"])
     chunks = jnp.split(y, S, axis=-1)
     outs = [chunks[0]]
     prev = None
     for i in range(1, S):
         h = chunks[i] if prev is None else chunks[i] + prev
-        h = jax.nn.relu(_bn(_conv(h, blk["res2"][i - 1], dilation),
-                            blk["res2_bn"][i - 1]))
+        h = _tdnn(h, blk["res2"][i - 1], blk["res2_bn"][i - 1], dilation)
         outs.append(h)
         prev = h
     y = jnp.concatenate(outs, axis=-1)
-    y = jax.nn.relu(_bn(_conv(y, blk["conv_out"]), blk["bn_out"]))
+    y = _tdnn(y, blk["conv_out"], blk["bn_out"])
     y = _se_block(y, blk["se"], mask)
     return x + y
 
@@ -180,21 +188,24 @@ def ecapa_embed(params: Dict[str, Any], audio: jnp.ndarray,
     feats = fbank(audio, dims.n_mels, frame_mask=mask)     # [B, F, mels]
     feats = feats * mask[..., None]
 
-    x = jax.nn.relu(_bn(_conv(feats, params["conv1"]), params["bn1"]))
+    x = _tdnn(feats, params["conv1"], params["bn1"])
     x = x * mask[..., None]  # keep padding inert through the conv stack
     feats_out: List[jnp.ndarray] = []
     for blk, dilation in zip(params["blocks"], dims.dilations):
         x = _res2_block(x, blk, mask, dilation) * mask[..., None]
         feats_out.append(x)
-    x = jax.nn.relu(_conv(jnp.concatenate(feats_out, axis=-1), params["mfa"]))
+    x = _tdnn(jnp.concatenate(feats_out, axis=-1), params["mfa"],
+              params["mfa_bn"])
 
-    # Attentive statistics pooling with global context.
+    # Attentive statistics pooling with global context (speechbrain ASP:
+    # TDNNBlock → tanh → conv for the attention scores).
     mean, std = _masked_mean_std(x, mask)
-    Fdim = x.shape[1]
     ctx = jnp.concatenate(
         [x, jnp.broadcast_to(mean[:, None, :], x.shape),
          jnp.broadcast_to(std[:, None, :], x.shape)], axis=-1)
-    attn = _conv(jnp.tanh(_conv(ctx, params["asp"]["conv1"])), params["asp"]["conv2"])
+    attn = _conv(jnp.tanh(_tdnn(ctx, params["asp"]["conv1"],
+                                params["asp"]["bn1"])),
+                 params["asp"]["conv2"])
     attn = jnp.where(mask[..., None] > 0, attn, -1e9)
     attn = jax.nn.softmax(attn, axis=1)
     amean = jnp.sum(attn * x, axis=1)
@@ -233,7 +244,9 @@ def convert_speechbrain_ecapa(sd: Dict[str, Any],
         "bn1": bn("blocks.0.norm.norm"),
         "blocks": [],
         "mfa": conv("mfa.conv.conv"),
+        "mfa_bn": bn("mfa.norm.norm"),
         "asp": {"conv1": conv("asp.tdnn.conv.conv"),
+                "bn1": bn("asp.tdnn.norm.norm"),
                 "conv2": conv("asp.conv.conv")},
         "asp_bn": bn("asp_bn.norm"),
         "fc": conv("fc.conv.conv"),

@@ -54,6 +54,67 @@ class ModelBundle:
         self._jit_embed = None
         self._jit_segment = None
         self._jit_separate = None
+        # Per-call sampling seed: whisper's fallback rungs draw fresh
+        # randomness every decode; a fixed key would retry every batch with
+        # identical samples (VERDICT r1).
+        self._decode_seed = 0
+        # Multi-chip serving (SURVEY.md §2.5/§5.8 new design): when
+        # TPUConfig.data_axis * model_axis > 1, a device mesh shards every
+        # batched program — whisper params megatron-style over ``model``,
+        # batch rows over ``data`` — and XLA inserts the ICI collectives.
+        self._mesh = None
+        self._mesh_built = False
+        self._whisper_placed = False
+        self._aux_placed = False
+
+    # ----------------------------------------------------------------- mesh
+    @property
+    def mesh(self):
+        """Device mesh from TPUConfig axes; None for the 1x1 (single-chip)
+        configuration. Built lazily so tests can inject models first."""
+        if not self._mesh_built:
+            self._mesh_built = True
+            if self.tpu.data_axis * self.tpu.model_axis > 1:
+                from clearconverse_tpu.parallel.mesh import build_mesh
+                self._mesh = build_mesh(data=self.tpu.data_axis,
+                                        model=self.tpu.model_axis)
+        return self._mesh
+
+    def _rows(self, n: int) -> int:
+        """Row bucket, rounded up so the data axis divides it evenly."""
+        rows = _row_bucket(n)
+        d = self.tpu.data_axis
+        if d > 1 and rows % d:
+            rows = -(-rows // d) * d
+        return max(rows, d)
+
+    def _put_data(self, arr):
+        """Commit a batch array to the mesh, leading axis over ``data``
+        (no-op placement on the 1x1 config)."""
+        import jax
+        import jax.numpy as jnp
+        arr = jnp.asarray(arr)
+        if self.mesh is None:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        spec = P("data", *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+    def _place_aux(self) -> None:
+        """Replicate the non-whisper model params across the mesh (they are
+        small; data-parallel batches need a copy per device)."""
+        if self._aux_placed or self.mesh is None:
+            self._aux_placed = True
+            return
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rep = NamedSharding(self.mesh, P())
+        for name in ("_ecapa", "_pyannet", "_sepformer"):
+            tree = getattr(self, name)
+            if tree is not None:
+                setattr(self, name,
+                        jax.tree.map(lambda x: jax.device_put(x, rep), tree))
+        self._aux_placed = True
 
     # ---------------------------------------------------------------- load
     def models_are_loaded(self) -> bool:
@@ -194,9 +255,14 @@ class ModelBundle:
             DecodeOptions, build_prompt_batch, greedy_decode)
 
         params, dims, tok = self._whisper
+        if self.mesh is not None and not self._whisper_placed:
+            from clearconverse_tpu.parallel.sharding import shard_params
+            params = shard_params(params, self.mesh)
+            self._whisper = (params, dims, tok)
+        self._whisper_placed = True
         sp = tok.specials
         n_real = len(prompts)
-        rows = _row_bucket(n_real)
+        rows = self._rows(n_real)
         if rows > n_real:
             audio = np.pad(np.asarray(audio), ((0, rows - n_real), (0, 0)))
             prompts = list(prompts) + [""] * (rows - n_real)
@@ -204,12 +270,19 @@ class ModelBundle:
             target = 30 * 16000
         else:  # bucket-length windows: shorter encoder ctx, less cross-KV
             target = min(-(-audio.shape[1] // 16000) * 16000, 30 * 16000)
-        audio = pad_or_trim(jnp.asarray(audio, jnp.float32), target)
+        audio = self._put_data(pad_or_trim(jnp.asarray(audio, jnp.float32),
+                                           target))
         mel = log_mel_auto(audio)
 
+        # openai-whisper parity: context encodes as " " + prompt.strip() and
+        # keeps the last n_text_ctx//2 - 1 tokens (transcribe.py's
+        # initial_prompt handling); generation past the context end is
+        # force-finished inside greedy_decode.
+        ctx_keep = dims.n_text_ctx // 2 - 1
         prompt_lists = []
         for p in prompts:
-            ids = [sp.sot_prev] + tok.encode(p.strip())[-200:] if p.strip() else []
+            ids = ([sp.sot_prev] + tok.encode(" " + p.strip())[-ctx_keep:]
+                   if p.strip() else [])
             prompt_lists.append(ids + [sp.sot, sp.no_timestamps])
         # Bucket the prompt length: max_prompt_len is a static jit arg, so
         # arbitrary lengths would recompile the decode program per batch
@@ -227,54 +300,101 @@ class ModelBundle:
                                 | {sp.sot, sp.sot_prev, sp.sot_lm,
                                    sp.translate, sp.transcribe, sp.no_speech}))
 
-        def decode_at(temp: float):
+        def decode_rows(mel_rows, toks_rows, lens_rows, temp: float):
             opts = DecodeOptions(
                 max_tokens=self.tpu.max_decode_tokens,
                 temperature=temp, eot=sp.eot,
                 suppress_blank=True, blank_token=220,
                 suppress_tokens=suppress,
                 compute_dtype=cdt,
-                cross_kv_bits=self.tpu.cross_kv_bits)
-            rng = jax.random.PRNGKey(0) if temp > 0 else None
-            out = greedy_decode(params, mel, jnp.asarray(toks),
-                                jnp.asarray(lens), dims, opts, max_p, rng)
+                cross_kv_bits=self.tpu.cross_kv_bits,
+                no_speech_token=sp.no_speech)
+            rng = None
+            if temp > 0:
+                self._decode_seed += 1
+                rng = jax.random.PRNGKey(self._decode_seed)
+            out = greedy_decode(params, self._put_data(mel_rows),
+                                self._put_data(toks_rows),
+                                self._put_data(lens_rows), dims, opts, max_p,
+                                rng)
             return (np.asarray(out["tokens"]), np.asarray(out["lengths"]),
-                    np.asarray(out["sum_logprob"]))
+                    np.asarray(out["sum_logprob"]),
+                    np.asarray(out["no_speech_prob"]))
 
         # Whisper's quality-gated temperature fallback (DecodingTask
-        # semantics): retry rows whose text is degenerate (compression ratio
-        # > 2.4) or low-confidence (avg logprob < -1.0) at hotter
-        # temperatures. The full batch re-decodes each round so program
-        # shapes stay static; accepted rows just keep their earlier text.
+        # semantics): rows whose text is degenerate (compression ratio > 2.4)
+        # or low-confidence (avg logprob < -1.0) retry at hotter
+        # temperatures. Retries are ROW-SPARSE: only flagged rows gather into
+        # a fresh (small) batch, each replicated ``best_of`` times on
+        # sampling rungs with the best replica kept by avg logprob —
+        # whisper's best_of + MaximumLikelihoodRanker semantics without
+        # re-decoding accepted rows.
         import zlib
 
-        def quality_ok(text: str, sum_lp: float, n_tok: int) -> bool:
+        nst, lpt = self.tpu.no_speech_threshold, self.tpu.logprob_threshold
+
+        def avg_logprob(sum_lp: float, n_tok: int) -> float:
+            return sum_lp / max(n_tok + 1, 1)  # whisper: +1 counts the EOT
+
+        def quality_ok(text: str, avg_lp: float) -> bool:
             data = text.encode("utf-8")
             ratio = (len(data) / len(zlib.compress(data))) if data else 0.0
-            avg_lp = sum_lp / max(n_tok + 1, 1)
-            return ratio <= 2.4 and avg_lp >= -1.0
+            return ratio <= 2.4 and avg_lp >= lpt
 
         ladder = [temperature] + [t for t in (0.2, 0.4, 0.6, 0.8, 1.0)
                                   if t > temperature]
         ladder = ladder[: max(1, self.tpu.max_fallback_attempts)]
-        texts: List[Optional[str]] = [None] * len(prompts)
-        final_tokens = final_lengths = None
-        for attempt, temp in enumerate(ladder):
-            tokens, lengths, sum_lp = decode_at(temp)
-            if final_tokens is None:
-                final_tokens, final_lengths = tokens.copy(), lengths.copy()
-            last = attempt == len(ladder) - 1
-            for i in range(len(prompts)):
-                if texts[i] is not None:
-                    continue
-                text = tok.decode(tokens[i, : lengths[i]])
-                if last or quality_ok(text, float(sum_lp[i]), int(lengths[i])):
-                    texts[i] = text
-                    final_tokens[i] = tokens[i]
-                    final_lengths[i] = lengths[i]
-            if all(t is not None for t in texts):
+
+        tokens, lengths, sum_lp, nsp = decode_rows(mel, toks, lens, ladder[0])
+        final_tokens, final_lengths = tokens.copy(), lengths.copy()
+        final_avg = np.array([avg_logprob(float(sum_lp[i]), int(lengths[i]))
+                              for i in range(len(prompts))])
+        texts: List[str] = [tok.decode(tokens[i, : lengths[i]])
+                            for i in range(len(prompts))]
+
+        def flag(i: int) -> bool:
+            if quality_ok(texts[i], final_avg[i]):
+                return False
+            # whisper: a confidently-silent row is not worth retrying.
+            return not (nsp[i] > nst and final_avg[i] < lpt)
+
+        flagged = [i for i in range(n_real) if flag(i)]
+        for temp in ladder[1:]:
+            if not flagged:
                 break
-        out_texts = [t or "" for t in texts][:n_real]
+            rep = max(1, self.tpu.best_of) if temp > 0 else 1
+            idx = np.repeat(np.asarray(flagged, np.int64), rep)
+            sub_rows = self._rows(len(idx))
+            # Pad rows replicate the last flagged row (kept shapes, ignored).
+            idx = np.concatenate([idx, np.repeat(idx[-1:], sub_rows - len(idx))])
+            t_s, l_s, s_s, _ = decode_rows(mel[idx], toks[idx], lens[idx], temp)
+            still: List[int] = []
+            for fi, row in enumerate(flagged):
+                best_r, best_avg = None, -np.inf
+                for j in range(rep):
+                    r = fi * rep + j
+                    a = avg_logprob(float(s_s[r]), int(l_s[r]))
+                    if a > best_avg:
+                        best_r, best_avg = r, a
+                # This rung's result stands (whisper keeps the hottest decode
+                # even when it still fails the quality gate on the last rung).
+                texts[row] = tok.decode(t_s[best_r, : l_s[best_r]])
+                final_tokens[row] = t_s[best_r]
+                final_lengths[row] = l_s[best_r]
+                final_avg[row] = best_avg
+                if flag(row):
+                    still.append(row)
+            flagged = still
+
+        # Whisper's no-speech gate (transcribe: skip the segment when
+        # no_speech_prob exceeds the threshold unless avg logprob clears
+        # logprob_threshold) — silent/noise rows emit empty text instead of
+        # hallucinating (back/api.py:1286-1296 inherits this rule).
+        for i in range(n_real):
+            if nsp[i] > nst and final_avg[i] <= lpt:
+                texts[i] = ""
+                final_lengths[i] = 0
+        out_texts = texts[:n_real]
         if not word_timestamps:
             return out_texts
 
@@ -294,7 +414,7 @@ class ModelBundle:
         from clearconverse_tpu.models.ecapa import ecapa_embed
         audio = np.asarray(audio, np.float32)
         n_real = audio.shape[0]
-        rows = _row_bucket(n_real)
+        rows = self._rows(n_real)
         if rows > n_real:
             audio = np.pad(audio, ((0, rows - n_real), (0, 0)))
         if lengths is None:
@@ -303,12 +423,13 @@ class ModelBundle:
                          constant_values=1)
         from clearconverse_tpu.models.ecapa import EcapaDims
         dims = self._ecapa_dims or EcapaDims()
+        self._place_aux()
         if self._jit_embed is None:
             import jax
             self._jit_embed = jax.jit(
                 lambda p, a, l: ecapa_embed(p, a, l, dims))
-        return np.asarray(self._jit_embed(self._ecapa, jnp.asarray(audio),
-                                          jnp.asarray(lengths)))[:n_real]
+        return np.asarray(self._jit_embed(self._ecapa, self._put_data(audio),
+                                          self._put_data(lengths)))[:n_real]
 
     def segment_frames(self, audio: np.ndarray) -> np.ndarray:
         """[B, T] window chunks → [B, F, 3] per-frame speaker activities."""
@@ -318,16 +439,17 @@ class ModelBundle:
             PyannetDims, powerset_to_multilabel, pyannet_forward)
         audio = np.asarray(audio, np.float32)
         n_real = audio.shape[0]
-        rows = _row_bucket(n_real)
+        rows = self._rows(n_real)
         if rows > n_real:
             audio = np.pad(audio, ((0, rows - n_real), (0, 0)))
         dims = self._pyannet_dims or PyannetDims()
+        self._place_aux()
         if self._jit_segment is None:
             import jax
             self._jit_segment = jax.jit(
                 lambda p, a: powerset_to_multilabel(pyannet_forward(p, a, dims)))
         return np.asarray(self._jit_segment(self._pyannet,
-                                            jnp.asarray(audio)))[:n_real]
+                                            self._put_data(audio)))[:n_real]
 
     @property
     def frame_hop_seconds(self) -> float:
@@ -342,13 +464,14 @@ class ModelBundle:
             SepformerDims, sepformer_separate)
         audio = np.asarray(audio, np.float32)
         n_real = audio.shape[0]
-        rows = _row_bucket(n_real)
+        rows = self._rows(n_real)
         if rows > n_real:
             audio = np.pad(audio, ((0, rows - n_real), (0, 0)))
         dims = self._sepformer_dims or SepformerDims()
+        self._place_aux()
         if self._jit_separate is None:
             import jax
             self._jit_separate = jax.jit(
                 lambda p, a: sepformer_separate(p, a, dims))
         return np.asarray(self._jit_separate(self._sepformer,
-                                             jnp.asarray(audio)))[:n_real]
+                                             self._put_data(audio)))[:n_real]

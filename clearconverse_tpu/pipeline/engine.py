@@ -30,6 +30,7 @@ import numpy as np
 from clearconverse_tpu.config import Config, TPUConfig
 from clearconverse_tpu.pipeline import segments as S
 from clearconverse_tpu.pipeline.batching import batch_audio
+from clearconverse_tpu.pipeline.cancel import ProcessingCancelled, check_cancel
 from clearconverse_tpu.pipeline.diarize import diarize, file_activity, vad_intervals
 
 logger = logging.getLogger(__name__)
@@ -165,21 +166,26 @@ class TranscriptionEngine:
         return out
 
     # ------------------------------------------------------------ main
-    def process_file(self, file_path: str) -> Optional[Dict]:
-        prep = self._prepare_file(file_path)
+    def process_file(self, file_path: str,
+                     should_cancel: Optional[Callable[[], bool]] = None
+                     ) -> Optional[Dict]:
+        prep = self._prepare_file(file_path, should_cancel)
         if prep is None:
             return None
         with prep["timer"].stage("transcription"):
-            self._transcribe_wavefront(prep["items"], prep["sr"])
+            self._transcribe_wavefront(prep["items"], prep["sr"],
+                                       should_cancel)
         return self._finalize(prep)
 
-    def process_files(self, file_paths: List[str]) -> List[Optional[Dict]]:
+    def process_files(self, file_paths: List[str],
+                      should_cancel: Optional[Callable[[], bool]] = None
+                      ) -> List[Optional[Dict]]:
         """Batched multi-file processing: per-file analysis phases run
         normally, then ALL files' transcription items merge into one
         wavefront so segments from different requests share device batches
         (driver config 5; impossible in the reference's one-process-per-task
         design, SURVEY.md §2.5)."""
-        preps = [self._prepare_file(p) for p in file_paths]
+        preps = [self._prepare_file(p, should_cancel) for p in file_paths]
         merged: List[Dict] = []
         offsets: List[int] = []
         for prep in preps:
@@ -194,7 +200,7 @@ class TranscriptionEngine:
                 merged.append(it)
         if merged:
             sr = next(p["sr"] for p in preps if p is not None)
-            self._transcribe_wavefront(merged, sr)
+            self._transcribe_wavefront(merged, sr, should_cancel)
         results: List[Optional[Dict]] = []
         for prep, off in zip(preps, offsets):
             if prep is None:
@@ -206,10 +212,16 @@ class TranscriptionEngine:
             results.append(self._finalize(prep))
         return results
 
-    def _prepare_file(self, file_path: str) -> Optional[Dict]:
+    def _prepare_file(self, file_path: str,
+                      should_cancel: Optional[Callable[[], bool]] = None
+                      ) -> Optional[Dict]:
         cfg = self.config
         from clearconverse_tpu.utils.tracing import StageTimer
         timer = StageTimer()
+
+        def ck():  # one cancel check per analysis stage boundary
+            check_cancel(should_cancel)
+
         try:
             from clearconverse_tpu.audio.decode import ensure_wav_format, load_audio
             with timer.stage("load_audio"):
@@ -220,13 +232,21 @@ class TranscriptionEngine:
             duration = len(audio) / sr
             logger.info("Processing audio file: %.2f seconds", duration)
 
+            hyst = {}
+            if self.tpu.diarization_onset is not None:
+                hyst["onset"] = self.tpu.diarization_onset
+            if self.tpu.diarization_offset is not None:
+                hyst["offset"] = self.tpu.diarization_offset
+            ck()
             with timer.stage("vad"):
                 activity = file_activity(self.models, audio, sr)
-                vad = vad_intervals(self.models, audio, sr, activity=activity)
+                vad = vad_intervals(self.models, audio, sr,
+                                    activity=activity, **hyst)
+            ck()
             with timer.stage("diarization"):
                 raw_segments = diarize(self.models, audio, sr,
                                        cfg.min_speakers, cfg.max_speakers,
-                                       activity=activity)
+                                       activity=activity, **hyst)
             logger.info("Diarization found %d raw segments", len(raw_segments))
 
             merged = S.merge_segments(raw_segments, cfg.merge_gap_threshold)
@@ -239,6 +259,7 @@ class TranscriptionEngine:
             else:
                 refined = merged
 
+            ck()
             with timer.stage("profiles"):
                 profiles = self._build_profiles(audio, sr, raw_segments)
             mapping = S.map_speakers(refined)
@@ -259,6 +280,7 @@ class TranscriptionEngine:
             non_ov_idx = [i for i, ov in enumerate(is_overlap)
                           if not ov and (refined[i][1] - refined[i][0]) >= cfg.min_segment_duration]
             timer.spans.append(("classify", 0.0))
+            ck()
             with timer.stage("segment_embeddings"):
                 embs = self._embed_many([seg_audio[i] for i in non_ov_idx], sr)
             needs_secondary: Dict[int, bool] = {}
@@ -275,13 +297,15 @@ class TranscriptionEngine:
 
             # Secondary diarization (each call is itself batched internally).
             secondary: Dict[int, List[S.LabeledSegment]] = {}
+            ck()
             with timer.stage("secondary_diarization"):
                 for i, flagged in needs_secondary.items():
                     if not flagged:
                         continue
                     s, e, _ = refined[i]
                     try:
-                        subs = diarize(self.models, seg_audio[i], sr, 1, 2)
+                        subs = diarize(self.models, seg_audio[i], sr, 1, 2,
+                                       **hyst)
                         subs = S.merge_segments(subs, cfg.merge_gap_threshold) \
                             if subs else [(0.0, e - s, "UNKNOWN")]
                     except Exception as exc:  # → UNKNOWN (back/api.py:1135-1137)
@@ -293,6 +317,7 @@ class TranscriptionEngine:
             ov_idx = [i for i, ov in enumerate(is_overlap)
                       if ov and (refined[i][1] - refined[i][0]) >= cfg.min_segment_duration]
             mapped_profiles = {mapping.get(k, k): v for k, v in profiles.items()}
+            ck()
             with timer.stage("overlap_reseg"):
                 spans_per_seg = self._resegment_overlaps(
                     audio, sr, [(refined[i][0], refined[i][1]) for i in ov_idx],
@@ -305,6 +330,7 @@ class TranscriptionEngine:
                     span_clips.append(S.extract_segment(audio, ss, se, sr))
                     span_meta.append((pos, ss, se, sspk))
             sep_sources: List[Optional[np.ndarray]] = [None] * len(span_clips)
+            ck()
             with timer.stage("separation"):
                 for idx, padded, lens in batch_audio(span_clips, sr,
                                                      self.tpu.duration_buckets, 16):
@@ -403,6 +429,8 @@ class TranscriptionEngine:
             return {"items": items, "sr": sr, "duration": duration,
                     "mapping": mapping, "meta_counts": meta_counts,
                     "timer": timer}
+        except ProcessingCancelled:
+            raise
         except Exception as exc:  # noqa: BLE001 — reference returns None (api.py:1546)
             logger.error("Error in process_file: %s", exc, exc_info=True)
             return None
@@ -429,9 +457,14 @@ class TranscriptionEngine:
         logger.info("pipeline stages: %s", timer.summary())
         return {"segments": processed, "metadata": metadata}
 
-    def _transcribe_wavefront(self, items: List[Dict], sr: int) -> None:
+    def _transcribe_wavefront(self, items: List[Dict], sr: int,
+                              should_cancel: Optional[Callable[[], bool]] = None
+                              ) -> None:
         """Resolve context-chained prompts in generations; each generation is
-        one set of bucket-batched decode calls.
+        one set of bucket-batched decode calls. ``should_cancel`` is checked
+        between bucket batches, so cancel latency is one device batch
+        (the reference could kill the whole worker process instead,
+        back/api.py:2029-2042).
 
         Segments longer than whisper's 30 s window split into chunk units
         chained on each other's transcript (the same context rule whisper's
@@ -486,6 +519,7 @@ class TranscriptionEngine:
             for idx, padded, lens in batch_audio(
                     clips, sr, self.tpu.duration_buckets,
                     self.config.transcription_batch_size):
+                check_cancel(should_cancel)
                 texts = self.models.transcribe_batch(
                     padded, [prompts[j] for j in idx],
                     temperature=self.config.temperature)
@@ -576,10 +610,12 @@ class TranscriptionEngine:
 
     def run(self, input_file: str, output_dir: str = "processed_audio",
             debug_mode: bool = False,
-            progress_callback: Optional[Callable] = None):
+            progress_callback: Optional[Callable] = None,
+            should_cancel: Optional[Callable[[], bool]] = None):
         """Reference ``run`` contract (back/api.py:1204-1280): returns
         (input_file, transcript, transcript_path) or (None, None, None);
-        progress at 5/30/60/80/100."""
+        progress at 5/30/60/80/100. ``should_cancel`` aborts between device
+        batches by raising ProcessingCancelled."""
         def cb(pct, msg):
             if progress_callback:
                 progress_callback(pct, msg)
@@ -591,7 +627,7 @@ class TranscriptionEngine:
         os.makedirs(output_dir, exist_ok=True)
 
         cb(30, "Running file processing")
-        results = self.process_file(input_file)
+        results = self.process_file(input_file, should_cancel)
         if results is None:
             return None, None, None
         transcript, transcript_path = self._write_outputs(
@@ -601,7 +637,8 @@ class TranscriptionEngine:
         return input_file, transcript, transcript_path
 
     def run_many(self, inputs: List[Tuple[str, str]],
-                 progress_callbacks: Optional[List[Callable]] = None):
+                 progress_callbacks: Optional[List[Callable]] = None,
+                 should_cancel: Optional[Callable[[], bool]] = None):
         """Grouped run: list of (input_file, output_dir) processed with the
         transcription phase batched ACROSS files (process_files). Returns a
         list of (input_file, transcript, transcript_path) / (None, None,
@@ -621,7 +658,7 @@ class TranscriptionEngine:
             os.makedirs(out_dir, exist_ok=True)
             cb(i, 30, "Running file processing")
 
-        results = self.process_files([p for p, _ in inputs])
+        results = self.process_files([p for p, _ in inputs], should_cancel)
         out = []
         for i, ((path, out_dir), res) in enumerate(zip(inputs, results)):
             if res is None:

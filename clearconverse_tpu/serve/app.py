@@ -60,13 +60,14 @@ def create_app(output_dir: str = "processed_audio",
                     Config(auth_token=env["hf_auth_token"],
                            noise_reduction_amount=0.0),
                     models=DevModels())
+            from clearconverse_tpu.config import tpu_config_from_env
             return TranscriptionEngine(
                 Config(auth_token=env["hf_auth_token"]),
+                tpu_config=tpu_config_from_env(),
                 model_dir=env["model_cache_dir"])
 
     runner = TaskRunner(str(out_dir), engine_factory)
     app.state = runner  # exposed for tests
-    model_loading = {"progress": 0, "message": "Models not loaded"}
 
     # ------------------------------------------------------------- uploads
     @app.post("/upload-file")
@@ -115,7 +116,12 @@ def create_app(output_dir: str = "processed_audio",
                 file_id, path, max_bytes=MAX_FILE_SIZE_BYTES)
         else:
             from urllib.parse import urlparse
-            ext = os.path.splitext(urlparse(url).path)[1] or ".mp3"
+            # Parity (back/api.py:1814-1817): lowercase the URL extension and
+            # whitelist it, defaulting to .mp3 for anything else.
+            ext = os.path.splitext(urlparse(url).path)[1].lower()
+            if ext not in (".mp3", ".wav", ".ogg", ".mp4", ".flac",
+                           ".m4a", ".aac"):
+                ext = ".mp3"
             path = str(temp_uploads / f"{task_id}{ext}")
             urlmod.download_file_from_url(url, path,
                                           max_bytes=MAX_FILE_SIZE_BYTES)
@@ -248,14 +254,12 @@ def create_app(output_dir: str = "processed_audio",
     @app.get("/model-loading-status")
     async def model_loading_status(req: Request):
         """Polled by the reference frontend but never implemented there
-        (front/src/App.tsx:94 — SURVEY.md §2.2). Reports the shared
-        engine's real model state."""
+        (front/src/App.tsx:94 — SURVEY.md §2.2). Reports the loader's REAL
+        staged percentages (10/40/70/100) teed into runner.model_loading."""
         engine = runner._engine
         if engine is not None and engine.models_are_loaded():
             return {"progress": 100, "message": "Models loaded"}
-        if runner.active_tasks:
-            return {"progress": 50, "message": "Models loading"}
-        return model_loading
+        return runner.model_loading
 
     # ------------------------------------------------------------ results
     @app.get("/transcription/{task_id}")

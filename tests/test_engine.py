@@ -22,6 +22,77 @@ def engine():
     return TranscriptionEngine(cfg, TPUConfig(), models=FakeModels())
 
 
+# ------------------------------------------------------------ cancellation
+
+def test_cancel_mid_transcription_aborts_within_one_batch(tmp_path):
+    """VERDICT r1 #9: cancel latency is one device batch — the wavefront
+    checks should_cancel between bucket batches and aborts."""
+    from clearconverse_tpu.pipeline.cancel import ProcessingCancelled
+
+    # batch size 1 → every segment is its own device batch.
+    engine = TranscriptionEngine(
+        Config(noise_reduction_amount=0.0, temperature=0.0,
+               transcription_batch_size=1),
+        TPUConfig(), models=FakeModels())
+    calls = {"n": 0}
+    orig = engine.models.transcribe_batch
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    engine.models.transcribe_batch = counting
+    cancelled = {"flag": False}
+
+    def should_cancel():
+        if calls["n"] >= 1:          # cancel lands after the first batch
+            cancelled["flag"] = True
+        return cancelled["flag"]
+
+    wav = tmp_path / "conv.wav"
+    write_wav(str(wav), synth_conversation(), SR)
+    with pytest.raises(ProcessingCancelled):
+        engine.process_file(str(wav), should_cancel=should_cancel)
+    assert calls["n"] == 1           # no further batches ran after cancel
+
+
+def test_task_runner_cancel_propagates_between_batches(tmp_path):
+    """The TaskRunner threads cancel.is_set into the engine; markers match
+    the cancel protocol (cancelled.txt written by cancel(), no error.txt)."""
+    import threading
+    import time
+    from clearconverse_tpu.pipeline.cancel import check_cancel
+    from clearconverse_tpu.serve.tasks import TaskRunner
+
+    batch_started = threading.Event()
+    proceed = threading.Event()
+
+    class BatchLoopEngine:
+        def run(self, f, output_dir=".", debug_mode=False,
+                progress_callback=None, should_cancel=None):
+            for _ in range(50):              # "batches"
+                batch_started.set()
+                proceed.wait(5)
+                check_cancel(should_cancel)
+                time.sleep(0.01)
+            return f, "text", "p"
+
+    runner = TaskRunner(str(tmp_path), BatchLoopEngine)
+    runner.start("t9", "x.wav")
+    assert batch_started.wait(5)
+    runner.cancel("t9")
+    proceed.set()
+    info_done = runner.active_tasks.get("t9")  # popped by cancel()
+    assert info_done is None
+    assert (tmp_path / "t9" / "cancelled.txt").exists()
+    # Dispatcher finishes quickly (one batch), not after all 50 batches.
+    deadline = time.time() + 5
+    while runner._dispatcher and runner._dispatcher.is_alive() and \
+            runner._queue and time.time() < deadline:
+        time.sleep(0.05)
+    assert not (tmp_path / "t9" / "error.txt").exists()
+
+
 # ---------------------------------------------------------------- batching
 
 def test_pick_bucket():

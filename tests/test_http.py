@@ -35,6 +35,48 @@ def test_parse_multipart_fields_and_files():
     assert files["file"].content == b"RIFF\x00\x01binary\r\ndata"
 
 
+def test_parse_multipart_binary_trailing_crlf_bytes():
+    """ADVICE r1 (high): trailing 0x0D/0x0A bytes in binary payloads must
+    survive parsing — the old strip(b"\\r\\n") silently truncated them."""
+    b = "XBOUNDARYX"
+    for tail in (b"\r\n", b"\n\n\r\r", b"\x0d", b"\x0a" * 5):
+        payload = b"\x00\x01RIFFdata" + tail
+        body = _mp_body(b, [
+            (b'Content-Disposition: form-data; name="file"; filename="a.wav"\r\n'
+             b"Content-Type: audio/wav", payload),
+        ])
+        _, files = parse_multipart(body, f"multipart/form-data; boundary={b}")
+        assert files["file"].content == payload, tail
+
+
+def test_parse_multipart_leading_crlf_and_empty_part():
+    b = "bnd"
+    payload = b"\r\n\r\nmiddle\r\n"
+    body = _mp_body(b, [
+        (b'Content-Disposition: form-data; name="f"; filename="x"', payload),
+        (b'Content-Disposition: form-data; name="empty"; filename="e"', b""),
+    ])
+    _, files = parse_multipart(body, f"multipart/form-data; boundary={b}")
+    assert files["f"].content == payload
+    assert files["empty"].content == b""
+
+
+def test_parse_multipart_preamble_and_no_trailing_crlf():
+    """First delimiter without leading CRLF; preamble text before it when
+    present; closing delimiter without the trailing CRLF."""
+    b = "bb1"
+    direct = (f"--{b}\r\n".encode()
+              + b'Content-Disposition: form-data; name="k"\r\n\r\nv\r\n'
+              + f"--{b}--".encode())
+    fields, _ = parse_multipart(direct, f"multipart/form-data; boundary={b}")
+    assert fields == {"k": "v"}
+
+    with_preamble = b"ignored preamble\r\n" + direct
+    fields, _ = parse_multipart(with_preamble,
+                                f"multipart/form-data; boundary={b}")
+    assert fields == {"k": "v"}
+
+
 def test_parse_multipart_quoted_boundary():
     b = "qq123"
     body = _mp_body(b, [(b'Content-Disposition: form-data; name="k"', b"v")])

@@ -1,0 +1,302 @@
+"""Golden tests for the speaker-model stacks against hand-built torch
+references (VERDICT r1 #5): SincNet band-pass conv stack, SE-Res2Net blocks,
+attentive-stats pooling, and the sepformer transformer layer all verify
+against independent torch implementations through the weight converters —
+a transposition/indexing bug in any converter or forward fails here.
+
+The torch references re-implement speechbrain/pyannote module semantics
+(ECAPA_TDNN.py TDNNBlock = conv→ReLU→BatchNorm with norm LAST; pyannote
+SincNet = conv→abs(first)→pool→instancenorm→leaky) directly with
+torch.nn.functional, since those packages aren't vendored in this image.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as F  # noqa: E402
+
+from clearconverse_tpu.models.ecapa import (  # noqa: E402
+    EcapaDims, convert_speechbrain_ecapa, ecapa_embed, fbank)
+from clearconverse_tpu.models.pyannet import (  # noqa: E402
+    PyannetDims, convert_pyannote_pyannet, pyannet_forward)
+from clearconverse_tpu.models.resepformer import (  # noqa: E402
+    SepformerDims, _tf_forward, init_sepformer_params)
+
+# --------------------------------------------------------------------- ECAPA
+
+DIMS = EcapaDims(n_mels=24, channels=32, mfa_channels=48,
+                 attention_channels=16, embedding_dim=16, res2net_scale=4)
+
+
+def _t(shape, g, scale=0.3):
+    return torch.tensor(g.standard_normal(shape).astype(np.float32)) * scale
+
+
+def _bn_stats(c, g):
+    return {"weight": _t((c,), g, 1.0).abs() + 0.5,
+            "bias": _t((c,), g, 0.2),
+            "running_mean": _t((c,), g, 0.1),
+            "running_var": _t((c,), g, 0.2).abs() + 0.8}
+
+
+def _make_ecapa_sd(g):
+    """speechbrain-keyed state dict for the tiny config, random weights."""
+    C, S, A, M = DIMS.channels, DIMS.res2net_scale, DIMS.attention_channels, DIMS.mfa_channels
+    w = C // S
+    sd = {}
+
+    def conv(pre, cout, cin, k, bias=True):
+        sd[f"{pre}.weight"] = _t((cout, cin, k), g)
+        if bias:
+            sd[f"{pre}.bias"] = _t((cout,), g, 0.1)
+
+    def bn(pre, c):
+        for k, v in _bn_stats(c, g).items():
+            sd[f"{pre}.{k}"] = v
+
+    conv("blocks.0.conv.conv", C, DIMS.n_mels, 5)
+    bn("blocks.0.norm.norm", C)
+    for bi in range(1, 4):
+        p = f"blocks.{bi}"
+        conv(f"{p}.tdnn1.conv.conv", C, C, 1)
+        bn(f"{p}.tdnn1.norm.norm", C)
+        for i in range(S - 1):
+            conv(f"{p}.res2net_block.blocks.{i}.conv.conv", w, w, 3)
+            bn(f"{p}.res2net_block.blocks.{i}.norm.norm", w)
+        conv(f"{p}.tdnn2.conv.conv", C, C, 1)
+        bn(f"{p}.tdnn2.norm.norm", C)
+        conv(f"{p}.se_block.conv1", A, C, 1)
+        conv(f"{p}.se_block.conv2", C, A, 1)
+    conv("mfa.conv.conv", M, 3 * C, 1)
+    bn("mfa.norm.norm", M)
+    conv("asp.tdnn.conv.conv", A, 3 * M, 1)
+    bn("asp.tdnn.norm.norm", A)
+    conv("asp.conv.conv", M, A, 1)
+    bn("asp_bn.norm", 2 * M)
+    conv("fc.conv.conv", DIMS.embedding_dim, 2 * M, 1)
+    return sd
+
+
+def _torch_tdnn(x, sd, cpre, npre, dilation=1):
+    w = sd[f"{cpre}.weight"]
+    pad = dilation * (w.shape[-1] - 1) // 2
+    y = F.conv1d(x, w, sd.get(f"{cpre}.bias"), padding=pad, dilation=dilation)
+    y = F.relu(y)
+    return F.batch_norm(y, sd[f"{npre}.running_mean"],
+                        sd[f"{npre}.running_var"], sd[f"{npre}.weight"],
+                        sd[f"{npre}.bias"], training=False, eps=1e-5)
+
+
+def _torch_ecapa(feats, sd):
+    """speechbrain ECAPA forward (full-length rows, no padding mask):
+    feats [B, n_mels, T] → [B, emb]."""
+    x = _torch_tdnn(feats, sd, "blocks.0.conv.conv", "blocks.0.norm.norm")
+    outs = []
+    for bi, dil in zip((1, 2, 3), DIMS.dilations):
+        p = f"blocks.{bi}"
+        res = x
+        y = _torch_tdnn(x, sd, f"{p}.tdnn1.conv.conv", f"{p}.tdnn1.norm.norm")
+        chunks = torch.chunk(y, DIMS.res2net_scale, dim=1)
+        ys = [chunks[0]]
+        prev = None
+        for i in range(1, DIMS.res2net_scale):
+            h = chunks[i] if prev is None else chunks[i] + prev
+            h = _torch_tdnn(h, sd, f"{p}.res2net_block.blocks.{i-1}.conv.conv",
+                            f"{p}.res2net_block.blocks.{i-1}.norm.norm", dil)
+            ys.append(h)
+            prev = h
+        y = torch.cat(ys, dim=1)
+        y = _torch_tdnn(y, sd, f"{p}.tdnn2.conv.conv", f"{p}.tdnn2.norm.norm")
+        s = y.mean(dim=2, keepdim=True)
+        s = F.relu(F.conv1d(s, sd[f"{p}.se_block.conv1.weight"],
+                            sd[f"{p}.se_block.conv1.bias"]))
+        s = torch.sigmoid(F.conv1d(s, sd[f"{p}.se_block.conv2.weight"],
+                                   sd[f"{p}.se_block.conv2.bias"]))
+        x = res + y * s
+        outs.append(x)
+    x = _torch_tdnn(torch.cat(outs, dim=1), sd, "mfa.conv.conv",
+                    "mfa.norm.norm")
+    mean = x.mean(dim=2, keepdim=True)
+    std = ((x - mean) ** 2).mean(dim=2, keepdim=True).clamp(1e-12).sqrt()
+    ctx = torch.cat([x, mean.expand_as(x), std.expand_as(x)], dim=1)
+    a = _torch_tdnn(ctx, sd, "asp.tdnn.conv.conv", "asp.tdnn.norm.norm")
+    a = F.conv1d(torch.tanh(a), sd["asp.conv.conv.weight"],
+                 sd["asp.conv.conv.bias"])
+    a = torch.softmax(a, dim=2)
+    amean = (a * x).sum(dim=2)
+    astd = ((a * x * x).sum(dim=2) - amean ** 2).clamp(1e-12).sqrt()
+    pooled = torch.cat([amean, astd], dim=1)[:, :, None]
+    pooled = F.batch_norm(pooled, sd["asp_bn.norm.running_mean"],
+                          sd["asp_bn.norm.running_var"],
+                          sd["asp_bn.norm.weight"], sd["asp_bn.norm.bias"],
+                          training=False, eps=1e-5)
+    return F.conv1d(pooled, sd["fc.conv.conv.weight"],
+                    sd["fc.conv.conv.bias"])[:, :, 0]
+
+
+def test_ecapa_full_graph_matches_torch():
+    """Converted speechbrain weights through ecapa_embed == the torch
+    reference: SE-Res2Net blocks, MFA, attentive-stats pooling, fc."""
+    g = np.random.default_rng(0)
+    sd = _make_ecapa_sd(g)
+    params = convert_speechbrain_ecapa({k: v.numpy() for k, v in sd.items()},
+                                       DIMS)
+    audio = g.standard_normal((2, 16000)).astype(np.float32) * 0.1
+
+    ours = np.asarray(ecapa_embed(jax.tree.map(jnp.asarray, params),
+                                  jnp.asarray(audio), dims=DIMS))
+    feats = np.asarray(fbank(jnp.asarray(audio), DIMS.n_mels))   # [B,T,C]
+    with torch.no_grad():
+        want = _torch_ecapa(torch.tensor(feats).transpose(1, 2), sd).numpy()
+    np.testing.assert_allclose(ours, want, rtol=2e-3, atol=2e-4)
+
+
+# ------------------------------------------------------------------- PyanNet
+
+PN = PyannetDims(sinc_filters=8, sinc_kernel=51, sinc_stride=10,
+                 conv_channels=10, conv_kernel=5, pool=3, lstm_hidden=8,
+                 lstm_layers=2, linear_dims=(12,), n_classes=7)
+
+
+def _torch_sinc_filters(low_hz, band_hz, kernel, sr,
+                        min_low=50.0, min_band=50.0):
+    """Independent torch port of the SincNet band-pass formula."""
+    low = min_low + low_hz.abs()
+    high = (low + min_band + band_hz.abs()).clamp(min_low, sr / 2)
+    band = high - low
+    n = (kernel - 1) // 2
+    t = torch.arange(-n, 0, dtype=torch.float32) / sr
+    window = (0.54 - 0.46 * torch.cos(
+        2 * math.pi * torch.arange(kernel, dtype=torch.float32) / kernel))[:n]
+    tpt = 2 * math.pi * t
+    left = ((torch.sin(high[:, None] * tpt[None]) -
+             torch.sin(low[:, None] * tpt[None])) / (tpt[None] / 2)) * window[None]
+    filt = torch.cat([left, 2 * band[:, None], left.flip(-1)], dim=1)
+    return filt / (2 * band[:, None])      # [F, kernel]
+
+
+def _make_pyannet_sd(g):
+    sd = {
+        "sincnet.wav_norm1d.weight": _t((1,), g, 1.0).abs() + 0.5,
+        "sincnet.wav_norm1d.bias": _t((1,), g, 0.2),
+        "sincnet.conv1d.0.low_hz_": torch.tensor(
+            np.linspace(40, 3000, PN.sinc_filters).astype(np.float32))[:, None],
+        "sincnet.conv1d.0.band_hz_": torch.tensor(
+            np.linspace(60, 400, PN.sinc_filters).astype(np.float32))[:, None],
+    }
+    for i, (cin, cout, k) in enumerate([
+            (PN.sinc_filters, PN.sinc_filters, 0),      # norm0 only
+            (PN.sinc_filters, PN.conv_channels, PN.conv_kernel),
+            (PN.conv_channels, PN.conv_channels, PN.conv_kernel)]):
+        if k:
+            sd[f"sincnet.conv1d.{i}.weight"] = _t((cout, cin, k), g)
+            sd[f"sincnet.conv1d.{i}.bias"] = _t((cout,), g, 0.1)
+        sd[f"sincnet.norm1d.{i}.weight"] = _t((cout,), g, 1.0).abs() + 0.5
+        sd[f"sincnet.norm1d.{i}.bias"] = _t((cout,), g, 0.2)
+
+    torch.manual_seed(3)
+    lstm = torch.nn.LSTM(PN.conv_channels, PN.lstm_hidden,
+                         num_layers=PN.lstm_layers, bidirectional=True,
+                         batch_first=True)
+    for k, v in lstm.state_dict().items():
+        sd[f"lstm.{k}"] = v
+    sd["linear.0.weight"] = _t((PN.linear_dims[0], 2 * PN.lstm_hidden), g)
+    sd["linear.0.bias"] = _t((PN.linear_dims[0],), g, 0.1)
+    sd["classifier.weight"] = _t((PN.n_classes, PN.linear_dims[0]), g)
+    sd["classifier.bias"] = _t((PN.n_classes,), g, 0.1)
+    return sd, lstm
+
+
+def _torch_pyannet(wave, sd, lstm):
+    """pyannote PyanNet forward: SincNet stack → BiLSTM → linear(leaky) →
+    classifier → log_softmax. wave [B, T]."""
+    x = wave[:, None, :]
+    x = F.instance_norm(x, weight=sd["sincnet.wav_norm1d.weight"],
+                        bias=sd["sincnet.wav_norm1d.bias"], eps=1e-5)
+    filt = _torch_sinc_filters(sd["sincnet.conv1d.0.low_hz_"].reshape(-1),
+                               sd["sincnet.conv1d.0.band_hz_"].reshape(-1),
+                               PN.sinc_kernel, PN.sample_rate)
+    x = F.conv1d(x, filt[:, None, :], stride=PN.sinc_stride)
+    x = torch.abs(x)
+    x = F.max_pool1d(x, PN.pool)
+    x = F.instance_norm(x, weight=sd["sincnet.norm1d.0.weight"],
+                        bias=sd["sincnet.norm1d.0.bias"], eps=1e-5)
+    x = F.leaky_relu(x)
+    for i in (1, 2):
+        x = F.conv1d(x, sd[f"sincnet.conv1d.{i}.weight"],
+                     sd[f"sincnet.conv1d.{i}.bias"])
+        x = F.max_pool1d(x, PN.pool)
+        x = F.instance_norm(x, weight=sd[f"sincnet.norm1d.{i}.weight"],
+                            bias=sd[f"sincnet.norm1d.{i}.bias"], eps=1e-5)
+        x = F.leaky_relu(x)
+    x = x.transpose(1, 2)                 # [B, frames, C]
+    x, _ = lstm(x)
+    x = F.leaky_relu(x @ sd["linear.0.weight"].T + sd["linear.0.bias"])
+    x = x @ sd["classifier.weight"].T + sd["classifier.bias"]
+    return F.log_softmax(x, dim=-1)
+
+
+def test_pyannet_full_graph_matches_torch():
+    """Converted pyannote-keyed weights through pyannet_forward == the torch
+    reference: SincNet band-pass conv, pooling/instance-norm stack, BiLSTM,
+    linear head."""
+    g = np.random.default_rng(1)
+    sd, lstm = _make_pyannet_sd(g)
+    params = convert_pyannote_pyannet(sd, PN)
+    wave = g.standard_normal((2, 16000)).astype(np.float32) * 0.2
+
+    ours = np.asarray(pyannet_forward(jax.tree.map(jnp.asarray, params),
+                                      jnp.asarray(wave), PN))
+    with torch.no_grad():
+        want = _torch_pyannet(torch.tensor(wave), sd, lstm).numpy()
+    assert ours.shape == want.shape
+    np.testing.assert_allclose(ours, want, rtol=1e-3, atol=1e-4)
+
+
+# ----------------------------------------------------------------- SepFormer
+
+def test_sepformer_transformer_layer_matches_torch_mha():
+    """One intra/inter transformer layer (pre-LN, fused qkv) == torch
+    nn.MultiheadAttention + functional FF with mapped weights."""
+    d, heads, B, T = 16, 4, 2, 9
+    dims = SepformerDims(enc_channels=16, d_model=d, n_heads=heads,
+                         chunk_size=8, n_repeats=1, n_intra_layers=1,
+                         n_inter_layers=1)
+    params = init_sepformer_params(jax.random.PRNGKey(5), dims)
+    lyr = params["repeats"][0]["intra"][0]
+    # Make LN affine params non-trivial.
+    g = np.random.default_rng(2)
+    for ln in ("ln1", "ln2"):
+        lyr[ln] = {"g": jnp.asarray(g.uniform(0.5, 1.5, d).astype(np.float32)),
+                   "b": jnp.asarray(g.standard_normal(d).astype(np.float32) * 0.1)}
+
+    x = g.standard_normal((B, T, d)).astype(np.float32)
+    ours = np.asarray(_tf_forward(jnp.asarray(x), [lyr], heads))
+
+    mha = torch.nn.MultiheadAttention(d, heads, batch_first=True)
+    with torch.no_grad():
+        mha.in_proj_weight.copy_(torch.tensor(
+            np.asarray(lyr["attn"]["qkv"]["w"]).T))
+        mha.in_proj_bias.copy_(torch.tensor(np.asarray(lyr["attn"]["qkv"]["b"])))
+        mha.out_proj.weight.copy_(torch.tensor(
+            np.asarray(lyr["attn"]["out"]["w"]).T))
+        mha.out_proj.bias.copy_(torch.tensor(np.asarray(lyr["attn"]["out"]["b"])))
+
+        xt = torch.tensor(x)
+        h = F.layer_norm(xt, (d,), torch.tensor(np.asarray(lyr["ln1"]["g"])),
+                         torch.tensor(np.asarray(lyr["ln1"]["b"])), eps=1e-5)
+        attn_out, _ = mha(h, h, h, need_weights=False)
+        xt = xt + attn_out
+        h = F.layer_norm(xt, (d,), torch.tensor(np.asarray(lyr["ln2"]["g"])),
+                         torch.tensor(np.asarray(lyr["ln2"]["b"])), eps=1e-5)
+        h = F.relu(h @ torch.tensor(np.asarray(lyr["ff"]["fc1"]["w"]))
+                   + torch.tensor(np.asarray(lyr["ff"]["fc1"]["b"])))
+        xt = xt + h @ torch.tensor(np.asarray(lyr["ff"]["fc2"]["w"])) \
+            + torch.tensor(np.asarray(lyr["ff"]["fc2"]["b"]))
+    np.testing.assert_allclose(ours, xt.numpy(), rtol=1e-4, atol=1e-5)

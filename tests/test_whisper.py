@@ -136,6 +136,45 @@ def test_suppression_rules(hf_model, params, mel):
     assert not np.isin(out, np.asarray(banned)).any()
 
 
+def test_no_speech_prob_matches_torch_softmax(hf_model, params, mel):
+    """no_speech_prob must equal softmax of the raw logits at the SOT input
+    slot (openai-whisper reads logits[:, sot_index]); layout pins SOT at
+    slot P-2."""
+    sot, nt, ns_tok = 1, 2, 5
+    opts = DecodeOptions(max_tokens=4, eot=VOCAB - 1, suppress_blank=False,
+                         no_speech_token=ns_tok)
+    toks, lens = build_prompt_batch([[sot, nt], [sot, nt]], 2, pad_id=0)
+    out = greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                        jnp.asarray(lens), DIMS, opts, 2)
+    with torch.no_grad():
+        logits = hf_model(input_features=torch.tensor(mel),
+                          decoder_input_ids=torch.tensor(toks.tolist())).logits
+        ref = logits[:, 0, :].float().softmax(-1)[:, ns_tok].numpy()
+    np.testing.assert_allclose(np.asarray(out["no_speech_prob"]), ref,
+                               atol=1e-5)
+    # Disabled (default) → zeros.
+    out2 = greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                         jnp.asarray(lens), DIMS,
+                         DecodeOptions(max_tokens=4, eot=VOCAB - 1,
+                                       suppress_blank=False), 2)
+    np.testing.assert_array_equal(np.asarray(out2["no_speech_prob"]), 0.0)
+
+
+def test_generation_force_finishes_at_text_ctx(hf_model, params, mel):
+    """Rows whose prompt nearly fills n_text_ctx stop generating at the
+    context end instead of reusing the last positional embedding
+    (openai-whisper caps prompt+generation <= n_text_ctx)."""
+    n_ctx = DIMS.n_text_ctx                      # 48
+    prompt = [1] + [2] * (n_ctx - 3)             # length 46
+    opts = DecodeOptions(max_tokens=8, eot=VOCAB - 1, suppress_blank=False)
+    toks, lens = build_prompt_batch([prompt], len(prompt), pad_id=0)
+    out = greedy_decode(params, jnp.asarray(mel[:1]), jnp.asarray(toks),
+                        jnp.asarray(lens), DIMS, opts, len(prompt))
+    assert int(out["lengths"][0]) <= n_ctx - len(prompt)
+    toks_np = np.asarray(out["tokens"])[0]
+    assert (toks_np[n_ctx - len(prompt):] == VOCAB - 1).all()
+
+
 def test_bf16_encoder_close_to_f32(params, mel):
     f32 = np.asarray(whisper_encode(params, jnp.asarray(mel), DIMS))
     bf16 = np.asarray(whisper_encode(params, jnp.asarray(mel), DIMS,
