@@ -1,0 +1,155 @@
+"""WER/DER parity recipe (VERDICT r1 #10, BASELINE.md north star).
+
+Given real converted checkpoints and an eval set of audio files with the
+REFERENCE pipeline's recorded outputs, runs this framework's engine and
+reports WER / DER / RTFx deltas — one command produces the SURVEY.md §6
+baseline table once weights exist:
+
+    python -m clearconverse_tpu.eval.parity \
+        --models ./models --eval-set ./parity_set --out parity_report
+
+Eval-set layout (record these by running the reference app on the same
+files, back/api.py run() writes transcript.txt per task):
+
+    parity_set/
+      sample1.wav            # input audio
+      sample1.ref.txt        # reference transcript ([SPK] a.aas - b.bbs\\n...)
+      sample1.ref.rttm       # optional reference diarization (RTTM lines)
+
+Checkpoint layout consumed by ModelBundle (documented HF sources —
+downloads need a network-enabled machine; see parity/README.md):
+
+    models/
+      small.en.pt                          # openai-whisper small.en
+      whisper-ft/model.safetensors         # optional ft overlay
+      embedding/embedding_model.ckpt       # speechbrain/spkrec-ecapa-voxceleb
+      segmentation/pytorch_model.bin       # pyannote/segmentation-3.0
+      resepformer-ft/{encoder,masknet,decoder}.ckpt  # speechbrain resepformer
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import time
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+TRANSCRIPT_RE = re.compile(
+    r"\[(?P<spk>[A-Z_0-9]+)\]\s+(?P<s>[\d.]+)s\s*-\s*(?P<e>[\d.]+)s\n"
+    r"(?P<text>.*?)(?:\n\n|\Z)", re.S)
+
+
+def parse_transcript(text: str) -> List[Tuple[float, float, str, str]]:
+    """[(start, end, speaker, text)] from the reference transcript format
+    (back/api.py:1253-1265)."""
+    out = []
+    for m in TRANSCRIPT_RE.finditer(text):
+        out.append((float(m.group("s")), float(m.group("e")),
+                    m.group("spk"), m.group("text").strip()))
+    return out
+
+
+def parse_rttm(path: str) -> List[Tuple[float, float, str]]:
+    segs = []
+    with open(path) as fh:
+        for line in fh:
+            f = line.split()
+            if len(f) >= 8 and f[0] == "SPEAKER":
+                start, dur = float(f[3]), float(f[4])
+                segs.append((start, start + dur, f[7]))
+    return segs
+
+
+def evaluate_file(engine, wav: str, ref_txt: str,
+                  ref_rttm: Optional[str]) -> Dict:
+    from clearconverse_tpu.eval.der import diarization_error_rate
+    from clearconverse_tpu.eval.wer import word_error_rate
+
+    t0 = time.perf_counter()
+    result = engine.process_file(wav)
+    elapsed = time.perf_counter() - t0
+    if result is None:
+        return {"file": os.path.basename(wav), "error": "engine returned None"}
+
+    hyp_rows = [(s.start, s.end, s.speaker_id, s.transcription)
+                for s in result["segments"]]
+    ref_rows = parse_transcript(Path(ref_txt).read_text())
+
+    hyp_text = " ".join(t for *_, t in hyp_rows)
+    ref_text = " ".join(t for *_, t in ref_rows)
+    wer = word_error_rate(ref_text, hyp_text)
+
+    ref_d = (parse_rttm(ref_rttm) if ref_rttm
+             else [(s, e, spk) for s, e, spk, _ in ref_rows])
+    hyp_d = [(s, e, spk) for s, e, spk, _ in hyp_rows]
+    der = diarization_error_rate(ref_d, hyp_d)["der"]
+
+    return {"file": os.path.basename(wav),
+            "wer": round(wer, 4), "der": round(der, 4),
+            "rtfx": round(result["metadata"]["duration"] / elapsed, 2),
+            "duration_s": round(result["metadata"]["duration"], 2),
+            "segments": len(hyp_rows)}
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--models", default="./models")
+    ap.add_argument("--eval-set", required=True)
+    ap.add_argument("--out", default="parity_report")
+    args = ap.parse_args(argv)
+
+    from clearconverse_tpu.config import Config, tpu_config_from_env
+    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+
+    wavs = sorted(Path(args.eval_set).glob("*.wav"))
+    pairs = []
+    for wav in wavs:
+        ref = wav.with_suffix("").as_posix() + ".ref.txt"
+        if not os.path.exists(ref):
+            print(f"skip {wav.name}: no {os.path.basename(ref)}")
+            continue
+        rttm = wav.with_suffix("").as_posix() + ".ref.rttm"
+        pairs.append((str(wav), ref, rttm if os.path.exists(rttm) else None))
+    if not pairs:
+        print("no (wav, ref.txt) pairs found — see module docstring for the "
+              "eval-set layout")
+        return 2
+
+    engine = TranscriptionEngine(Config(), tpu_config_from_env(),
+                                 model_dir=args.models,
+                                 load_models_immediately=True)
+    rows = [evaluate_file(engine, *p) for p in pairs]
+    ok = [r for r in rows if "error" not in r]
+
+    summary = {
+        "files": len(rows),
+        "mean_wer": round(sum(r["wer"] for r in ok) / len(ok), 4) if ok else None,
+        "mean_der": round(sum(r["der"] for r in ok) / len(ok), 4) if ok else None,
+        "mean_rtfx": round(sum(r["rtfx"] for r in ok) / len(ok), 2) if ok else None,
+        "north_star": {"rtfx": ">=50x per chip",
+                       "wer_der": "within 0.5 abs of reference"},
+        "rows": rows,
+    }
+    Path(f"{args.out}.json").write_text(json.dumps(summary, indent=2))
+
+    lines = ["# Parity report (SURVEY.md §6 baseline table)", "",
+             "| file | WER | DER | RTFx | dur (s) | segs |",
+             "|---|---|---|---|---|---|"]
+    for r in rows:
+        if "error" in r:
+            lines.append(f"| {r['file']} | — error: {r['error']} | | | | |")
+        else:
+            lines.append(f"| {r['file']} | {r['wer']} | {r['der']} | "
+                         f"{r['rtfx']} | {r['duration_s']} | {r['segments']} |")
+    lines += ["", f"mean WER {summary['mean_wer']} · mean DER "
+              f"{summary['mean_der']} · mean RTFx {summary['mean_rtfx']}"]
+    Path(f"{args.out}.md").write_text("\n".join(lines) + "\n")
+    print(json.dumps({k: v for k, v in summary.items() if k != "rows"}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -51,8 +51,19 @@ class DecodeOptions:
     # ``no_speech_prob`` — softmax probability of this token read from the
     # raw (pre-suppression) prefill logits at the SOT slot, exactly where
     # openai-whisper's DecodingTask reads it. The prompt layout fixes the
-    # SOT input at slot P-2 (prompts always end [sot, notimestamps]).
+    # SOT input at slot P-2 (prompts always end [sot, notimestamps]) —
+    # or P-1 when ``timestamps`` is on (prompts end [sot]).
     no_speech_token: int = -1
+    # Timestamp decoding (whisper ApplyTimestampRules, used by the >30 s
+    # seek path): tokens >= timestamp_begin are timestamps at 0.02 s
+    # resolution. Rules enforced inside the jit loop: first sampled token is
+    # a timestamp (capped at max_initial_timestamp_index), timestamps pair
+    # up (<ts> text... <ts>), are non-decreasing, and when the total
+    # timestamp probability beats the best text token the sample is forced
+    # to a timestamp.
+    timestamps: bool = False
+    timestamp_begin: int = -1
+    max_initial_timestamp_index: int = 50   # 1.0 s / 0.02
 
     @property
     def int8_cross_kv(self) -> bool:  # back-compat alias
@@ -82,6 +93,46 @@ def _suppress(logits: jnp.ndarray, opts: DecodeOptions, is_first: jnp.ndarray) -
         logits = logits.at[..., opts.blank_token].add(first_pen)
         logits = logits.at[..., opts.eot].add(first_pen)
     return logits
+
+
+def _timestamp_rules(logits: jnp.ndarray, opts: DecodeOptions,
+                     is_first: bool, prev: jnp.ndarray, prev2: jnp.ndarray,
+                     last_ts: jnp.ndarray, step) -> jnp.ndarray:
+    """whisper ApplyTimestampRules on [B, V] f32 logits.
+
+    ``prev``/``prev2`` are the last two SAMPLED tokens (-1 = none);
+    ``last_ts`` is the latest sampled timestamp token (-1 = none)."""
+    tsb = opts.timestamp_begin
+    V = logits.shape[-1]
+    idx = jnp.arange(V)
+    ts_region = idx[None, :] >= tsb
+    if is_first:
+        # First sampled token must be a timestamp, capped at
+        # max_initial_timestamp (whisper default 1.0 s).
+        logits = jnp.where(idx[None, :] < tsb, _NEG_INF, logits)
+        cap = tsb + opts.max_initial_timestamp_index
+        logits = jnp.where(idx[None, :] > cap, _NEG_INF, logits)
+    else:
+        last_was = prev >= tsb
+        pen_was = (step < jnp.int32(2)) | (prev2 >= tsb)
+        # Closed pair (or lone initial ts) → next is non-timestamp;
+        # open end-candidate → next must be timestamp or EOT.
+        r1 = (last_was & pen_was)[:, None] & ts_region
+        r2 = (last_was & ~pen_was)[:, None] & (idx[None, :] < opts.eot)
+        # Non-decreasing: after a closed pair, strictly greater.
+        has_ts = last_ts >= 0
+        min_allowed = jnp.where(
+            ~has_ts, tsb,
+            jnp.where(last_was & ~pen_was, last_ts, last_ts + 1))
+        r3 = ts_region & (idx[None, :] < min_allowed[:, None])
+        logits = jnp.where(r1 | r2 | r3, _NEG_INF, logits)
+    # When the total timestamp probability beats every text token, force a
+    # timestamp (whisper's sum-of-logprobs rule).
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ts_lp = jax.nn.logsumexp(logp[:, tsb:], axis=-1)
+    max_text = jnp.max(logp[:, :tsb], axis=-1)
+    force = ts_lp > max_text
+    return jnp.where(force[:, None] & (idx[None, :] < tsb), _NEG_INF, logits)
 
 
 def _pick(logits: jnp.ndarray, opts: DecodeOptions, key: Optional[jax.Array],
@@ -138,13 +189,19 @@ def greedy_decode(
     if opts.no_speech_token >= 0:
         # Whisper's silence signal: P(no_speech) from the raw logits at the
         # SOT input slot (openai-whisper DecodingTask._main_loop reads
-        # logits[:, sot_index]); our layout pins SOT at slot P-2.
-        sot_logits = logits[:, P - 2, :].astype(jnp.float32)
+        # logits[:, sot_index]); our layout pins SOT at slot P-2 — or P-1 in
+        # timestamp mode, where prompts end with [sot] alone.
+        sot_slot = P - 1 if opts.timestamps else P - 2
+        sot_logits = logits[:, sot_slot, :].astype(jnp.float32)
         no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, opts.no_speech_token]
     else:
         no_speech_prob = jnp.zeros((B,), jnp.float32)
 
     first = _suppress(last_logits, opts, jnp.bool_(True))
+    none = jnp.full((B,), -1, jnp.int32)
+    if opts.timestamps:
+        first = _timestamp_rules(first, opts, True, none, none, none,
+                                 jnp.int32(0))
     logp0 = jax.nn.log_softmax(first, axis=-1)
     tok0 = _pick(first, opts, rng, jnp.int32(0))
 
@@ -152,13 +209,15 @@ def greedy_decode(
     tokens0 = tokens0.at[:, 0].set(tok0)
     fin0 = tok0 == opts.eot
     slp0 = jnp.take_along_axis(logp0, tok0[:, None], 1)[:, 0]
+    last_ts0 = jnp.where(tok0 >= opts.timestamp_begin, tok0, none) \
+        if opts.timestamps else none
 
     def cond(state):
-        step, _, _, finished, _, _ = state
+        step, _, _, finished, _, _, _, _ = state
         return (step < opts.max_tokens) & ~jnp.all(finished)
 
     def body(state):
-        step, tokens, kv, finished, slp, prev = state
+        step, tokens, kv, finished, slp, prev, prev2, last_ts = state
         # prev = token generated at step-1; its absolute position is
         # prompt_len + step - 1 and its K/V land in cache slot P + step - 1.
         pos = jnp.clip(prompt_lens + step - 1, 0, dims.n_text_ctx - 1)[:, None]
@@ -170,6 +229,8 @@ def greedy_decode(
             params, prev[:, None], pos, P + step - 1, kv, cross_kv,
             mask, None, dims, cdt)
         lg = _suppress(logits[:, 0, :], opts, jnp.bool_(False))
+        if opts.timestamps:
+            lg = _timestamp_rules(lg, opts, False, prev, prev2, last_ts, step)
         logp = jax.nn.log_softmax(lg, axis=-1)
         nxt = _pick(lg, opts, rng, step)
         # openai-whisper caps sample_len so prompt+generation <= n_text_ctx;
@@ -182,10 +243,13 @@ def greedy_decode(
                               jnp.take_along_axis(logp, nxt[:, None], 1)[:, 0])
         tokens = tokens.at[:, step].set(nxt)
         finished = done | (nxt == opts.eot)
-        return step + 1, tokens, kv, finished, slp, nxt
+        new_last_ts = jnp.where((nxt >= opts.timestamp_begin) & ~done, nxt,
+                                last_ts) if opts.timestamps else last_ts
+        return step + 1, tokens, kv, finished, slp, nxt, prev, new_last_ts
 
-    _, tokens, _, finished, slp, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), tokens0, self_kv, fin0, slp0, tok0))
+    _, tokens, _, finished, slp, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), tokens0, self_kv, fin0, slp0, tok0,
+                     none, last_ts0))
 
     lengths = jnp.argmax(tokens == opts.eot, axis=1)
     lengths = jnp.where(jnp.any(tokens == opts.eot, axis=1), lengths, opts.max_tokens)

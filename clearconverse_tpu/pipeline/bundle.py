@@ -406,6 +406,111 @@ class ModelBundle:
                             sot=sp.sot)
         return out_texts, words
 
+    def transcribe_long_batch(self, audio: np.ndarray,
+                              prompts: Sequence[str],
+                              lengths: Optional[np.ndarray] = None,
+                              temperature: float = 0.0):
+        """One ≤30 s WINDOW per row of a longer segment → [(text,
+        advance_seconds)] — whisper transcribe's timestamp-driven seek
+        (reached via back/api.py:1474-1480; VERDICT r1 #8).
+
+        Decodes with timestamp tokens (ApplyTimestampRules inside the jit
+        loop). Per row: text up to the last COMPLETE <ts>text<ts> segment and
+        the cursor advance = that segment's end timestamp; the dropped tail
+        re-decodes in the caller's next window, so no words are lost or
+        duplicated at window seams. Rows ending in a lone timestamp (or with
+        no complete pair) keep all text and advance the full window."""
+        self._ensure()
+        import jax
+        import jax.numpy as jnp
+        from clearconverse_tpu.audio.mel import log_mel_auto, pad_or_trim
+        from clearconverse_tpu.models.decoding import (
+            DecodeOptions, build_prompt_batch, greedy_decode)
+        from clearconverse_tpu.models.tokenizer import non_speech_tokens
+
+        params, dims, tok = self._whisper
+        if self.mesh is not None and not self._whisper_placed:
+            from clearconverse_tpu.parallel.sharding import shard_params
+            params = shard_params(params, self.mesh)
+            self._whisper = (params, dims, tok)
+        self._whisper_placed = True
+        sp = tok.specials
+        audio = np.asarray(audio, np.float32)
+        n_real = len(prompts)
+        if lengths is None:
+            lengths = np.full(n_real, audio.shape[1], np.int64)
+        window_s = np.minimum(np.asarray(lengths) / 16000.0, 30.0)
+        rows = self._rows(n_real)
+        if rows > n_real:
+            audio = np.pad(audio, ((0, rows - n_real), (0, 0)))
+            prompts = list(prompts) + [""] * (rows - n_real)
+        mel = log_mel_auto(self._put_data(
+            pad_or_trim(jnp.asarray(audio, jnp.float32), 30 * 16000)))
+
+        ctx_keep = dims.n_text_ctx // 2 - 1
+        prompt_lists = []
+        for p in prompts:
+            ids = ([sp.sot_prev] + tok.encode(" " + p.strip())[-ctx_keep:]
+                   if p.strip() else [])
+            prompt_lists.append(ids + [sp.sot])     # NO notimestamps token
+        need = max(len(p) for p in prompt_lists)
+        max_p = next(b for b in (4, 16, 64, 256) if b >= min(need, 256))
+        toks, lens = build_prompt_batch(prompt_lists, max_p, pad_id=sp.eot)
+
+        cdt = (jnp.bfloat16 if self.tpu.compute_dtype == "bfloat16"
+               else jnp.float32)
+        suppress = tuple(sorted(set(non_speech_tokens(tok))
+                                | {sp.sot, sp.sot_prev, sp.sot_lm,
+                                   sp.translate, sp.transcribe, sp.no_speech,
+                                   sp.no_timestamps}))
+        opts = DecodeOptions(
+            max_tokens=self.tpu.max_decode_tokens, temperature=temperature,
+            eot=sp.eot, suppress_blank=True, blank_token=220,
+            suppress_tokens=suppress, compute_dtype=cdt,
+            cross_kv_bits=self.tpu.cross_kv_bits,
+            no_speech_token=sp.no_speech,
+            timestamps=True, timestamp_begin=sp.timestamp_begin)
+        rng = None
+        if temperature > 0:
+            self._decode_seed += 1
+            rng = jax.random.PRNGKey(self._decode_seed)
+        out = greedy_decode(params, mel, self._put_data(toks),
+                            self._put_data(lens), dims, opts, max_p, rng)
+        tokens = np.asarray(out["tokens"])
+        out_lens = np.asarray(out["lengths"])
+        sum_lp = np.asarray(out["sum_logprob"])
+        nsp = np.asarray(out["no_speech_prob"])
+
+        precision = 0.02
+        tsb = sp.timestamp_begin
+        results = []
+        for i in range(n_real):
+            seq = tokens[i, : out_lens[i]].tolist()
+            win = float(window_s[i])
+            avg_lp = float(sum_lp[i]) / max(int(out_lens[i]) + 1, 1)
+            if nsp[i] > self.tpu.no_speech_threshold and \
+                    avg_lp <= self.tpu.logprob_threshold:
+                results.append(("", win))           # silent window: skip it
+                continue
+            is_ts = [t >= tsb for t in seq]
+            single_ending = len(seq) >= 2 and not is_ts[-2] and is_ts[-1] \
+                or len(seq) == 1 and is_ts[-1]
+            pairs = [j + 1 for j in range(len(seq) - 1)
+                     if is_ts[j] and is_ts[j + 1]]
+            if pairs and not single_ending:
+                last_slice = pairs[-1]
+                kept = seq[:last_slice]
+                advance = (seq[last_slice - 1] - tsb) * precision
+            else:
+                kept = seq
+                advance = win
+            text = tok.decode([t for t in kept if t < sp.eot])
+            # Never stall: a degenerate window (no usable timestamp) still
+            # moves the cursor forward.
+            advance = float(np.clip(advance, 1.0, win)) if win > 1.0 else win
+            results.append((text, advance))
+        return results
+
     def embed_batch(self, audio: np.ndarray,
                     lengths: Optional[np.ndarray] = None) -> np.ndarray:
         """[B, T] (padded) → [B, D] speaker embeddings."""

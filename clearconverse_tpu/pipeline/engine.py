@@ -466,22 +466,37 @@ class TranscriptionEngine:
         (the reference could kill the whole worker process instead,
         back/api.py:2029-2042).
 
-        Segments longer than whisper's 30 s window split into chunk units
-        chained on each other's transcript (the same context rule whisper's
-        own ``condition_on_previous_text`` applies across internal windows);
-        chunk texts re-join into the item's single transcript block."""
+        Segments longer than whisper's 30 s window decode through the
+        TIMESTAMP-SEEK path (VERDICT r1 #8): each window decodes with
+        timestamp tokens, keeps text up to its last complete segment, and
+        the next window starts at that segment's end — whisper transcribe's
+        seek loop (reached via back/api.py:1474-1480), so window seams drop
+        no words. Successive windows chain on each other's transcript
+        (condition_on_previous_text). Model backends without
+        ``transcribe_long_batch`` (test fakes) fall back to fixed 30 s cuts."""
         from clearconverse_tpu.pipeline.batching import split_long
 
-        # Expand items into (item, chunk) units with intra-item chaining.
+        long_ok = hasattr(self.models, "transcribe_long_batch")
+        win = int(30.0 * sr)
+
+        # Expand items into decode units with intra-item chaining. Long
+        # items start with ONE window unit; successors are appended after
+        # each window resolves (their start depends on the decoded seek).
         units: List[Dict] = []
         item_units: List[List[int]] = []
         for i, it in enumerate(items):
-            chunks = split_long(np.asarray(it["audio"], np.float32), sr, 30.0)
+            audio = np.asarray(it["audio"], np.float32)
             unit_ids = []
-            for k, chunk in enumerate(chunks):
-                units.append(dict(item=i, chunk=k, audio=chunk, text=None,
-                                  prev_unit=unit_ids[-1] if k else None))
+            if long_ok and len(audio) > win:
+                units.append(dict(item=i, audio=audio[:win], text=None,
+                                  prev_unit=None, long=True, cursor=0))
                 unit_ids.append(len(units) - 1)
+            else:
+                for k, chunk in enumerate(split_long(audio, sr, 30.0)):
+                    units.append(dict(item=i, audio=chunk, text=None,
+                                      prev_unit=unit_ids[-1] if k else None,
+                                      long=False))
+                    unit_ids.append(len(units) - 1)
             item_units.append(unit_ids)
 
         def item_text(i: int) -> str:
@@ -505,17 +520,19 @@ class TranscriptionEngine:
             if not ready:  # deps point backwards; cannot happen
                 ready = list(remaining)
 
-            clips, prompts = [], []
-            for u in ready:
-                unit = units[u]
+            def unit_prompt(unit):
                 it = items[unit["item"]]
                 if unit["prev_unit"] is not None:
-                    prompts.append(f"{(units[unit['prev_unit']]['text'] or '').strip()} ")
-                elif it["prompt"] is not None:
-                    prompts.append(it["prompt"])
-                else:
-                    prompts.append(f"{item_text(it['depends_on'])} ")
-                clips.append(unit["audio"])
+                    return f"{(units[unit['prev_unit']]['text'] or '').strip()} "
+                if it["prompt"] is not None:
+                    return it["prompt"]
+                return f"{item_text(it['depends_on'])} "
+
+            short = [u for u in ready if not units[u].get("long")]
+            longs = [u for u in ready if units[u].get("long")]
+
+            clips = [units[u]["audio"] for u in short]
+            prompts = [unit_prompt(units[u]) for u in short]
             for idx, padded, lens in batch_audio(
                     clips, sr, self.tpu.duration_buckets,
                     self.config.transcription_batch_size):
@@ -524,7 +541,34 @@ class TranscriptionEngine:
                     padded, [prompts[j] for j in idx],
                     temperature=self.config.temperature)
                 for row, j in enumerate(idx):
-                    units[ready[j]]["text"] = texts[row]
+                    units[short[j]]["text"] = texts[row]
+
+            lclips = [units[u]["audio"] for u in longs]
+            lprompts = [unit_prompt(units[u]) for u in longs]
+            for idx, padded, lens in batch_audio(
+                    lclips, sr, self.tpu.duration_buckets,
+                    self.config.transcription_batch_size):
+                check_cancel(should_cancel)
+                results = self.models.transcribe_long_batch(
+                    padded, [lprompts[j] for j in idx], lens,
+                    temperature=self.config.temperature)
+                for row, j in enumerate(idx):
+                    u = longs[j]
+                    unit = units[u]
+                    text, advance_s = results[row]
+                    unit["text"] = text
+                    i = unit["item"]
+                    total = len(items[i]["audio"])
+                    cursor = unit["cursor"] + int(advance_s * sr)
+                    if total - cursor > int(0.1 * sr):
+                        units.append(dict(
+                            item=i, text=None, prev_unit=u, long=True,
+                            cursor=cursor,
+                            audio=np.asarray(items[i]["audio"],
+                                             np.float32)[cursor:cursor + win]))
+                        nid = len(units) - 1
+                        item_units[i].append(nid)
+                        remaining.add(nid)
             remaining -= set(ready)
 
         for i in range(len(items)):

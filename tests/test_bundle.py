@@ -129,6 +129,18 @@ def test_row_bucketing_all_paths(bundle, rng):
     assert frames.shape[0] == 3
 
 
+def test_transcribe_long_batch_contract(bundle, rng):
+    """Timestamp-seek window decode: (text, advance) per row with
+    1 <= advance <= window seconds."""
+    audio = rng.standard_normal((2, 12 * 16000)).astype(np.float32) * 0.1
+    lens = np.asarray([12 * 16000, 6 * 16000])
+    out = bundle.transcribe_long_batch(audio, ["", "ctx"], lens)
+    assert len(out) == 2
+    for (text, advance), win in zip(out, (12.0, 6.0)):
+        assert isinstance(text, str)
+        assert 1.0 <= advance <= win + 1e-6
+
+
 class _FakeDecode:
     """Scripted greedy_decode stand-in: returns per-call canned outputs and
     records every call's batch size, temperature, and rng key."""

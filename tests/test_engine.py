@@ -93,6 +93,68 @@ def test_task_runner_cancel_propagates_between_batches(tmp_path):
     assert not (tmp_path / "t9" / "error.txt").exists()
 
 
+# ----------------------------------------------------- timestamp-seek path
+
+def test_wavefront_timestamp_seek_no_boundary_loss():
+    """VERDICT r1 #8: a 75 s item decodes through cursor-driven windows —
+    each window's kept text ends at a real segment boundary and the next
+    window starts exactly there, so the joined transcript covers the input
+    once with no seam loss or duplication."""
+    sr = 16000
+    total = 75 * sr
+
+    class SeekModels(FakeModels):
+        def __init__(self):
+            super().__init__()
+            self.windows = []            # (cursor_s, window_s) per call row
+
+        def transcribe_long_batch(self, audio, prompts, lengths=None,
+                                  temperature=0.0):
+            out = []
+            for row in range(len(prompts)):
+                n = int(lengths[row]) if lengths is not None else audio.shape[1]
+                # The item waveform is arange/total: first sample recovers
+                # the window's absolute cursor.
+                cursor_s = round(float(audio[row][0]) * total / sr, 3)
+                win_s = n / sr
+                self.windows.append((cursor_s, win_s))
+                # Complete segments cover 20 s; the tail is re-decoded next
+                # window (unless this window reaches the end of the input).
+                advance = 20.0 if cursor_s + win_s < total / sr else win_s
+                out.append((f"[{cursor_s:g}+{advance:g}]", advance))
+            return out
+
+    models = SeekModels()
+    eng = TranscriptionEngine(Config(noise_reduction_amount=0.0,
+                                     temperature=0.0),
+                              TPUConfig(), models=models)
+    audio = (np.arange(total, dtype=np.float32) / total)
+    items = [dict(audio=audio, prompt="", depends_on=None,
+                  start=0.0, end=75.0, speaker="SPEAKER_A")]
+    eng._transcribe_wavefront(items, sr)
+
+    # Windows: 0→20, 20→40, 40→60, 60→75 (last reaches the end).
+    assert models.windows == [(0.0, 30.0), (20.0, 30.0), (40.0, 30.0),
+                              (60.0, 15.0)]
+    assert items[0]["text"] == "[0+20] [20+20] [40+20] [60+15]"
+
+
+def test_wavefront_long_fallback_without_timestamp_backend():
+    """Backends without transcribe_long_batch (e.g. plain fakes) keep the
+    fixed 30 s chunk-chaining path."""
+    sr = 16000
+    models = FakeModels()
+    assert not hasattr(models, "transcribe_long_batch")
+    eng = TranscriptionEngine(Config(noise_reduction_amount=0.0,
+                                     temperature=0.0),
+                              TPUConfig(), models=models)
+    audio = np.random.default_rng(0).standard_normal(70 * sr).astype(np.float32) * 0.1
+    items = [dict(audio=audio, prompt="", depends_on=None,
+                  start=0.0, end=70.0, speaker="SPEAKER_A")]
+    eng._transcribe_wavefront(items, sr)
+    assert isinstance(items[0]["text"], str) and items[0]["text"]
+
+
 # ---------------------------------------------------------------- batching
 
 def test_pick_bucket():

@@ -119,6 +119,78 @@ def test_json_response():
     assert r.content_type == "application/json"
 
 
+# ------------------------------------------------------------ chunked body
+
+def test_chunked_transfer_encoding_request():
+    """A chunked client must get a parsed body, not a hang (VERDICT r1)."""
+    app = App()
+
+    @app.post("/echo")
+    async def echo(req):
+        return {"n": len(req.body), "text": req.body.decode()}
+
+    class _W:
+        data = b""
+
+        def write(self, b):
+            self.data += b
+
+        async def drain(self):
+            pass
+
+        def close(self):
+            pass
+
+    async def run():
+        reader = asyncio.StreamReader()
+        writer = _W()
+        body = (b"POST /echo HTTP/1.1\r\nTransfer-Encoding: chunked\r\n"
+                b"Connection: close\r\n\r\n"
+                b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n")
+        reader.feed_data(body)
+        reader.feed_eof()
+        await app._handle(reader, writer)
+        head, _, payload = writer.data.partition(b"\r\n\r\n")
+        assert b"200" in head.split(b"\r\n")[0]
+        assert json.loads(payload) == {"n": 11, "text": "hello world"}
+
+    asyncio.run(run())
+
+
+def test_chunked_body_over_cap_rejected():
+    from clearconverse_tpu.serve import http as hmod
+
+    app = App()
+
+    @app.post("/x")
+    async def x(req):
+        return {}
+
+    class _W:
+        data = b""
+
+        def write(self, b):
+            self.data += b
+
+        async def drain(self):
+            pass
+
+        def close(self):
+            pass
+
+    async def run():
+        reader = asyncio.StreamReader()
+        writer = _W()
+        reader.feed_data(b"POST /x HTTP/1.1\r\nTransfer-Encoding: chunked\r\n\r\n")
+        # One chunk claiming to exceed MAX_BODY: rejected before reading it.
+        reader.feed_data(hex(hmod.MAX_BODY + 1)[2:].encode() + b"\r\n")
+        reader.feed_eof()
+        await app._handle(reader, writer)
+        assert b"413" in writer.data.split(b"\r\n")[0]
+
+    asyncio.run(run())
+
+
 # --------------------------------------------------------------- websocket
 
 class _Writer:

@@ -175,6 +175,39 @@ def test_generation_force_finishes_at_text_ctx(hf_model, params, mel):
     assert (toks_np[n_ctx - len(prompt):] == VOCAB - 1).all()
 
 
+def test_timestamp_rules_structure(hf_model, params, mel):
+    """Timestamp decoding obeys whisper's ApplyTimestampRules: starts with a
+    timestamp (capped by max_initial), timestamps pair up around text, and
+    are non-decreasing."""
+    sot, eot, tsb = 1, 139, 140
+    opts = DecodeOptions(max_tokens=24, eot=eot, suppress_blank=False,
+                         timestamps=True, timestamp_begin=tsb,
+                         max_initial_timestamp_index=5)
+    toks, lens = build_prompt_batch([[sot], [sot]], 1, pad_id=0)
+    out = greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                        jnp.asarray(lens), DIMS, opts, 1)
+    tokens, lengths = np.asarray(out["tokens"]), np.asarray(out["lengths"])
+    for b in range(2):
+        seq = tokens[b, : lengths[b]].tolist()
+        assert seq, "no tokens generated"
+        assert seq[0] >= tsb, "first sampled token must be a timestamp"
+        assert seq[0] <= tsb + 5, "initial timestamp exceeds the cap"
+        last_ts = None
+        for j, t in enumerate(seq):
+            if t >= tsb:
+                if last_ts is not None:
+                    assert t >= last_ts, "timestamps must be non-decreasing"
+                last_ts = t
+                if j >= 2 and seq[j - 1] >= tsb and seq[j - 2] >= tsb:
+                    pytest.fail("three timestamps in a row")
+        # After a lone trailing timestamp, only ts/EOT may follow — implied
+        # by the loop ending at EOT; check no text follows an open pair end.
+        for j in range(1, len(seq) - 1):
+            if seq[j] >= tsb and seq[j - 1] < tsb and j >= 1:
+                nxt = seq[j + 1]
+                assert nxt >= tsb or nxt == eot or j + 1 >= len(seq)
+
+
 def test_bf16_encoder_close_to_f32(params, mel):
     f32 = np.asarray(whisper_encode(params, jnp.asarray(mel), DIMS))
     bf16 = np.asarray(whisper_encode(params, jnp.asarray(mel), DIMS,
