@@ -87,12 +87,15 @@ def load_audio(file_path: str, target_sr: int = TARGET_SR,
         import math
         n_out = int(math.ceil(target_sr * n_in / sr))
     if denoise and noise_reduction_amount > 0:
+        # Gate + peak-normalize fused into one device program (the gate
+        # zero-masks padding, so the peak over the padded buffer equals the
+        # peak over the valid samples).
         mask = (jnp.arange(wave.shape[-1]) < n_out).astype(jnp.float32)
-        wave = _denoise.spectral_gate_jit(wave[None], noise_reduction_amount,
-                                          mask[None], sr=target_sr)[0]
-    wave = wave[:n_out]
-    wave = _denoise.peak_normalize(wave)
-    return wave, target_sr
+        wave = _denoise.spectral_gate_normalized_jit(
+            wave[None], noise_reduction_amount, mask[None], sr=target_sr)[0]
+    else:
+        wave = _denoise.peak_normalize_jit(wave)  # pad is zeros: peak equal
+    return wave[:n_out], target_sr
 
 
 def decode_pcm_bytes(data: bytes, channels: int = 1) -> np.ndarray:

@@ -51,10 +51,18 @@ class WhisperDims:
 # Published whisper model sizes. English-only (.en) models use the 51864
 # vocab; multilingual use 51865 (tiny..medium) — large is not in the
 # reference's menu (back/api.py:131 defaults small.en).
+# name → (state, heads, encoder layers, decoder layers); the full
+# openai-whisper family (the reference defaults to small.en, api.py:131,
+# but whisper_model_size is a free Config field).
 _SIZES = {
-    "tiny": (384, 6, 4), "base": (512, 8, 6), "small": (768, 12, 12),
-    "medium": (1024, 16, 24),
+    "tiny": (384, 6, 4, 4), "base": (512, 8, 6, 6),
+    "small": (768, 12, 12, 12), "medium": (1024, 16, 24, 24),
+    "large": (1280, 20, 32, 32), "large-v1": (1280, 20, 32, 32),
+    "large-v2": (1280, 20, 32, 32), "large-v3": (1280, 20, 32, 32),
+    "turbo": (1280, 20, 32, 4), "large-v3-turbo": (1280, 20, 32, 4),
 }
+# large-v3 family: 128-bin mel frontend and one extra vocab entry.
+_V3 = ("large-v3", "turbo", "large-v3-turbo")
 
 
 def model_dims(name: str) -> WhisperDims:
@@ -62,11 +70,16 @@ def model_dims(name: str) -> WhisperDims:
     size = name[:-3] if english else name
     if size not in _SIZES:
         raise ValueError(f"unknown whisper model {name!r}")
-    d, h, l = _SIZES[size]
+    d, h, enc_l, dec_l = _SIZES[size]
+    if english:
+        n_vocab = 51864
+    else:
+        n_vocab = 51866 if size in _V3 else 51865
     return WhisperDims(
-        n_vocab=51864 if english else 51865,
-        n_audio_state=d, n_audio_head=h, n_audio_layer=l,
-        n_text_state=d, n_text_head=h, n_text_layer=l,
+        n_mels=128 if size in _V3 else 80,
+        n_vocab=n_vocab,
+        n_audio_state=d, n_audio_head=h, n_audio_layer=enc_l,
+        n_text_state=d, n_text_head=h, n_text_layer=dec_l,
     )
 
 

@@ -97,16 +97,15 @@ class TranscriptionEngine:
             return {}
 
         # Batched denoise (device) then batched embed.
-        from clearconverse_tpu.audio.denoise import spectral_gate_jit, peak_normalize
+        from clearconverse_tpu.audio.denoise import spectral_gate_normalized_jit
         import jax.numpy as jnp
         denoised: List[np.ndarray] = []
         for idx, padded, lens in batch_audio([c for _, c, _ in flat], sr,
                                              self.tpu.duration_buckets, 32):
             mask = (np.arange(padded.shape[1])[None, :] < lens[:, None]).astype(np.float32)
-            clean = spectral_gate_jit(jnp.asarray(padded),
-                                      self.config.noise_reduction_amount,
-                                      jnp.asarray(mask), sr=sr)
-            clean = np.asarray(peak_normalize(clean))
+            clean = np.asarray(spectral_gate_normalized_jit(
+                jnp.asarray(padded), self.config.noise_reduction_amount,
+                jnp.asarray(mask), sr=sr))
             for row, j in enumerate(idx):
                 denoised.append((j, clean[row, : lens[row]]))
         denoised.sort(key=lambda x: x[0])
