@@ -98,6 +98,63 @@ def load_audio(file_path: str, target_sr: int = TARGET_SR,
     return wave[:n_out], target_sr
 
 
+def load_audio_many(paths, target_sr: int = TARGET_SR,
+                    noise_reduction_amount: float = 0.5,
+                    denoise: bool = True, return_device: bool = False):
+    """Batched multi-file load (process_files): per-file decode/resample,
+    then ONE fused gate+normalize device call over the padded batch and ONE
+    device→host transfer — per-file load_audio pays both per file.
+
+    Returns a list aligned with ``paths``: float32 [T] arrays, or None for
+    files that failed to load. With ``return_device=True`` also returns the
+    gated DEVICE batch [K, T] and a path→row map, so callers can keep the
+    audio resident on device (pipeline/bundle.AudioStore) instead of
+    re-uploading windows of it later."""
+    waves, n_outs, order = [], [], []
+    results = [None] * len(paths)
+    row_map = [None] * len(paths)
+    for i, p in enumerate(paths):
+        try:
+            p = ensure_wav_format(p)
+            samples, sr = read_wav(p)
+            mono = samples.mean(axis=0).astype(np.float32)
+            n_out = len(mono)
+            if sr != target_sr:
+                # Per-file resample (device) for the odd-rate file, pulled
+                # back to host so the batch assembles host-side.
+                padded = np.pad(mono, (0, _next_bucket(n_out, sr) - n_out))
+                import math
+                n_out = int(math.ceil(target_sr * n_out / sr))
+                mono = np.asarray(resample(jnp.asarray(padded), sr,
+                                           target_sr))[:n_out]
+            waves.append(mono)
+            n_outs.append(n_out)
+            order.append(i)
+        except Exception as exc:  # noqa: BLE001 — per-file failure → None
+            logger.error("load_audio failed for %s: %s", p, exc)
+    if not waves:
+        return (results, None, row_map) if return_device else results
+    # Assemble on HOST: one upload, one fused gate+normalize program, one
+    # download (device-side pads/stacks would each pay a tunnel round trip).
+    T = _next_bucket(max(n_outs), target_sr)
+    batch_np = np.zeros((len(waves), T), np.float32)
+    for row, w in enumerate(waves):
+        batch_np[row, : len(w)] = w
+    batch = jnp.asarray(batch_np)
+    mask = jnp.asarray(
+        (np.arange(T)[None, :] < np.asarray(n_outs)[:, None]).astype(np.float32))
+    if denoise and noise_reduction_amount > 0:
+        batch = _denoise.spectral_gate_normalized_jit(
+            batch, noise_reduction_amount, mask, sr=target_sr)
+    else:
+        batch = _denoise.peak_normalize_jit(batch)  # pad is zeros: peak equal
+    host = np.asarray(batch)
+    for row, i in enumerate(order):
+        results[i] = host[row, : n_outs[row]]
+        row_map[i] = row
+    return (results, batch, row_map) if return_device else results
+
+
 def decode_pcm_bytes(data: bytes, channels: int = 1) -> np.ndarray:
     """s16le PCM bytes → float32 [C, T] (ffmpeg pipe output helper)."""
     pcm = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0

@@ -143,6 +143,71 @@ def _pick(logits: jnp.ndarray, opts: DecodeOptions, key: Optional[jax.Array],
     return jnp.argmax(logits, axis=-1)
 
 
+@partial(jax.jit, static_argnames=("bucket",))
+def gather_windows(store_dev: jnp.ndarray, rows: jnp.ndarray,
+                   starts: jnp.ndarray, lens: jnp.ndarray,
+                   bucket: int) -> jnp.ndarray:
+    """Fixed-length windows out of device-resident full-file audio:
+    [N, T] store + (row, start, len)[B] → [B, bucket], zero past len.
+
+    This is how batch consumers avoid re-uploading bulk audio over the
+    host↔device link (measured ~26 MB/s through the tunnel — re-uploading
+    windows dominated the engine's wall clock). The store must be padded
+    with >= bucket trailing zeros so dynamic_slice never clamps."""
+    def one(r, s):
+        return jax.lax.dynamic_slice(store_dev, (r, s),
+                                     (1, bucket))[0]
+    w = jax.vmap(one)(rows, starts)
+    return w * (jnp.arange(bucket)[None, :] < lens[:, None]).astype(w.dtype)
+
+
+@partial(jax.jit, static_argnames=("dims", "opts", "max_prompt_len",
+                                   "target_len", "bucket"))
+def greedy_decode_from_store(
+    params: Dict[str, Any],
+    store_dev: jnp.ndarray,
+    rows: jnp.ndarray,
+    starts: jnp.ndarray,
+    lens: jnp.ndarray,
+    prompt_tokens: jnp.ndarray,
+    prompt_lens: jnp.ndarray,
+    dims: WhisperDims,
+    opts: DecodeOptions,
+    max_prompt_len: int,
+    rng: Optional[jax.Array] = None,
+    target_len: int = 30 * 16000,
+    bucket: int = 30 * 16000,
+) -> Dict[str, jnp.ndarray]:
+    """gather + pad/mel + decode as ONE device program over store windows."""
+    audio = gather_windows(store_dev, rows, starts, lens, bucket)
+    return greedy_decode_from_audio(params, audio, prompt_tokens, prompt_lens,
+                                    dims, opts, max_prompt_len, rng,
+                                    target_len=target_len)
+
+
+@partial(jax.jit, static_argnames=("dims", "opts", "max_prompt_len",
+                                   "target_len"))
+def greedy_decode_from_audio(
+    params: Dict[str, Any],
+    audio: jnp.ndarray,             # [B, T] 16 kHz waveform (any length)
+    prompt_tokens: jnp.ndarray,
+    prompt_lens: jnp.ndarray,
+    dims: WhisperDims,
+    opts: DecodeOptions,
+    max_prompt_len: int,
+    rng: Optional[jax.Array] = None,
+    target_len: int = 30 * 16000,
+) -> Dict[str, jnp.ndarray]:
+    """pad/trim + log-mel + greedy_decode as ONE device program — the
+    separate eager mel stage costs 2 extra dispatches and a device↔host
+    mel round-trip per decode call (material on tunnel-attached chips)."""
+    from clearconverse_tpu.audio.mel import log_mel_auto, pad_or_trim
+
+    mel = log_mel_auto(pad_or_trim(audio, target_len), dims.n_mels)
+    return greedy_decode(params, mel, prompt_tokens, prompt_lens, dims, opts,
+                         max_prompt_len, rng)
+
+
 @partial(jax.jit, static_argnames=("dims", "opts", "max_prompt_len"))
 def greedy_decode(
     params: Dict[str, Any],

@@ -28,6 +28,56 @@ def _row_bucket(n: int) -> int:
     return b
 
 
+class AudioStore:
+    """Gated full-file audio resident on device as one ``[N, T+30 s]``
+    array (30 s of trailing zeros so window gathers never clamp).
+
+    Batch consumers pass (row, start, len) descriptors instead of audio —
+    window extraction happens ON DEVICE (models/decoding.gather_windows),
+    replacing bulk re-uploads with a few tiny integer transfers. Measured
+    through the tunnel: host↔device moves ~26 MB/s, and window re-uploads
+    dominated the engine pass."""
+
+    def __init__(self, dev, sr: int):
+        self.dev = dev            # jnp [N, T + 30*sr]
+        self.sr = sr
+
+
+class StoreBatch:
+    """A batch of fixed-bucket windows into an AudioStore: (row, start,
+    valid-len) per entry. Supports the row indexing/padding the transcribe
+    fallback loop applies to plain arrays."""
+
+    def __init__(self, store: AudioStore, rows, starts, lens, bucket: int):
+        self.store = store
+        self.bucket = int(bucket)
+        self.rows = np.asarray(rows, np.int32)
+        self.starts = np.asarray(starts, np.int32)
+        self.lens = np.asarray(lens, np.int32)
+
+    @property
+    def shape(self):
+        return (len(self.rows), self.bucket)
+
+    def __getitem__(self, idx):
+        return StoreBatch(self.store, self.rows[idx], self.starts[idx],
+                          self.lens[idx], self.bucket)
+
+    def pad_rows(self, extra: int) -> "StoreBatch":
+        z = np.zeros(extra, np.int32)
+        return StoreBatch(self.store,
+                          np.concatenate([self.rows, z]),
+                          np.concatenate([self.starts, z]),
+                          np.concatenate([self.lens, np.ones(extra, np.int32)]),
+                          self.bucket)
+
+    def gather(self):
+        """Eager device gather → [B, bucket] (rare paths only)."""
+        from clearconverse_tpu.models.decoding import gather_windows
+        return gather_windows(self.store.dev, self.rows, self.starts,
+                              self.lens, self.bucket)
+
+
 class ModelBundle:
     """Real TPU-backed bundle. Lazy: heavy jit compilation happens at first
     use per bucket shape; ``load_with_progress`` mirrors the reference's
@@ -52,6 +102,7 @@ class ModelBundle:
         # dispatch costs ~30-100 ms per op over the device tunnel — measured
         # 10.7 s vs 27.6 ms for one segmentation batch).
         self._jit_embed = None
+        self._jit_embed_denoised = {}   # keyed by sample rate
         self._jit_segment = None
         self._jit_separate = None
         # Per-call sampling seed: whisper's fallback rungs draw fresh
@@ -99,6 +150,22 @@ class ModelBundle:
         from jax.sharding import NamedSharding, PartitionSpec as P
         spec = P("data", *([None] * (arr.ndim - 1)))
         return jax.device_put(arr, NamedSharding(self.mesh, spec))
+
+    # The engine checks this to decide whether to build store-backed
+    # (device-resident) batches; test fakes don't set it.
+    supports_store = True
+
+    def make_store(self, dev_audio, sr: int) -> AudioStore:
+        """Wrap a device-resident [N, T] gated-audio array (e.g. the gate
+        output of audio.decode.load_audio_many) as an AudioStore, adding the
+        30 s zero tail gathers rely on; replicated across the mesh."""
+        import jax
+        import jax.numpy as jnp
+        dev = jnp.pad(jnp.asarray(dev_audio), ((0, 0), (0, 30 * sr)))
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            dev = jax.device_put(dev, NamedSharding(self.mesh, P()))
+        return AudioStore(dev, sr)
 
     def _place_aux(self) -> None:
         """Replicate the non-whisper model params across the mesh (they are
@@ -250,9 +317,9 @@ class ModelBundle:
         self._ensure()
         import jax
         import jax.numpy as jnp
-        from clearconverse_tpu.audio.mel import log_mel_auto, pad_or_trim
         from clearconverse_tpu.models.decoding import (
-            DecodeOptions, build_prompt_batch, greedy_decode)
+            DecodeOptions, build_prompt_batch, greedy_decode_from_audio,
+            greedy_decode_from_store)
 
         params, dims, tok = self._whisper
         if self.mesh is not None and not self._whisper_placed:
@@ -263,16 +330,19 @@ class ModelBundle:
         sp = tok.specials
         n_real = len(prompts)
         rows = self._rows(n_real)
+        is_store = isinstance(audio, StoreBatch)
         if rows > n_real:
-            audio = np.pad(np.asarray(audio), ((0, rows - n_real), (0, 0)))
+            audio = (audio.pad_rows(rows - n_real) if is_store else
+                     np.pad(np.asarray(audio), ((0, rows - n_real), (0, 0))))
             prompts = list(prompts) + [""] * (rows - n_real)
         if self.tpu.pad_to_full_window:
             target = 30 * 16000
         else:  # bucket-length windows: shorter encoder ctx, less cross-KV
             target = min(-(-audio.shape[1] // 16000) * 16000, 30 * 16000)
-        audio = self._put_data(pad_or_trim(jnp.asarray(audio, jnp.float32),
-                                           target))
-        mel = log_mel_auto(audio)
+        if not is_store:
+            # pad/mel happen INSIDE the jitted decode program (one dispatch);
+            # store batches gather their windows on device as well.
+            audio = self._put_data(jnp.asarray(audio, jnp.float32))
 
         # openai-whisper parity: context encodes as " " + prompt.strip() and
         # keeps the last n_text_ctx//2 - 1 tokens (transcribe.py's
@@ -300,7 +370,7 @@ class ModelBundle:
                                 | {sp.sot, sp.sot_prev, sp.sot_lm,
                                    sp.translate, sp.transcribe, sp.no_speech}))
 
-        def decode_rows(mel_rows, toks_rows, lens_rows, temp: float):
+        def decode_rows(audio_rows, toks_rows, lens_rows, temp: float):
             opts = DecodeOptions(
                 max_tokens=self.tpu.max_decode_tokens,
                 temperature=temp, eot=sp.eot,
@@ -313,10 +383,20 @@ class ModelBundle:
             if temp > 0:
                 self._decode_seed += 1
                 rng = jax.random.PRNGKey(self._decode_seed)
-            out = greedy_decode(params, self._put_data(mel_rows),
-                                self._put_data(toks_rows),
-                                self._put_data(lens_rows), dims, opts, max_p,
-                                rng)
+            if isinstance(audio_rows, StoreBatch):
+                out = greedy_decode_from_store(
+                    params, audio_rows.store.dev,
+                    self._put_data(audio_rows.rows),
+                    self._put_data(audio_rows.starts),
+                    self._put_data(audio_rows.lens),
+                    self._put_data(toks_rows), self._put_data(lens_rows),
+                    dims, opts, max_p, rng, target_len=target,
+                    bucket=audio_rows.bucket)
+            else:
+                out = greedy_decode_from_audio(
+                    params, self._put_data(audio_rows),
+                    self._put_data(toks_rows), self._put_data(lens_rows),
+                    dims, opts, max_p, rng, target_len=target)
             return (np.asarray(out["tokens"]), np.asarray(out["lengths"]),
                     np.asarray(out["sum_logprob"]),
                     np.asarray(out["no_speech_prob"]))
@@ -345,7 +425,8 @@ class ModelBundle:
                                   if t > temperature]
         ladder = ladder[: max(1, self.tpu.max_fallback_attempts)]
 
-        tokens, lengths, sum_lp, nsp = decode_rows(mel, toks, lens, ladder[0])
+        tokens, lengths, sum_lp, nsp = decode_rows(audio, toks, lens,
+                                                   ladder[0])
         final_tokens, final_lengths = tokens.copy(), lengths.copy()
         final_avg = np.array([avg_logprob(float(sum_lp[i]), int(lengths[i]))
                               for i in range(len(prompts))])
@@ -367,7 +448,8 @@ class ModelBundle:
             sub_rows = self._rows(len(idx))
             # Pad rows replicate the last flagged row (kept shapes, ignored).
             idx = np.concatenate([idx, np.repeat(idx[-1:], sub_rows - len(idx))])
-            t_s, l_s, s_s, _ = decode_rows(mel[idx], toks[idx], lens[idx], temp)
+            t_s, l_s, s_s, _ = decode_rows(audio[idx], toks[idx], lens[idx],
+                                           temp)
             still: List[int] = []
             for fi, row in enumerate(flagged):
                 best_r, best_avg = None, -np.inf
@@ -398,8 +480,12 @@ class ModelBundle:
         if not word_timestamps:
             return out_texts
 
+        from clearconverse_tpu.audio.mel import log_mel_auto, pad_or_trim
         from clearconverse_tpu.models.alignment import align_batch
         from clearconverse_tpu.models.whisper import whisper_encode
+        if is_store:
+            audio = audio.gather()
+        mel = log_mel_auto(pad_or_trim(audio, target), dims.n_mels)
         feats = whisper_encode(params, mel, dims, cdt)
         words = align_batch(params, tok, final_tokens[:n_real],
                             final_lengths[:n_real], feats[:n_real], dims,
@@ -423,9 +509,9 @@ class ModelBundle:
         self._ensure()
         import jax
         import jax.numpy as jnp
-        from clearconverse_tpu.audio.mel import log_mel_auto, pad_or_trim
         from clearconverse_tpu.models.decoding import (
-            DecodeOptions, build_prompt_batch, greedy_decode)
+            DecodeOptions, build_prompt_batch, greedy_decode_from_audio,
+            greedy_decode_from_store)
         from clearconverse_tpu.models.tokenizer import non_speech_tokens
 
         params, dims, tok = self._whisper
@@ -435,17 +521,21 @@ class ModelBundle:
             self._whisper = (params, dims, tok)
         self._whisper_placed = True
         sp = tok.specials
-        audio = np.asarray(audio, np.float32)
+        is_store = isinstance(audio, StoreBatch)
+        if not is_store:
+            audio = np.asarray(audio, np.float32)
         n_real = len(prompts)
         if lengths is None:
-            lengths = np.full(n_real, audio.shape[1], np.int64)
+            lengths = (audio.lens[:n_real] if is_store
+                       else np.full(n_real, audio.shape[1], np.int64))
         window_s = np.minimum(np.asarray(lengths) / 16000.0, 30.0)
         rows = self._rows(n_real)
         if rows > n_real:
-            audio = np.pad(audio, ((0, rows - n_real), (0, 0)))
+            audio = (audio.pad_rows(rows - n_real) if is_store else
+                     np.pad(audio, ((0, rows - n_real), (0, 0))))
             prompts = list(prompts) + [""] * (rows - n_real)
-        mel = log_mel_auto(self._put_data(
-            pad_or_trim(jnp.asarray(audio, jnp.float32), 30 * 16000)))
+        if not is_store:
+            audio_dev = self._put_data(jnp.asarray(audio, jnp.float32))
 
         ctx_keep = dims.n_text_ctx // 2 - 1
         prompt_lists = []
@@ -474,8 +564,17 @@ class ModelBundle:
         if temperature > 0:
             self._decode_seed += 1
             rng = jax.random.PRNGKey(self._decode_seed)
-        out = greedy_decode(params, mel, self._put_data(toks),
-                            self._put_data(lens), dims, opts, max_p, rng)
+        if is_store:
+            out = greedy_decode_from_store(
+                params, audio.store.dev, self._put_data(audio.rows),
+                self._put_data(audio.starts), self._put_data(audio.lens),
+                self._put_data(toks), self._put_data(lens), dims, opts,
+                max_p, rng, target_len=30 * 16000, bucket=audio.bucket)
+        else:
+            out = greedy_decode_from_audio(params, audio_dev,
+                                           self._put_data(toks),
+                                           self._put_data(lens), dims, opts,
+                                           max_p, rng, target_len=30 * 16000)
         tokens = np.asarray(out["tokens"])
         out_lens = np.asarray(out["lengths"])
         sum_lp = np.asarray(out["sum_logprob"])
@@ -536,6 +635,39 @@ class ModelBundle:
         return np.asarray(self._jit_embed(self._ecapa, self._put_data(audio),
                                           self._put_data(lengths)))[:n_real]
 
+    def embed_denoised_batch(self, audio: np.ndarray, lengths: np.ndarray,
+                             prop_decrease: float,
+                             sr: int = 16000) -> np.ndarray:
+        """[B, T] RAW padded clips → [B, D] embeddings of their
+        spectral-gated, peak-normalized versions — gate + embed as ONE
+        device program (profile building previously round-tripped the gated
+        audio through the host between two dispatches)."""
+        self._ensure()
+        import jax
+        import jax.numpy as jnp
+        from clearconverse_tpu.audio.denoise import peak_normalize, spectral_gate
+        from clearconverse_tpu.models.ecapa import EcapaDims, ecapa_embed
+
+        audio = np.asarray(audio, np.float32)
+        n_real = audio.shape[0]
+        rows = self._rows(n_real)
+        if rows > n_real:
+            audio = np.pad(audio, ((0, rows - n_real), (0, 0)))
+        lengths = np.pad(np.asarray(lengths), (0, rows - n_real),
+                         constant_values=1)
+        dims = self._ecapa_dims or EcapaDims()
+        self._place_aux()
+        if sr not in self._jit_embed_denoised:
+            def gate_embed(p, a, l, pd, sr=sr):
+                mask = (jnp.arange(a.shape[1])[None, :]
+                        < l[:, None]).astype(jnp.float32)
+                clean = peak_normalize(spectral_gate(a, sr, pd, mask))
+                return ecapa_embed(p, clean, l, dims)
+            self._jit_embed_denoised[sr] = jax.jit(gate_embed)
+        return np.asarray(self._jit_embed_denoised[sr](
+            self._ecapa, self._put_data(audio), self._put_data(lengths),
+            jnp.float32(prop_decrease)))[:n_real]
+
     def segment_frames(self, audio: np.ndarray) -> np.ndarray:
         """[B, T] window chunks → [B, F, 3] per-frame speaker activities."""
         self._ensure()
@@ -555,6 +687,39 @@ class ModelBundle:
                 lambda p, a: powerset_to_multilabel(pyannet_forward(p, a, dims)))
         return np.asarray(self._jit_segment(self._pyannet,
                                             self._put_data(audio)))[:n_real]
+
+    def segment_frames_store(self, store: AudioStore, rows, starts,
+                             window: int) -> np.ndarray:
+        """segment_frames over windows gathered on device from the store:
+        [(row, start)] × fixed window length → [B, F, 3] activities. The
+        store's zero tail reproduces the host version's zero-padded final
+        windows."""
+        self._ensure()
+        import jax
+        import jax.numpy as jnp
+        from clearconverse_tpu.models.decoding import gather_windows
+        from clearconverse_tpu.models.pyannet import (
+            PyannetDims, powerset_to_multilabel, pyannet_forward)
+        rows = np.asarray(rows, np.int32)
+        starts = np.asarray(starts, np.int32)
+        n_real = len(rows)
+        b = self._rows(n_real)
+        if b > n_real:
+            rows = np.pad(rows, (0, b - n_real))
+            starts = np.pad(starts, (0, b - n_real))
+        dims = self._pyannet_dims or PyannetDims()
+        self._place_aux()
+        if not hasattr(self, "_jit_segment_store"):
+            self._jit_segment_store = {}
+        if window not in self._jit_segment_store:
+            def seg(p, dev, r, s, window=window):
+                lens = jnp.full(r.shape, window, jnp.int32)
+                audio = gather_windows(dev, r, s, lens, window)
+                return powerset_to_multilabel(pyannet_forward(p, audio, dims))
+            self._jit_segment_store[window] = jax.jit(seg)
+        return np.asarray(self._jit_segment_store[window](
+            self._pyannet, store.dev, self._put_data(rows),
+            self._put_data(starts)))[:n_real]
 
     @property
     def frame_hop_seconds(self) -> float:

@@ -35,34 +35,39 @@ MIN_SUBSEG_S = 0.4     # minimum carveable subsegment
 EMBED_PAD_S = 3.0      # subsegments padded/trimmed to this for embedding
 
 
-def _file_activity(bundle, audio: np.ndarray, sr: int) -> Tuple[np.ndarray, float]:
-    """Whole-file per-frame speaker activity [F, MAX_LOCAL] by scoring all
-    sliding windows in one batch and mean-stitching overlaps."""
-    win = int(WINDOW_S * sr)
-    hop = int(HOP_S * sr)
-    T = len(audio)
-    starts = list(range(0, max(T - hop, 1), hop))
+def _window_chunks(audio: np.ndarray, sr: int) -> np.ndarray:
+    win, hop = int(WINDOW_S * sr), int(HOP_S * sr)
+    starts = list(range(0, max(len(audio) - hop, 1), hop))
     chunks = np.zeros((len(starts), win), np.float32)
     for i, s in enumerate(starts):
         seg = audio[s : s + win]
         chunks[i, : len(seg)] = seg
+    return chunks
 
-    probs = bundle.segment_frames(chunks)            # [W, Fw, S]
-    fhop = bundle.frame_hop_seconds
+
+def _stitch(probs: np.ndarray, n_samples: int, sr: int,
+            fhop: float) -> np.ndarray:
+    """Mean-stitch per-window frame scores [W, Fw, S] → file-level
+    [F, S], trimming frames past the true audio end."""
     frames_per_hop = int(round(HOP_S / fhop))
     Fw = probs.shape[1]
-    total_frames = (len(starts) - 1) * frames_per_hop + Fw
-
+    total_frames = (len(probs) - 1) * frames_per_hop + Fw
     acc = np.zeros((total_frames, probs.shape[2]), np.float64)
     cnt = np.zeros((total_frames, 1), np.float64)
-    for i in range(len(starts)):
+    for i in range(len(probs)):
         lo = i * frames_per_hop
         acc[lo : lo + Fw] += probs[i]
         cnt[lo : lo + Fw] += 1.0
-    # Trim frames beyond the true audio end (zero-padded window tails).
-    valid = int(T / sr / fhop)
-    act = (acc / np.maximum(cnt, 1.0))[:valid]
-    return act.astype(np.float32), fhop
+    valid = int(n_samples / sr / fhop)
+    return (acc / np.maximum(cnt, 1.0))[:valid].astype(np.float32)
+
+
+def _file_activity(bundle, audio: np.ndarray, sr: int) -> Tuple[np.ndarray, float]:
+    """Whole-file per-frame speaker activity [F, MAX_LOCAL] by scoring all
+    sliding windows in one batch and mean-stitching overlaps."""
+    probs = bundle.segment_frames(_window_chunks(audio, sr))  # [W, Fw, S]
+    fhop = bundle.frame_hop_seconds
+    return _stitch(probs, len(audio), sr, fhop), fhop
 
 
 def file_activity(bundle, audio: np.ndarray, sr: int):
@@ -71,6 +76,46 @@ def file_activity(bundle, audio: np.ndarray, sr: int):
     reference runs two separate full-file neural passes, back/api.py:1311 +
     1317)."""
     return _file_activity(bundle, audio, sr)
+
+
+def file_activities(bundle, audios: List[np.ndarray], sr: int,
+                    store=None, store_rows=None):
+    """Multi-file variant: EVERY file's windows score in ONE device call
+    (process_files batches segmentation across requests — the per-file
+    version costs one dispatch per file). Returns [(activity, fhop), ...].
+
+    With ``store``/``store_rows`` (pipeline/bundle.AudioStore + per-file row
+    indices), windows gather ON DEVICE from the resident audio instead of
+    re-uploading ~2x the audio as 50%-overlap chunks."""
+    if not audios:
+        return []
+    win, hop = int(WINDOW_S * sr), int(HOP_S * sr)
+    use_store = (store is not None and store_rows is not None
+                 and all(r is not None for r in store_rows)
+                 and hasattr(bundle, "segment_frames_store"))
+    counts = []
+    if use_store:
+        rows, starts = [], []
+        for audio, r in zip(audios, store_rows):
+            file_starts = list(range(0, max(len(audio) - hop, 1), hop))
+            counts.append(len(file_starts))
+            rows.extend([r] * len(file_starts))
+            starts.extend(file_starts)
+        probs = bundle.segment_frames_store(store, rows, starts, win)
+    else:
+        chunks = []
+        for audio in audios:
+            c = _window_chunks(audio, sr)
+            counts.append(len(c))
+            chunks.append(c)
+        probs = bundle.segment_frames(np.concatenate(chunks, axis=0))
+    fhop = bundle.frame_hop_seconds
+    out = []
+    lo = 0
+    for audio, n in zip(audios, counts):
+        out.append((_stitch(probs[lo : lo + n], len(audio), sr, fhop), fhop))
+        lo += n
+    return out
 
 
 def vad_intervals(bundle, audio: np.ndarray, sr: int,

@@ -83,46 +83,73 @@ class TranscriptionEngine:
                         raw_segments: List[S.LabeledSegment]) -> Dict[str, np.ndarray]:
         """Variance-weighted speaker profiles (back/api.py:893-959), with the
         per-segment denoise+embed loop collapsed into batches."""
+        return self._build_profiles_many([(audio, raw_segments)], sr)[0]
+
+    def _build_profiles_many(self, file_items: List[Tuple[np.ndarray, List]],
+                             sr: int) -> List[Dict[str, np.ndarray]]:
+        """Profiles for MANY files with all files' clips sharing denoise+
+        embed batches (process_files: one set of device calls for the whole
+        request group instead of one per file)."""
         if not self.config.use_speaker_embeddings:
-            return {}
-        selected = S.select_profile_segments(raw_segments,
-                                             self.config.max_embedding_segments)
-        flat: List[Tuple[str, np.ndarray, float]] = []
-        for spk, spans in selected.items():
-            for (s, e) in spans:
-                clip = S.extract_segment(audio, s, e, sr)
-                if len(clip) > 0.5 * sr:
-                    flat.append((spk, clip, float(np.var(clip))))
-        if not flat:
-            return {}
+            return [{} for _ in file_items]
+        flats: List[List[Tuple[str, np.ndarray, float]]] = []
+        for audio, raw_segments in file_items:
+            selected = S.select_profile_segments(
+                raw_segments, self.config.max_embedding_segments)
+            flat: List[Tuple[str, np.ndarray, float]] = []
+            for spk, spans in selected.items():
+                for (s, e) in spans:
+                    clip = S.extract_segment(audio, s, e, sr)
+                    if len(clip) > 0.5 * sr:
+                        flat.append((spk, clip, float(np.var(clip))))
+            flats.append(flat)
 
-        # Batched denoise (device) then batched embed.
-        from clearconverse_tpu.audio.denoise import spectral_gate_normalized_jit
-        import jax.numpy as jnp
-        denoised: List[np.ndarray] = []
-        for idx, padded, lens in batch_audio([c for _, c, _ in flat], sr,
-                                             self.tpu.duration_buckets, 32):
-            mask = (np.arange(padded.shape[1])[None, :] < lens[:, None]).astype(np.float32)
-            clean = np.asarray(spectral_gate_normalized_jit(
-                jnp.asarray(padded), self.config.noise_reduction_amount,
-                jnp.asarray(mask), sr=sr))
-            for row, j in enumerate(idx):
-                denoised.append((j, clean[row, : lens[row]]))
-        denoised.sort(key=lambda x: x[0])
-        embs = self._embed_many([c for _, c in denoised], sr)
+        clips = [c for flat in flats for _, c, _ in flat]
+        embs: List[Optional[np.ndarray]] = [None] * len(clips)
+        if not clips:
+            return [{} for _ in file_items]
+        # Denoise + embed fused into one device program per bucket
+        # (bundle.embed_denoised_batch); fakes without it gate on device
+        # then embed separately.
+        if hasattr(self.models, "embed_denoised_batch"):
+            for idx, padded, lens in batch_audio(clips, sr,
+                                                 self.tpu.duration_buckets, 64):
+                e = self.models.embed_denoised_batch(
+                    padded, lens, self.config.noise_reduction_amount, sr)
+                for row, j in enumerate(idx):
+                    embs[j] = e[row]
+        else:
+            from clearconverse_tpu.audio.denoise import spectral_gate_normalized_jit
+            import jax.numpy as jnp
+            denoised: List[np.ndarray] = []
+            for idx, padded, lens in batch_audio(clips, sr,
+                                                 self.tpu.duration_buckets, 64):
+                mask = (np.arange(padded.shape[1])[None, :] < lens[:, None]).astype(np.float32)
+                clean = np.asarray(spectral_gate_normalized_jit(
+                    jnp.asarray(padded), self.config.noise_reduction_amount,
+                    jnp.asarray(mask), sr=sr))
+                for row, j in enumerate(idx):
+                    denoised.append((j, clean[row, : lens[row]]))
+            denoised.sort(key=lambda x: x[0])
+            embs = self._embed_many([c for _, c in denoised], sr)
 
-        profiles: Dict[str, np.ndarray] = {}
-        by_spk: Dict[str, List[Tuple[np.ndarray, float]]] = {}
-        for (spk, _, var), emb in zip(flat, embs):
-            if emb is not None:
-                by_spk.setdefault(spk, []).append((emb, var))
-        for spk, pairs in by_spk.items():
-            total = sum(v for _, v in pairs)
-            if total > 0:
-                profiles[spk] = sum(e * (v / total) for e, v in pairs)
-            else:
-                profiles[spk] = np.mean([e for e, _ in pairs], axis=0)
-        return profiles
+        out: List[Dict[str, np.ndarray]] = []
+        pos = 0
+        for flat in flats:
+            profiles: Dict[str, np.ndarray] = {}
+            by_spk: Dict[str, List[Tuple[np.ndarray, float]]] = {}
+            for (spk, _, var), emb in zip(flat, embs[pos : pos + len(flat)]):
+                if emb is not None:
+                    by_spk.setdefault(spk, []).append((emb, var))
+            pos += len(flat)
+            for spk, pairs in by_spk.items():
+                total = sum(v for _, v in pairs)
+                if total > 0:
+                    profiles[spk] = sum(e * (v / total) for e, v in pairs)
+                else:
+                    profiles[spk] = np.mean([e for e, _ in pairs], axis=0)
+            out.append(profiles)
+        return out
 
     def _resegment_overlaps(self, audio: np.ndarray, sr: int,
                             overlap_items: List[Tuple[float, float]],
@@ -168,13 +195,10 @@ class TranscriptionEngine:
     def process_file(self, file_path: str,
                      should_cancel: Optional[Callable[[], bool]] = None
                      ) -> Optional[Dict]:
-        prep = self._prepare_file(file_path, should_cancel)
-        if prep is None:
-            return None
-        with prep["timer"].stage("transcription"):
-            self._transcribe_wavefront(prep["items"], prep["sr"],
-                                       should_cancel)
-        return self._finalize(prep)
+        """Single-file entry (back/api.py:1298): the one-file case of
+        process_files, sharing its device-resident audio store and batched
+        analysis paths."""
+        return self.process_files([file_path], should_cancel)[0]
 
     def process_files(self, file_paths: List[str],
                       should_cancel: Optional[Callable[[], bool]] = None
@@ -184,7 +208,69 @@ class TranscriptionEngine:
         wavefront so segments from different requests share device batches
         (driver config 5; impossible in the reference's one-process-per-task
         design, SURVEY.md §2.5)."""
-        preps = [self._prepare_file(p, should_cancel) for p in file_paths]
+        # Cross-file batching of the segmentation pass: load every file,
+        # score ALL files' windows in ONE device call, then run each file's
+        # analysis on its slice (per-file it costs one dispatch per file —
+        # dispatch latency dominates on tunnel-attached chips).
+        from clearconverse_tpu.audio.decode import load_audio_many
+        from clearconverse_tpu.pipeline.diarize import file_activities
+
+        sr0 = self.config.target_sample_rate
+        store = None
+        row_map: List[Optional[int]] = [None] * len(file_paths)
+        if getattr(self.models, "supports_store", False):
+            hosts, dev_batch, row_map = load_audio_many(
+                file_paths, sr0, self.config.noise_reduction_amount,
+                return_device=True)
+            if dev_batch is not None:
+                # Keep the gated audio resident on device: decode and
+                # segmentation batches gather windows from it instead of
+                # re-uploading them (bundle.AudioStore).
+                store = self.models.make_store(dev_batch, sr0)
+        else:
+            hosts = load_audio_many(file_paths, sr0,
+                                    self.config.noise_reduction_amount)
+        loaded: List[Optional[Tuple]] = [
+            (np.asarray(w, np.float32), sr0) if w is not None else None
+            for w in hosts]
+        ok = [i for i, l in enumerate(loaded) if l is not None]
+        acts = file_activities(self.models, [loaded[i][0] for i in ok],
+                               loaded[ok[0]][1], store=store,
+                               store_rows=[row_map[i] for i in ok]) if ok else []
+        preloads: List[Optional[Dict]] = [None] * len(file_paths)
+        for i, act in zip(ok, acts):
+            preloads[i] = dict(audio=loaded[i][0], sr=loaded[i][1],
+                               activity=act, store=store,
+                               store_row=row_map[i])
+        # Diarize per file (host clustering + one small embed each), then
+        # build ALL files' speaker profiles through shared denoise+embed
+        # batches — the per-file version costs a few dispatches per file.
+        hyst = {}
+        if self.tpu.diarization_onset is not None:
+            hyst["onset"] = self.tpu.diarization_onset
+        if self.tpu.diarization_offset is not None:
+            hyst["offset"] = self.tpu.diarization_offset
+        for i in [i for i in ok if preloads[i] is not None]:
+            pre = preloads[i]
+            try:
+                pre["raw_segments"] = diarize(
+                    self.models, pre["audio"], pre["sr"],
+                    self.config.min_speakers, self.config.max_speakers,
+                    activity=pre["activity"], **hyst)
+            except Exception as exc:  # noqa: BLE001 — fall back in-prep
+                logger.error("diarize failed for %s: %s", file_paths[i], exc)
+        with_raw = [i for i in ok
+                    if preloads[i] and "raw_segments" in preloads[i]]
+        if with_raw:
+            profs = self._build_profiles_many(
+                [(preloads[i]["audio"], preloads[i]["raw_segments"])
+                 for i in with_raw], loaded[with_raw[0]][1])
+            for i, prof in zip(with_raw, profs):
+                preloads[i]["profiles"] = prof
+
+        preps = [self._prepare_file(p, should_cancel, preloaded=pre)
+                 if pre is not None else None
+                 for p, pre in zip(file_paths, preloads)]
         merged: List[Dict] = []
         offsets: List[int] = []
         for prep in preps:
@@ -212,8 +298,8 @@ class TranscriptionEngine:
         return results
 
     def _prepare_file(self, file_path: str,
-                      should_cancel: Optional[Callable[[], bool]] = None
-                      ) -> Optional[Dict]:
+                      should_cancel: Optional[Callable[[], bool]] = None,
+                      preloaded: Optional[Tuple] = None) -> Optional[Dict]:
         cfg = self.config
         from clearconverse_tpu.utils.tracing import StageTimer
         timer = StageTimer()
@@ -223,11 +309,16 @@ class TranscriptionEngine:
 
         try:
             from clearconverse_tpu.audio.decode import ensure_wav_format, load_audio
+            pre = preloaded or {}
+            activity = pre.get("activity")
             with timer.stage("load_audio"):
-                file_path = ensure_wav_format(file_path)
-                wave, sr = load_audio(file_path, cfg.target_sample_rate,
-                                      cfg.noise_reduction_amount)
-                audio = np.asarray(wave, np.float32)
+                if "audio" in pre:
+                    audio, sr = pre["audio"], pre["sr"]
+                else:
+                    file_path = ensure_wav_format(file_path)
+                    wave, sr = load_audio(file_path, cfg.target_sample_rate,
+                                          cfg.noise_reduction_amount)
+                    audio = np.asarray(wave, np.float32)
             duration = len(audio) / sr
             logger.info("Processing audio file: %.2f seconds", duration)
 
@@ -238,14 +329,17 @@ class TranscriptionEngine:
                 hyst["offset"] = self.tpu.diarization_offset
             ck()
             with timer.stage("vad"):
-                activity = file_activity(self.models, audio, sr)
+                if activity is None:
+                    activity = file_activity(self.models, audio, sr)
                 vad = vad_intervals(self.models, audio, sr,
                                     activity=activity, **hyst)
             ck()
             with timer.stage("diarization"):
-                raw_segments = diarize(self.models, audio, sr,
-                                       cfg.min_speakers, cfg.max_speakers,
-                                       activity=activity, **hyst)
+                raw_segments = pre.get("raw_segments")
+                if raw_segments is None:
+                    raw_segments = diarize(self.models, audio, sr,
+                                           cfg.min_speakers, cfg.max_speakers,
+                                           activity=activity, **hyst)
             logger.info("Diarization found %d raw segments", len(raw_segments))
 
             merged = S.merge_segments(raw_segments, cfg.merge_gap_threshold)
@@ -260,7 +354,9 @@ class TranscriptionEngine:
 
             ck()
             with timer.stage("profiles"):
-                profiles = self._build_profiles(audio, sr, raw_segments)
+                profiles = pre.get("profiles")
+                if profiles is None:
+                    profiles = self._build_profiles(audio, sr, raw_segments)
             mapping = S.map_speakers(refined)
             overlap_regions = S.detect_overlap_regions(raw_segments,
                                                        cfg.overlap_threshold)
@@ -268,6 +364,19 @@ class TranscriptionEngine:
 
             # ---------- phase 1: classify + model scoring (batched) ------
             seg_audio = [S.extract_segment(audio, s, e, sr) for s, e, _ in refined]
+            # Device-resident audio refs (AudioStore): (store, row,
+            # start-sample) per segment when the clip is a clean contiguous
+            # slice — decode batches then gather windows on device instead
+            # of re-uploading them.
+            store, srow = pre.get("store"), pre.get("store_row")
+            duration_all = len(audio) / sr
+
+            def seg_ref(s, e):
+                if store is None or srow is None:
+                    return None
+                i0 = int(max(s, 0.0) * sr)
+                i1 = int(min(e, duration_all) * sr)
+                return (store, srow, i0) if i0 < i1 else None
             is_overlap: List[bool] = []
             involved: List[List[str]] = []
             for (s, e, _spk) in refined:
@@ -403,6 +512,7 @@ class TranscriptionEngine:
                         start=seg_start, end=seg_end, speaker=spk_label,
                         audio=seg_audio[i], is_overlap=False, prompt=prompt,
                         depends_on=dep, rapid=rapid, confidence=1.0,
+                        store_ref=seg_ref(seg_start, seg_end),
                         metadata={"rapid_exchange": rapid}))
                     meta_counts[spk_label] = meta_counts.get(spk_label, 0) + 1
                     prev_end, prev_speaker = seg_end, orig_spk
@@ -485,16 +595,21 @@ class TranscriptionEngine:
         item_units: List[List[int]] = []
         for i, it in enumerate(items):
             audio = np.asarray(it["audio"], np.float32)
+            ref = it.get("store_ref")   # (AudioStore, row, start-sample)
             unit_ids = []
             if long_ok and len(audio) > win:
                 units.append(dict(item=i, audio=audio[:win], text=None,
-                                  prev_unit=None, long=True, cursor=0))
+                                  prev_unit=None, long=True, cursor=0,
+                                  sref=(ref + (min(win, len(audio)),)
+                                        if ref else None)))
                 unit_ids.append(len(units) - 1)
             else:
                 for k, chunk in enumerate(split_long(audio, sr, 30.0)):
-                    units.append(dict(item=i, audio=chunk, text=None,
-                                      prev_unit=unit_ids[-1] if k else None,
-                                      long=False))
+                    units.append(dict(
+                        item=i, audio=chunk, text=None,
+                        prev_unit=unit_ids[-1] if k else None, long=False,
+                        sref=((ref[0], ref[1], ref[2] + k * win, len(chunk))
+                              if ref else None)))
                     unit_ids.append(len(units) - 1)
             item_units.append(unit_ids)
 
@@ -527,11 +642,58 @@ class TranscriptionEngine:
                     return it["prompt"]
                 return f"{item_text(it['depends_on'])} "
 
+            def store_groups(uids, fixed_bucket=None):
+                """Group store-ref'd units into StoreBatch device batches
+                (windows gather on device; no audio upload)."""
+                from clearconverse_tpu.pipeline.batching import pick_bucket
+                from clearconverse_tpu.pipeline.bundle import StoreBatch
+                groups: Dict[Tuple, List[int]] = {}
+                for u in uids:
+                    ref = units[u]["sref"]
+                    b = (fixed_bucket if fixed_bucket is not None
+                         else int(pick_bucket(ref[3] / sr,
+                                              self.tpu.duration_buckets) * sr))
+                    groups.setdefault((id(ref[0]), b), []).append(u)
+                bs = self.config.transcription_batch_size
+                for (_, b), us in sorted(groups.items()):
+                    for lo in range(0, len(us), bs):
+                        sub = us[lo:lo + bs]
+                        refs = [units[u]["sref"] for u in sub]
+                        yield sub, StoreBatch(
+                            refs[0][0], [r[1] for r in refs],
+                            [r[2] for r in refs],
+                            [max(min(r[3], b), 1) for r in refs], b)
+
+            def spawn_next_window(u, advance_s):
+                """Append the successor window unit after a long window
+                resolves (its start = this window's last complete segment
+                end)."""
+                unit = units[u]
+                i = unit["item"]
+                total = len(items[i]["audio"])
+                cursor = unit["cursor"] + int(advance_s * sr)
+                if total - cursor <= int(0.1 * sr):
+                    return
+                base = items[i].get("store_ref")
+                units.append(dict(
+                    item=i, text=None, prev_unit=u, long=True, cursor=cursor,
+                    audio=np.asarray(items[i]["audio"],
+                                     np.float32)[cursor:cursor + win],
+                    sref=((base[0], base[1], base[2] + cursor,
+                           min(win, total - cursor)) if base else None)))
+                nid = len(units) - 1
+                item_units[i].append(nid)
+                remaining.add(nid)
+
             short = [u for u in ready if not units[u].get("long")]
             longs = [u for u in ready if units[u].get("long")]
+            s_host = [u for u in short if not units[u]["sref"]]
+            s_store = [u for u in short if units[u]["sref"]]
+            l_host = [u for u in longs if not units[u]["sref"]]
+            l_store = [u for u in longs if units[u]["sref"]]
 
-            clips = [units[u]["audio"] for u in short]
-            prompts = [unit_prompt(units[u]) for u in short]
+            clips = [units[u]["audio"] for u in s_host]
+            prompts = [unit_prompt(units[u]) for u in s_host]
             for idx, padded, lens in batch_audio(
                     clips, sr, self.tpu.duration_buckets,
                     self.config.transcription_batch_size):
@@ -540,10 +702,18 @@ class TranscriptionEngine:
                     padded, [prompts[j] for j in idx],
                     temperature=self.config.temperature)
                 for row, j in enumerate(idx):
-                    units[short[j]]["text"] = texts[row]
+                    units[s_host[j]]["text"] = texts[row]
 
-            lclips = [units[u]["audio"] for u in longs]
-            lprompts = [unit_prompt(units[u]) for u in longs]
+            for sub, sb in store_groups(s_store):
+                check_cancel(should_cancel)
+                texts = self.models.transcribe_batch(
+                    sb, [unit_prompt(units[u]) for u in sub],
+                    temperature=self.config.temperature)
+                for u, t in zip(sub, texts):
+                    units[u]["text"] = t
+
+            lclips = [units[u]["audio"] for u in l_host]
+            lprompts = [unit_prompt(units[u]) for u in l_host]
             for idx, padded, lens in batch_audio(
                     lclips, sr, self.tpu.duration_buckets,
                     self.config.transcription_batch_size):
@@ -552,22 +722,18 @@ class TranscriptionEngine:
                     padded, [lprompts[j] for j in idx], lens,
                     temperature=self.config.temperature)
                 for row, j in enumerate(idx):
-                    u = longs[j]
-                    unit = units[u]
                     text, advance_s = results[row]
-                    unit["text"] = text
-                    i = unit["item"]
-                    total = len(items[i]["audio"])
-                    cursor = unit["cursor"] + int(advance_s * sr)
-                    if total - cursor > int(0.1 * sr):
-                        units.append(dict(
-                            item=i, text=None, prev_unit=u, long=True,
-                            cursor=cursor,
-                            audio=np.asarray(items[i]["audio"],
-                                             np.float32)[cursor:cursor + win]))
-                        nid = len(units) - 1
-                        item_units[i].append(nid)
-                        remaining.add(nid)
+                    units[l_host[j]]["text"] = text
+                    spawn_next_window(l_host[j], advance_s)
+
+            for sub, sb in store_groups(l_store, fixed_bucket=win):
+                check_cancel(should_cancel)
+                results = self.models.transcribe_long_batch(
+                    sb, [unit_prompt(units[u]) for u in sub],
+                    temperature=self.config.temperature)
+                for u, (text, advance_s) in zip(sub, results):
+                    units[u]["text"] = text
+                    spawn_next_window(u, advance_s)
             remaining -= set(ready)
 
         for i in range(len(items)):

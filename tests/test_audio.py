@@ -244,3 +244,23 @@ def test_load_audio_with_denoise_runs(tmp_path, rng):
     wave, _ = load_audio(p, noise_reduction_amount=0.5)
     assert wave.shape[-1] == 20000
     assert np.isfinite(np.asarray(wave)).all()
+
+
+def test_load_audio_many_matches_per_file(tmp_path, rng):
+    """Batched multi-file load == per-file load_audio, with None for
+    unreadable paths."""
+    from clearconverse_tpu.audio.decode import load_audio, load_audio_many
+
+    paths = []
+    for i, n in enumerate((20000, 8000)):
+        x = np.clip(rng.standard_normal(n) * 0.2, -0.99, 0.99).astype(np.float32)
+        p = str(tmp_path / f"m{i}.wav")
+        wavmod.write_wav(p, x, 16000)
+        paths.append(p)
+    out = load_audio_many([paths[0], str(tmp_path / "missing.wav"), paths[1]],
+                          noise_reduction_amount=0.5)
+    assert out[1] is None
+    for got, p in ((out[0], paths[0]), (out[2], paths[1])):
+        want, _ = load_audio(p, noise_reduction_amount=0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)

@@ -102,14 +102,14 @@ def test_prompt_length_bucketing(bundle, rng):
     from clearconverse_tpu.models import decoding as dec
 
     seen = []
-    orig = dec.greedy_decode
+    orig = dec.greedy_decode_from_audio
 
-    def spy(params, mel, toks, lens, dims, opts, max_p, rng_=None):
+    def spy(params, audio_, toks, lens, dims, opts, max_p, rng_=None, **kw):
         seen.append(max_p)
-        return orig(params, mel, toks, lens, dims, opts, max_p, rng_)
+        return orig(params, audio_, toks, lens, dims, opts, max_p, rng_, **kw)
 
     audio = rng.standard_normal((1, 8000)).astype(np.float32) * 0.1
-    with patch.object(dec, "greedy_decode", side_effect=spy):
+    with patch.object(dec, "greedy_decode_from_audio", side_effect=spy):
         # Re-import inside bundle uses the patched module attribute.
         bundle.transcribe_batch(audio, ["hi"])
         bundle.transcribe_batch(audio, ["a slightly longer prompt here ok"])
@@ -129,6 +129,22 @@ def test_row_bucketing_all_paths(bundle, rng):
     assert frames.shape[0] == 3
 
 
+def test_embed_denoised_batch_matches_separate_programs(bundle, rng):
+    """Fused gate+embed == gate program then embed program."""
+    import jax.numpy as jnp
+    from clearconverse_tpu.audio.denoise import spectral_gate_normalized_jit
+
+    audio = rng.standard_normal((3, 8000)).astype(np.float32) * 0.1
+    lens = np.asarray([8000, 5000, 8000])
+    fused = bundle.embed_denoised_batch(audio, lens, 0.5)
+
+    mask = (np.arange(8000)[None, :] < lens[:, None]).astype(np.float32)
+    clean = np.asarray(spectral_gate_normalized_jit(
+        jnp.asarray(audio), jnp.float32(0.5), jnp.asarray(mask), sr=16000))
+    want = bundle.embed_batch(clean, lens)
+    np.testing.assert_allclose(fused, want, rtol=1e-4, atol=1e-5)
+
+
 def test_transcribe_long_batch_contract(bundle, rng):
     """Timestamp-seek window decode: (text, advance) per row with
     1 <= advance <= window seconds."""
@@ -142,15 +158,16 @@ def test_transcribe_long_batch_contract(bundle, rng):
 
 
 class _FakeDecode:
-    """Scripted greedy_decode stand-in: returns per-call canned outputs and
-    records every call's batch size, temperature, and rng key."""
+    """Scripted greedy_decode_from_audio stand-in: returns per-call canned
+    outputs and records every call's batch size, temperature, and rng key."""
 
     def __init__(self, script):
         self.script = script          # list of dicts keyed by row index
         self.calls = []               # (rows, temperature, rng)
 
-    def __call__(self, params, mel, toks, lens, dims, opts, max_p, rng=None):
-        rows = int(mel.shape[0])
+    def __call__(self, params, audio, toks, lens, dims, opts, max_p,
+                 rng=None, **kw):
+        rows = int(audio.shape[0])
         self.calls.append((rows, opts.temperature, rng))
         spec = self.script[min(len(self.calls) - 1, len(self.script) - 1)]
         tokens = np.full((rows, opts.max_tokens), opts.eot, np.int32)
@@ -179,7 +196,7 @@ def test_no_speech_gate_emits_empty_text(bundle, rng):
     fake = _FakeDecode([{0: {"nsp": 0.95, "sum_lp": -40.0},
                          1: {"nsp": 0.1, "sum_lp": -0.5}}])
     audio = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
-    with patch.object(dec, "greedy_decode", fake):
+    with patch.object(dec, "greedy_decode_from_audio", fake):
         texts = bundle.transcribe_batch(audio, ["", ""], temperature=0.0)
     assert texts[0] == ""
     assert texts[1] != ""
@@ -205,7 +222,7 @@ def test_row_sparse_fallback_retry(bundle, rng):
     bundle.tpu = dataclasses.replace(bundle.tpu, best_of=2,
                                      max_fallback_attempts=3)
     try:
-        with patch.object(dec, "greedy_decode", fake):
+        with patch.object(dec, "greedy_decode_from_audio", fake):
             texts = bundle.transcribe_batch(audio, [""] * 8, temperature=0.0)
     finally:
         bundle.tpu = old
@@ -225,7 +242,7 @@ def test_fallback_rng_differs_per_call(bundle, rng):
 
     fake = _FakeDecode([{"default": {"sum_lp": -0.5}}])
     audio = rng.standard_normal((1, 8000)).astype(np.float32) * 0.1
-    with patch.object(dec, "greedy_decode", fake):
+    with patch.object(dec, "greedy_decode_from_audio", fake):
         bundle.transcribe_batch(audio, [""], temperature=0.4)
         bundle.transcribe_batch(audio, [""], temperature=0.4)
     keys = [c[2] for c in fake.calls]
