@@ -688,6 +688,69 @@ class ModelBundle:
         return np.asarray(self._jit_segment(self._pyannet,
                                             self._put_data(audio)))[:n_real]
 
+    def _store_embed_args(self, rows, starts, lens):
+        rows = np.asarray(rows, np.int32)
+        starts = np.asarray(starts, np.int32)
+        lens = np.asarray(lens, np.int32)
+        n_real = len(rows)
+        b = self._rows(n_real)
+        if b > n_real:
+            rows = np.pad(rows, (0, b - n_real))
+            starts = np.pad(starts, (0, b - n_real))
+            lens = np.pad(lens, (0, b - n_real), constant_values=1)
+        return rows, starts, lens, n_real
+
+    def embed_store(self, store: AudioStore, rows, starts, lens,
+                    bucket: int) -> np.ndarray:
+        """embed_batch over windows gathered on device from the store."""
+        self._ensure()
+        import jax
+        import jax.numpy as jnp
+        from clearconverse_tpu.models.decoding import gather_windows
+        from clearconverse_tpu.models.ecapa import EcapaDims, ecapa_embed
+        rows, starts, lens, n_real = self._store_embed_args(rows, starts, lens)
+        dims = self._ecapa_dims or EcapaDims()
+        self._place_aux()
+        if not hasattr(self, "_jit_embed_from_store"):
+            self._jit_embed_from_store = {}
+        if bucket not in self._jit_embed_from_store:
+            def f(p, dev, r, s, l, bucket=bucket):
+                audio = gather_windows(dev, r, s, l, bucket)
+                return ecapa_embed(p, audio, l, dims)
+            self._jit_embed_from_store[bucket] = jax.jit(f)
+        return np.asarray(self._jit_embed_from_store[bucket](
+            self._ecapa, store.dev, self._put_data(rows),
+            self._put_data(starts), self._put_data(lens)))[:n_real]
+
+    def embed_denoised_store(self, store: AudioStore, rows, starts, lens,
+                             prop_decrease: float, bucket: int) -> np.ndarray:
+        """gather + spectral gate + peak-norm + embed as ONE device program
+        over store windows (profile building)."""
+        self._ensure()
+        import jax
+        import jax.numpy as jnp
+        from clearconverse_tpu.audio.denoise import peak_normalize, spectral_gate
+        from clearconverse_tpu.models.decoding import gather_windows
+        from clearconverse_tpu.models.ecapa import EcapaDims, ecapa_embed
+        rows, starts, lens, n_real = self._store_embed_args(rows, starts, lens)
+        dims = self._ecapa_dims or EcapaDims()
+        self._place_aux()
+        if not hasattr(self, "_jit_embed_denoised_store"):
+            self._jit_embed_denoised_store = {}
+        key = (bucket, store.sr)
+        if key not in self._jit_embed_denoised_store:
+            def f(p, dev, r, s, l, pd, bucket=bucket, sr=store.sr):
+                audio = gather_windows(dev, r, s, l, bucket)
+                mask = (jnp.arange(bucket)[None, :]
+                        < l[:, None]).astype(jnp.float32)
+                clean = peak_normalize(spectral_gate(audio, sr, pd, mask))
+                return ecapa_embed(p, clean, l, dims)
+            self._jit_embed_denoised_store[key] = jax.jit(f)
+        return np.asarray(self._jit_embed_denoised_store[key](
+            self._ecapa, store.dev, self._put_data(rows),
+            self._put_data(starts), self._put_data(lens),
+            jnp.float32(prop_decrease)))[:n_real]
+
     def segment_frames_store(self, store: AudioStore, rows, starts,
                              window: int) -> np.ndarray:
         """segment_frames over windows gathered on device from the store:

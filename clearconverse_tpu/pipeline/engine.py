@@ -60,18 +60,43 @@ class TranscriptionEngine:
         return self.models.load_with_progress(progress_callback)
 
     # ------------------------------------------------------------ helpers
-    def _embed_many(self, clips: List[np.ndarray], sr: int) -> List[Optional[np.ndarray]]:
-        """Batched embedding honoring the reference's <0.5 s → None rule."""
+    def _embed_many(self, clips: List[np.ndarray], sr: int,
+                    refs: Optional[List] = None) -> List[Optional[np.ndarray]]:
+        """Batched embedding honoring the reference's <0.5 s → None rule.
+
+        ``refs`` (aligned; entries (store, row, start-sample) or None) route
+        clips that are contiguous slices of device-resident audio through
+        store gathers instead of host uploads."""
         out: List[Optional[np.ndarray]] = [None] * len(clips)
         valid = [i for i, c in enumerate(clips) if len(c) >= MIN_EMBED_S * sr]
         if not valid:
             return out
-        for idx, padded, lens in batch_audio([clips[i] for i in valid], sr,
-                                             self.tpu.duration_buckets,
-                                             self.config.transcription_batch_size * 4):
+        use_store = refs is not None and hasattr(self.models, "embed_store")
+        host_idx = [i for i in valid if not (use_store and refs[i])]
+        store_idx = [i for i in valid if use_store and refs[i]]
+        bs = self.config.transcription_batch_size * 4
+        for idx, padded, lens in batch_audio([clips[i] for i in host_idx],
+                                             sr, self.tpu.duration_buckets, bs):
             embs = self.models.embed_batch(padded, lens)
             for row, j in enumerate(idx):
-                out[valid[j]] = embs[row]
+                out[host_idx[j]] = embs[row]
+        if store_idx:
+            from clearconverse_tpu.pipeline.batching import pick_bucket
+            groups: Dict[Tuple, List[int]] = {}
+            for i in store_idx:
+                b = int(pick_bucket(len(clips[i]) / sr,
+                                    self.tpu.duration_buckets) * sr)
+                groups.setdefault((id(refs[i][0]), b), []).append(i)
+            for (_, b), ids in sorted(groups.items()):
+                for lo in range(0, len(ids), bs):
+                    sub = ids[lo:lo + bs]
+                    embs = self.models.embed_store(
+                        refs[sub[0]][0],
+                        [refs[i][1] for i in sub],
+                        [refs[i][2] for i in sub],
+                        [max(min(len(clips[i]), b), 1) for i in sub], b)
+                    for i, e in zip(sub, embs):
+                        out[i] = e
         return out
 
     @staticmethod
@@ -86,14 +111,20 @@ class TranscriptionEngine:
         return self._build_profiles_many([(audio, raw_segments)], sr)[0]
 
     def _build_profiles_many(self, file_items: List[Tuple[np.ndarray, List]],
-                             sr: int) -> List[Dict[str, np.ndarray]]:
+                             sr: int,
+                             store_refs: Optional[List] = None
+                             ) -> List[Dict[str, np.ndarray]]:
         """Profiles for MANY files with all files' clips sharing denoise+
         embed batches (process_files: one set of device calls for the whole
-        request group instead of one per file)."""
+        request group instead of one per file). ``store_refs`` ((store, row)
+        per file, optional) routes clips through device gathers."""
         if not self.config.use_speaker_embeddings:
             return [{} for _ in file_items]
         flats: List[List[Tuple[str, np.ndarray, float]]] = []
-        for audio, raw_segments in file_items:
+        crefs: List = []
+        for fi, (audio, raw_segments) in enumerate(file_items):
+            fref = store_refs[fi] if store_refs else None
+            duration = len(audio) / sr
             selected = S.select_profile_segments(
                 raw_segments, self.config.max_embedding_segments)
             flat: List[Tuple[str, np.ndarray, float]] = []
@@ -102,27 +133,54 @@ class TranscriptionEngine:
                     clip = S.extract_segment(audio, s, e, sr)
                     if len(clip) > 0.5 * sr:
                         flat.append((spk, clip, float(np.var(clip))))
+                        i0 = int(max(s, 0.0) * sr)
+                        crefs.append((fref[0], fref[1], i0)
+                                     if fref and i0 < int(min(e, duration) * sr)
+                                     else None)
             flats.append(flat)
 
         clips = [c for flat in flats for _, c, _ in flat]
         embs: List[Optional[np.ndarray]] = [None] * len(clips)
         if not clips:
             return [{} for _ in file_items]
-        # Denoise + embed fused into one device program per bucket
-        # (bundle.embed_denoised_batch); fakes without it gate on device
-        # then embed separately.
-        if hasattr(self.models, "embed_denoised_batch"):
-            for idx, padded, lens in batch_audio(clips, sr,
+        # Denoise + embed fused into one device program per bucket —
+        # windows gathered from the device store where possible
+        # (embed_denoised_store), host-uploaded otherwise; fakes without
+        # either gate on device then embed separately.
+        store_ids = [i for i, r in enumerate(crefs)
+                     if r and hasattr(self.models, "embed_denoised_store")]
+        if store_ids:
+            from clearconverse_tpu.pipeline.batching import pick_bucket
+            groups: Dict[Tuple, List[int]] = {}
+            for i in store_ids:
+                b = int(pick_bucket(len(clips[i]) / sr,
+                                    self.tpu.duration_buckets) * sr)
+                groups.setdefault((id(crefs[i][0]), b), []).append(i)
+            for (_, b), ids in sorted(groups.items()):
+                for lo in range(0, len(ids), 64):
+                    sub = ids[lo:lo + 64]
+                    e = self.models.embed_denoised_store(
+                        crefs[sub[0]][0],
+                        [crefs[i][1] for i in sub],
+                        [crefs[i][2] for i in sub],
+                        [max(min(len(clips[i]), b), 1) for i in sub],
+                        self.config.noise_reduction_amount, b)
+                    for i, emb in zip(sub, e):
+                        embs[i] = emb
+        host_ids = [i for i in range(len(clips)) if i not in set(store_ids)]
+        host_clips = [clips[i] for i in host_ids]
+        if host_ids and hasattr(self.models, "embed_denoised_batch"):
+            for idx, padded, lens in batch_audio(host_clips, sr,
                                                  self.tpu.duration_buckets, 64):
                 e = self.models.embed_denoised_batch(
                     padded, lens, self.config.noise_reduction_amount, sr)
                 for row, j in enumerate(idx):
-                    embs[j] = e[row]
-        else:
+                    embs[host_ids[j]] = e[row]
+        elif host_ids:
             from clearconverse_tpu.audio.denoise import spectral_gate_normalized_jit
             import jax.numpy as jnp
             denoised: List[np.ndarray] = []
-            for idx, padded, lens in batch_audio(clips, sr,
+            for idx, padded, lens in batch_audio(host_clips, sr,
                                                  self.tpu.duration_buckets, 64):
                 mask = (np.arange(padded.shape[1])[None, :] < lens[:, None]).astype(np.float32)
                 clean = np.asarray(spectral_gate_normalized_jit(
@@ -131,7 +189,9 @@ class TranscriptionEngine:
                 for row, j in enumerate(idx):
                     denoised.append((j, clean[row, : lens[row]]))
             denoised.sort(key=lambda x: x[0])
-            embs = self._embed_many([c for _, c in denoised], sr)
+            for i, emb in zip(host_ids,
+                              self._embed_many([c for _, c in denoised], sr)):
+                embs[i] = emb
 
         out: List[Dict[str, np.ndarray]] = []
         pos = 0
@@ -153,11 +213,13 @@ class TranscriptionEngine:
 
     def _resegment_overlaps(self, audio: np.ndarray, sr: int,
                             overlap_items: List[Tuple[float, float]],
-                            profiles: Dict[str, np.ndarray]) -> List[List[S.LabeledSegment]]:
+                            profiles: Dict[str, np.ndarray],
+                            store_ref=None) -> List[List[S.LabeledSegment]]:
         """Sliding-window re-labeling of each overlap segment
         (back/api.py:961-1050) with ALL windows of ALL segments embedded in
-        one batch."""
+        one batch (gathered on device when ``store_ref`` = (store, row))."""
         windows: List[np.ndarray] = []
+        refs: List = []
         owners: List[Tuple[int, float, float, float]] = []  # (seg idx, w_start, w_end, step)
         for si, (seg_start, seg_end) in enumerate(overlap_items):
             wsize = self.config.sliding_window_size
@@ -167,10 +229,12 @@ class TranscriptionEngine:
             curr = seg_start
             while curr + wsize <= seg_end:
                 windows.append(S.extract_segment(audio, curr, curr + wsize, sr))
+                refs.append((store_ref[0], store_ref[1],
+                             int(max(curr, 0.0) * sr)) if store_ref else None)
                 owners.append((si, curr, curr + wsize, step))
                 curr += step
 
-        embs = self._embed_many(windows, sr)
+        embs = self._embed_many(windows, sr, refs=refs)
         results: List[List[Tuple[float, float, str, float]]] = \
             [[] for _ in overlap_items]
         prev_by_seg: Dict[int, Optional[str]] = {i: None for i in range(len(overlap_items))}
@@ -264,7 +328,10 @@ class TranscriptionEngine:
         if with_raw:
             profs = self._build_profiles_many(
                 [(preloads[i]["audio"], preloads[i]["raw_segments"])
-                 for i in with_raw], loaded[with_raw[0]][1])
+                 for i in with_raw], loaded[with_raw[0]][1],
+                store_refs=[(store, row_map[i])
+                            if store is not None and row_map[i] is not None
+                            else None for i in with_raw])
             for i, prof in zip(with_raw, profs):
                 preloads[i]["profiles"] = prof
 
@@ -390,7 +457,10 @@ class TranscriptionEngine:
             timer.spans.append(("classify", 0.0))
             ck()
             with timer.stage("segment_embeddings"):
-                embs = self._embed_many([seg_audio[i] for i in non_ov_idx], sr)
+                embs = self._embed_many(
+                    [seg_audio[i] for i in non_ov_idx], sr,
+                    refs=[seg_ref(refined[i][0], refined[i][1])
+                          for i in non_ov_idx])
             needs_secondary: Dict[int, bool] = {}
             for i, emb in zip(non_ov_idx, embs):
                 if emb is None:   # too short to embed → no rescue (api.py:1407)
@@ -429,7 +499,9 @@ class TranscriptionEngine:
             with timer.stage("overlap_reseg"):
                 spans_per_seg = self._resegment_overlaps(
                     audio, sr, [(refined[i][0], refined[i][1]) for i in ov_idx],
-                    mapped_profiles)
+                    mapped_profiles,
+                    store_ref=(store, srow) if store is not None
+                    and srow is not None else None)
 
             # Separate every overlap span in one batch; embed all sources in one.
             span_clips, span_meta = [], []   # (ov position, span)
