@@ -89,7 +89,7 @@ def main() -> None:
     ap.add_argument("--kv-bits", type=int, default=8, choices=(16, 8, 4),
                     help="cross-attention KV width (the decode loop is "
                     "cross-KV-streaming-bound; 8-bit = 2.3x decode at B=32)")
-    ap.add_argument("--engine-files", type=int, default=4,
+    ap.add_argument("--engine-files", type=int, default=8,
                     help="synthetic conversations per engine pass")
     ap.add_argument("--engine-repeats", type=int, default=2)
     ap.add_argument("--skip-engine", action="store_true",
