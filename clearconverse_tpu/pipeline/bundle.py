@@ -102,7 +102,10 @@ class ModelBundle:
         # dispatch costs ~30-100 ms per op over the device tunnel — measured
         # 10.7 s vs 27.6 ms for one segmentation batch).
         self._jit_embed = None
-        self._jit_embed_denoised = {}   # keyed by sample rate
+        self._jit_embed_denoised = {}        # keyed by sample rate
+        self._jit_embed_from_store = {}      # keyed by bucket
+        self._jit_embed_denoised_store = {}  # keyed by (bucket, sr)
+        self._jit_segment_store = {}         # keyed by window
         self._jit_segment = None
         self._jit_separate = None
         # Per-call sampling seed: whisper's fallback rungs draw fresh
@@ -304,6 +307,56 @@ class ModelBundle:
         if not self._loaded:
             self.load_with_progress()
 
+    def _whisper_on_mesh(self):
+        params, dims, tok = self._whisper
+        if self.mesh is not None and not self._whisper_placed:
+            from clearconverse_tpu.parallel.sharding import shard_params
+            params = shard_params(params, self.mesh)
+            self._whisper = (params, dims, tok)
+        self._whisper_placed = True
+        return params, dims, tok
+
+    def _prompt_batch(self, prompts, tok, dims, timestamps: bool):
+        """openai-whisper parity prompt assembly: context encodes as
+        " " + prompt.strip() kept to the last n_text_ctx//2-1 tokens
+        (transcribe.py's initial_prompt handling), terminated [sot,
+        notimestamps] — or [sot] alone in timestamp mode. Prompt lengths
+        bucket into a tiny static set (max_prompt_len is a static jit arg;
+        arbitrary lengths would recompile the decode program per batch)."""
+        from clearconverse_tpu.models.decoding import build_prompt_batch
+        sp = tok.specials
+        ctx_keep = dims.n_text_ctx // 2 - 1
+        tail = [sp.sot] if timestamps else [sp.sot, sp.no_timestamps]
+        prompt_lists = [
+            (([sp.sot_prev] + tok.encode(" " + p.strip())[-ctx_keep:])
+             if p.strip() else []) + tail
+            for p in prompts]
+        need = max(len(p) for p in prompt_lists)
+        max_p = next(b for b in (4, 16, 64, 256) if b >= min(need, 256))
+        toks, lens = build_prompt_batch(prompt_lists, max_p, pad_id=sp.eot)
+        return toks, lens, max_p
+
+    def _suppress_ids(self, tok, timestamps: bool):
+        """Whisper's per-step suppression set: non-speech symbols +
+        specials, plus the timestamp range (non-timestamp mode) or the
+        notimestamps token (timestamp mode)."""
+        from clearconverse_tpu.models.tokenizer import non_speech_tokens
+        sp = tok.specials
+        ids = (set(non_speech_tokens(tok))
+               | {sp.sot, sp.sot_prev, sp.sot_lm, sp.translate,
+                  sp.transcribe, sp.no_speech})
+        if timestamps:
+            ids |= {sp.no_timestamps}
+        else:
+            ids |= set(range(sp.timestamp_begin, sp.n_vocab))
+        return tuple(sorted(ids))
+
+    @property
+    def _cdt(self):
+        import jax.numpy as jnp
+        return (jnp.bfloat16 if self.tpu.compute_dtype == "bfloat16"
+                else jnp.float32)
+
     def transcribe_batch(self, audio: np.ndarray, prompts: Sequence[str],
                          temperature: float = 0.0,
                          word_timestamps: bool = False):
@@ -318,15 +371,9 @@ class ModelBundle:
         import jax
         import jax.numpy as jnp
         from clearconverse_tpu.models.decoding import (
-            DecodeOptions, build_prompt_batch, greedy_decode_from_audio,
-            greedy_decode_from_store)
+            DecodeOptions, greedy_decode_from_audio, greedy_decode_from_store)
 
-        params, dims, tok = self._whisper
-        if self.mesh is not None and not self._whisper_placed:
-            from clearconverse_tpu.parallel.sharding import shard_params
-            params = shard_params(params, self.mesh)
-            self._whisper = (params, dims, tok)
-        self._whisper_placed = True
+        params, dims, tok = self._whisper_on_mesh()
         sp = tok.specials
         n_real = len(prompts)
         rows = self._rows(n_real)
@@ -344,31 +391,10 @@ class ModelBundle:
             # store batches gather their windows on device as well.
             audio = self._put_data(jnp.asarray(audio, jnp.float32))
 
-        # openai-whisper parity: context encodes as " " + prompt.strip() and
-        # keeps the last n_text_ctx//2 - 1 tokens (transcribe.py's
-        # initial_prompt handling); generation past the context end is
-        # force-finished inside greedy_decode.
-        ctx_keep = dims.n_text_ctx // 2 - 1
-        prompt_lists = []
-        for p in prompts:
-            ids = ([sp.sot_prev] + tok.encode(" " + p.strip())[-ctx_keep:]
-                   if p.strip() else [])
-            prompt_lists.append(ids + [sp.sot, sp.no_timestamps])
-        # Bucket the prompt length: max_prompt_len is a static jit arg, so
-        # arbitrary lengths would recompile the decode program per batch
-        # (minutes per shape on TPU). Buckets keep the shape set tiny.
-        need = max(len(p) for p in prompt_lists)
-        max_p = next(b for b in (4, 16, 64, 256) if b >= min(need, 256))
-        toks, lens = build_prompt_batch(prompt_lists, max_p, pad_id=sp.eot)
-
-        cdt = (jnp.bfloat16 if self.tpu.compute_dtype == "bfloat16"
-               else jnp.float32)
-
-        from clearconverse_tpu.models.tokenizer import non_speech_tokens
-        suppress = tuple(sorted(set(non_speech_tokens(tok))
-                                | set(range(sp.timestamp_begin, sp.n_vocab))
-                                | {sp.sot, sp.sot_prev, sp.sot_lm,
-                                   sp.translate, sp.transcribe, sp.no_speech}))
+        toks, lens, max_p = self._prompt_batch(prompts, tok, dims,
+                                               timestamps=False)
+        cdt = self._cdt
+        suppress = self._suppress_ids(tok, timestamps=False)
 
         def decode_rows(audio_rows, toks_rows, lens_rows, temp: float):
             opts = DecodeOptions(
@@ -510,16 +536,9 @@ class ModelBundle:
         import jax
         import jax.numpy as jnp
         from clearconverse_tpu.models.decoding import (
-            DecodeOptions, build_prompt_batch, greedy_decode_from_audio,
-            greedy_decode_from_store)
-        from clearconverse_tpu.models.tokenizer import non_speech_tokens
+            DecodeOptions, greedy_decode_from_audio, greedy_decode_from_store)
 
-        params, dims, tok = self._whisper
-        if self.mesh is not None and not self._whisper_placed:
-            from clearconverse_tpu.parallel.sharding import shard_params
-            params = shard_params(params, self.mesh)
-            self._whisper = (params, dims, tok)
-        self._whisper_placed = True
+        params, dims, tok = self._whisper_on_mesh()
         sp = tok.specials
         is_store = isinstance(audio, StoreBatch)
         if not is_store:
@@ -537,22 +556,10 @@ class ModelBundle:
         if not is_store:
             audio_dev = self._put_data(jnp.asarray(audio, jnp.float32))
 
-        ctx_keep = dims.n_text_ctx // 2 - 1
-        prompt_lists = []
-        for p in prompts:
-            ids = ([sp.sot_prev] + tok.encode(" " + p.strip())[-ctx_keep:]
-                   if p.strip() else [])
-            prompt_lists.append(ids + [sp.sot])     # NO notimestamps token
-        need = max(len(p) for p in prompt_lists)
-        max_p = next(b for b in (4, 16, 64, 256) if b >= min(need, 256))
-        toks, lens = build_prompt_batch(prompt_lists, max_p, pad_id=sp.eot)
-
-        cdt = (jnp.bfloat16 if self.tpu.compute_dtype == "bfloat16"
-               else jnp.float32)
-        suppress = tuple(sorted(set(non_speech_tokens(tok))
-                                | {sp.sot, sp.sot_prev, sp.sot_lm,
-                                   sp.translate, sp.transcribe, sp.no_speech,
-                                   sp.no_timestamps}))
+        toks, lens, max_p = self._prompt_batch(prompts, tok, dims,
+                                               timestamps=True)
+        cdt = self._cdt
+        suppress = self._suppress_ids(tok, timestamps=True)
         opts = DecodeOptions(
             max_tokens=self.tpu.max_decode_tokens, temperature=temperature,
             eot=sp.eot, suppress_blank=True, blank_token=220,
@@ -711,8 +718,6 @@ class ModelBundle:
         rows, starts, lens, n_real = self._store_embed_args(rows, starts, lens)
         dims = self._ecapa_dims or EcapaDims()
         self._place_aux()
-        if not hasattr(self, "_jit_embed_from_store"):
-            self._jit_embed_from_store = {}
         if bucket not in self._jit_embed_from_store:
             def f(p, dev, r, s, l, bucket=bucket):
                 audio = gather_windows(dev, r, s, l, bucket)
@@ -735,8 +740,6 @@ class ModelBundle:
         rows, starts, lens, n_real = self._store_embed_args(rows, starts, lens)
         dims = self._ecapa_dims or EcapaDims()
         self._place_aux()
-        if not hasattr(self, "_jit_embed_denoised_store"):
-            self._jit_embed_denoised_store = {}
         key = (bucket, store.sr)
         if key not in self._jit_embed_denoised_store:
             def f(p, dev, r, s, l, pd, bucket=bucket, sr=store.sr):
@@ -772,8 +775,6 @@ class ModelBundle:
             starts = np.pad(starts, (0, b - n_real))
         dims = self._pyannet_dims or PyannetDims()
         self._place_aux()
-        if not hasattr(self, "_jit_segment_store"):
-            self._jit_segment_store = {}
         if window not in self._jit_segment_store:
             def seg(p, dev, r, s, window=window):
                 lens = jnp.full(r.shape, window, jnp.int32)
