@@ -60,10 +60,14 @@ def bench_engine(n_files: int, repeats: int) -> dict:
     # uncapped decode always burns the full 224-token budget — real speech
     # at whisper's ~3.2 tokens/s yields well under 64 for these <=12 s
     # segments, so 64 matches trained-checkpoint decode cost.
+    # max_fallback_attempts=1: random weights fail whisper's quality gates
+    # on every row, so the fallback ladder would retry every batch at every
+    # rung; trained checkpoints retry rarely, so a single rung measures the
+    # trained-like cost.
     engine = TranscriptionEngine(
         Config(noise_reduction_amount=0.2, temperature=0.0),
         TPUConfig(diarization_onset=0.35, diarization_offset=0.25,
-                  max_decode_tokens=64),
+                  max_decode_tokens=64, max_fallback_attempts=1),
         load_models_immediately=True)
 
     results = engine.process_files(paths)            # cold: compiles

@@ -96,6 +96,10 @@ class TPUConfig:
     # random-init weights — used by bench.py --engine and validation runs.
     diarization_onset: Optional[float] = None
     diarization_offset: Optional[float] = None
+    # Transcription language for MULTILINGUAL whisper models (prompt becomes
+    # [sot, <|lang|>, <|transcribe|>, ...]); ignored by .en models. The
+    # reference pins small.en, so "en" is the faithful default.
+    language: str = "en"
 
 
 def tpu_config_from_env(env: Optional[dict] = None) -> "TPUConfig":

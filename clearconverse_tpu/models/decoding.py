@@ -50,10 +50,13 @@ class DecodeOptions:
     # <|nospeech|> token id; when >= 0, greedy_decode also returns
     # ``no_speech_prob`` — softmax probability of this token read from the
     # raw (pre-suppression) prefill logits at the SOT slot, exactly where
-    # openai-whisper's DecodingTask reads it. The prompt layout fixes the
-    # SOT input at slot P-2 (prompts always end [sot, notimestamps]) —
-    # or P-1 when ``timestamps`` is on (prompts end [sot]).
+    # openai-whisper's DecodingTask reads it. ``sot_from_end`` locates that
+    # slot: prompts end with the SOT sequence (+ notimestamps outside
+    # timestamp mode), so SOT sits sot_from_end slots before the prompt end
+    # (2 for .en non-timestamp [sot, notimestamps]; 4 for multilingual
+    # [sot, lang, transcribe, notimestamps]; 1/3 in timestamp mode).
     no_speech_token: int = -1
+    sot_from_end: int = 2
     # Timestamp decoding (whisper ApplyTimestampRules, used by the >30 s
     # seek path): tokens >= timestamp_begin are timestamps at 0.02 s
     # resolution. Rules enforced inside the jit loop: first sampled token is
@@ -254,10 +257,8 @@ def greedy_decode(
     if opts.no_speech_token >= 0:
         # Whisper's silence signal: P(no_speech) from the raw logits at the
         # SOT input slot (openai-whisper DecodingTask._main_loop reads
-        # logits[:, sot_index]); our layout pins SOT at slot P-2 — or P-1 in
-        # timestamp mode, where prompts end with [sot] alone.
-        sot_slot = P - 1 if opts.timestamps else P - 2
-        sot_logits = logits[:, sot_slot, :].astype(jnp.float32)
+        # logits[:, sot_index]); opts.sot_from_end locates the slot.
+        sot_logits = logits[:, P - opts.sot_from_end, :].astype(jnp.float32)
         no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, opts.no_speech_token]
     else:
         no_speech_prob = jnp.zeros((B,), jnp.float32)

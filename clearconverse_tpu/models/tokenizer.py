@@ -19,7 +19,22 @@ from functools import lru_cache
 from typing import Dict, List, Optional, Sequence, Tuple
 
 # Languages count fixes the special-token layout (whisper's table).
+# large-v3-family models add "yue" for 100 and shift later specials by one.
 _N_LANGUAGES = 99
+
+# whisper's canonical language order: the language token for code c is
+# sot + 1 + WHISPER_LANGUAGES.index(c).
+WHISPER_LANGUAGES = (
+    "en", "zh", "de", "es", "ru", "ko", "fr", "ja", "pt", "tr", "pl", "ca",
+    "nl", "ar", "sv", "it", "id", "hi", "fi", "vi", "he", "uk", "el", "ms",
+    "cs", "ro", "da", "hu", "ta", "no", "th", "ur", "hr", "bg", "lt", "la",
+    "mi", "ml", "cy", "sk", "te", "fa", "lv", "bn", "sr", "az", "sl", "kn",
+    "et", "mk", "br", "eu", "is", "hy", "ne", "mn", "bs", "kk", "sq", "sw",
+    "gl", "mr", "pa", "si", "km", "sn", "yo", "so", "af", "oc", "ka", "be",
+    "tg", "sd", "gu", "am", "yi", "lo", "uz", "fo", "ht", "ps", "tk", "nn",
+    "mt", "sa", "lb", "my", "bo", "tl", "mg", "as", "tt", "haw", "ln", "ha",
+    "ba", "jw", "su", "yue",
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -41,10 +56,11 @@ class SpecialTokens:
     n_vocab: int
 
     @staticmethod
-    def for_model(english: bool = True) -> "SpecialTokens":
+    def for_model(english: bool = True,
+                  n_languages: int = _N_LANGUAGES) -> "SpecialTokens":
         eot = 50256 if english else 50257
         sot = eot + 1
-        translate = sot + 1 + _N_LANGUAGES
+        translate = sot + 1 + n_languages
         return SpecialTokens(
             eot=eot, sot=sot, translate=translate, transcribe=translate + 1,
             sot_lm=translate + 2, sot_prev=translate + 3,
@@ -58,6 +74,19 @@ class SpecialTokens:
         if language_id is None:  # english-only models: bare SOT
             return (self.sot,)
         return (self.sot, language_id, self.transcribe if task_transcribe else self.translate)
+
+    @property
+    def english_only(self) -> bool:
+        return self.eot == 50256
+
+    def language_token(self, code: str) -> int:
+        """<|lang|> id for an ISO code (whisper's canonical table order)."""
+        n_langs = self.translate - self.sot - 1
+        idx = WHISPER_LANGUAGES.index(code)
+        if idx >= n_langs:
+            raise ValueError(f"language {code!r} needs the {len(WHISPER_LANGUAGES)}"
+                             f"-language (large-v3) token layout")
+        return self.sot + 1 + idx
 
 
 @lru_cache(maxsize=1)
@@ -78,11 +107,11 @@ class BPETokenizer:
     """GPT-2 byte-level BPE with whisper specials."""
 
     def __init__(self, vocab: Dict[str, int], merges: List[Tuple[str, str]],
-                 english: bool = True):
+                 english: bool = True, n_languages: int = _N_LANGUAGES):
         self.vocab = vocab
         self.inv_vocab = {v: k for k, v in vocab.items()}
         self.ranks = {m: i for i, m in enumerate(merges)}
-        self.specials = SpecialTokens.for_model(english)
+        self.specials = SpecialTokens.for_model(english, n_languages)
         b2u = _byte_unicode_map()
         self._b2u = b2u
         self._u2b = {u: b for b, u in b2u.items()}
@@ -139,8 +168,8 @@ class ByteFallbackTokenizer:
     0-255 are raw bytes; specials follow the whisper layout. Lets every test
     and benchmark exercise real token flow without 0.5 GB of assets."""
 
-    def __init__(self, english: bool = True):
-        self.specials = SpecialTokens.for_model(english)
+    def __init__(self, english: bool = True, n_languages: int = _N_LANGUAGES):
+        self.specials = SpecialTokens.for_model(english, n_languages)
 
     def encode(self, text: str) -> List[int]:
         return list(text.encode("utf-8"))
@@ -179,7 +208,8 @@ def non_speech_tokens(tokenizer) -> Tuple[int, ...]:
     return tuple(sorted(ids))
 
 
-def load_tokenizer(model_dir: Optional[str] = None, english: bool = True):
+def load_tokenizer(model_dir: Optional[str] = None, english: bool = True,
+                   n_languages: int = _N_LANGUAGES):
     """HF vocab.json+merges.txt or tiktoken rank file → BPETokenizer; else
     ByteFallbackTokenizer."""
     if model_dir:
@@ -196,7 +226,7 @@ def load_tokenizer(model_dir: Optional[str] = None, english: bool = True):
                         continue
                     a, _, b = line.partition(" ")
                     merges.append((a, b))
-            return BPETokenizer(vocab, merges, english)
+            return BPETokenizer(vocab, merges, english, n_languages)
         for name in os.listdir(model_dir) if os.path.isdir(model_dir) else []:
             if name.endswith(".tiktoken"):
                 vocab = {}
@@ -211,8 +241,8 @@ def load_tokenizer(model_dir: Optional[str] = None, english: bool = True):
                 # tiktoken files carry ranks implicitly ordered; merges are
                 # reconstructed from contiguous rank order of multi-byte toks.
                 merges = _merges_from_ranks(vocab)
-                return BPETokenizer(vocab, merges, english)
-    return ByteFallbackTokenizer(english)
+                return BPETokenizer(vocab, merges, english, n_languages)
+    return ByteFallbackTokenizer(english, n_languages)
 
 
 def _merges_from_ranks(vocab: Dict[str, int]) -> List[Tuple[str, str]]:

@@ -78,6 +78,28 @@ class StoreBatch:
                               self.lens, self.bucket)
 
 
+def iter_store_batches(refs, lens, sr, buckets, batch_size,
+                       fixed_bucket=None):
+    """Group (store, row, start) refs with per-item valid lengths by
+    (store, duration bucket) into StoreBatch device batches.
+
+    Yields (original_indices, StoreBatch) — the one grouping rule for every
+    store-backed consumer (decode wavefront, embeddings, profiles)."""
+    from clearconverse_tpu.pipeline.batching import pick_bucket
+    groups = {}
+    for i, (ref, n) in enumerate(zip(refs, lens)):
+        b = (fixed_bucket if fixed_bucket is not None
+             else int(pick_bucket(n / sr, buckets) * sr))
+        groups.setdefault((id(ref[0]), b), []).append(i)
+    for (_, b), ids in sorted(groups.items()):
+        for lo in range(0, len(ids), batch_size):
+            sub = ids[lo:lo + batch_size]
+            yield sub, StoreBatch(refs[sub[0]][0],
+                                  [refs[i][1] for i in sub],
+                                  [refs[i][2] for i in sub],
+                                  [max(min(lens[i], b), 1) for i in sub], b)
+
+
 class ModelBundle:
     """Real TPU-backed bundle. Lazy: heavy jit compilation happens at first
     use per bucket shape; ``load_with_progress`` mirrors the reference's
@@ -319,14 +341,22 @@ class ModelBundle:
     def _prompt_batch(self, prompts, tok, dims, timestamps: bool):
         """openai-whisper parity prompt assembly: context encodes as
         " " + prompt.strip() kept to the last n_text_ctx//2-1 tokens
-        (transcribe.py's initial_prompt handling), terminated [sot,
-        notimestamps] — or [sot] alone in timestamp mode. Prompt lengths
-        bucket into a tiny static set (max_prompt_len is a static jit arg;
-        arbitrary lengths would recompile the decode program per batch)."""
+        (transcribe.py's initial_prompt handling), terminated by the SOT
+        sequence — bare [sot] for .en models, [sot, <|lang|>, <|transcribe|>]
+        for multilingual ones — plus notimestamps outside timestamp mode.
+        Prompt lengths bucket into a tiny static set (max_prompt_len is a
+        static jit arg; arbitrary lengths would recompile the decode program
+        per batch)."""
         from clearconverse_tpu.models.decoding import build_prompt_batch
         sp = tok.specials
         ctx_keep = dims.n_text_ctx // 2 - 1
-        tail = [sp.sot] if timestamps else [sp.sot, sp.no_timestamps]
+        if sp.english_only:
+            tail = [sp.sot]
+        else:
+            tail = list(sp.sot_sequence(
+                sp.language_token(self.tpu.language)))
+        if not timestamps:
+            tail = tail + [sp.no_timestamps]
         prompt_lists = [
             (([sp.sot_prev] + tok.encode(" " + p.strip())[-ctx_keep:])
              if p.strip() else []) + tail
@@ -334,7 +364,7 @@ class ModelBundle:
         need = max(len(p) for p in prompt_lists)
         max_p = next(b for b in (4, 16, 64, 256) if b >= min(need, 256))
         toks, lens = build_prompt_batch(prompt_lists, max_p, pad_id=sp.eot)
-        return toks, lens, max_p
+        return toks, lens, max_p, len(tail)   # tail length = SOT offset
 
     def _suppress_ids(self, tok, timestamps: bool):
         """Whisper's per-step suppression set: non-speech symbols +
@@ -391,8 +421,8 @@ class ModelBundle:
             # store batches gather their windows on device as well.
             audio = self._put_data(jnp.asarray(audio, jnp.float32))
 
-        toks, lens, max_p = self._prompt_batch(prompts, tok, dims,
-                                               timestamps=False)
+        toks, lens, max_p, sot_off = self._prompt_batch(prompts, tok, dims,
+                                                        timestamps=False)
         cdt = self._cdt
         suppress = self._suppress_ids(tok, timestamps=False)
 
@@ -404,7 +434,7 @@ class ModelBundle:
                 suppress_tokens=suppress,
                 compute_dtype=cdt,
                 cross_kv_bits=self.tpu.cross_kv_bits,
-                no_speech_token=sp.no_speech)
+                no_speech_token=sp.no_speech, sot_from_end=sot_off)
             rng = None
             if temp > 0:
                 self._decode_seed += 1
@@ -462,8 +492,10 @@ class ModelBundle:
         def flag(i: int) -> bool:
             if quality_ok(texts[i], final_avg[i]):
                 return False
-            # whisper: a confidently-silent row is not worth retrying.
-            return not (nsp[i] > nst and final_avg[i] < lpt)
+            # whisper decode_with_fallback: no_speech_prob above the
+            # threshold clears needs_fallback UNCONDITIONALLY — silence is
+            # not worth retrying regardless of logprob.
+            return not nsp[i] > nst
 
         flagged = [i for i in range(n_real) if flag(i)]
         for temp in ladder[1:]:
@@ -556,46 +588,108 @@ class ModelBundle:
         if not is_store:
             audio_dev = self._put_data(jnp.asarray(audio, jnp.float32))
 
-        toks, lens, max_p = self._prompt_batch(prompts, tok, dims,
-                                               timestamps=True)
+        toks, plens, max_p, sot_off = self._prompt_batch(prompts, tok, dims,
+                                                         timestamps=True)
         cdt = self._cdt
         suppress = self._suppress_ids(tok, timestamps=True)
-        opts = DecodeOptions(
-            max_tokens=self.tpu.max_decode_tokens, temperature=temperature,
-            eot=sp.eot, suppress_blank=True, blank_token=220,
-            suppress_tokens=suppress, compute_dtype=cdt,
-            cross_kv_bits=self.tpu.cross_kv_bits,
-            no_speech_token=sp.no_speech,
-            timestamps=True, timestamp_begin=sp.timestamp_begin)
-        rng = None
-        if temperature > 0:
-            self._decode_seed += 1
-            rng = jax.random.PRNGKey(self._decode_seed)
-        if is_store:
-            out = greedy_decode_from_store(
-                params, audio.store.dev, self._put_data(audio.rows),
-                self._put_data(audio.starts), self._put_data(audio.lens),
-                self._put_data(toks), self._put_data(lens), dims, opts,
-                max_p, rng, target_len=30 * 16000, bucket=audio.bucket)
-        else:
-            out = greedy_decode_from_audio(params, audio_dev,
-                                           self._put_data(toks),
-                                           self._put_data(lens), dims, opts,
-                                           max_p, rng, target_len=30 * 16000)
-        tokens = np.asarray(out["tokens"])
-        out_lens = np.asarray(out["lengths"])
-        sum_lp = np.asarray(out["sum_logprob"])
-        nsp = np.asarray(out["no_speech_prob"])
+
+        def decode_rows(audio_rows, toks_rows, plens_rows, temp: float):
+            opts = DecodeOptions(
+                max_tokens=self.tpu.max_decode_tokens, temperature=temp,
+                eot=sp.eot, suppress_blank=True, blank_token=220,
+                suppress_tokens=suppress, compute_dtype=cdt,
+                cross_kv_bits=self.tpu.cross_kv_bits,
+                no_speech_token=sp.no_speech, sot_from_end=sot_off,
+                timestamps=True, timestamp_begin=sp.timestamp_begin)
+            rng = None
+            if temp > 0:
+                self._decode_seed += 1
+                rng = jax.random.PRNGKey(self._decode_seed)
+            if isinstance(audio_rows, StoreBatch):
+                out = greedy_decode_from_store(
+                    params, audio_rows.store.dev,
+                    self._put_data(audio_rows.rows),
+                    self._put_data(audio_rows.starts),
+                    self._put_data(audio_rows.lens),
+                    self._put_data(toks_rows), self._put_data(plens_rows),
+                    dims, opts, max_p, rng, target_len=30 * 16000,
+                    bucket=audio_rows.bucket)
+            else:
+                out = greedy_decode_from_audio(
+                    params, audio_rows, self._put_data(toks_rows),
+                    self._put_data(plens_rows), dims, opts, max_p, rng,
+                    target_len=30 * 16000)
+            return (np.asarray(out["tokens"]), np.asarray(out["lengths"]),
+                    np.asarray(out["sum_logprob"]),
+                    np.asarray(out["no_speech_prob"]))
+
+        # Whisper's per-window temperature fallback (its seek loop runs
+        # decode_with_fallback for every window): row-sparse retries with
+        # best_of replicas, same policy as transcribe_batch.
+        import zlib
+
+        nst, lpt = self.tpu.no_speech_threshold, self.tpu.logprob_threshold
+
+        def avg_logprob(s: float, n: int) -> float:
+            return s / max(n + 1, 1)
+
+        def win_text(tk: np.ndarray, n: int) -> str:
+            return tok.decode([t for t in tk[:n].tolist() if t < sp.eot])
+
+        def quality_ok(text: str, a: float) -> bool:
+            data = text.encode("utf-8")
+            ratio = (len(data) / len(zlib.compress(data))) if data else 0.0
+            return ratio <= 2.4 and a >= lpt
+
+        ladder = [temperature] + [t for t in (0.2, 0.4, 0.6, 0.8, 1.0)
+                                  if t > temperature]
+        ladder = ladder[: max(1, self.tpu.max_fallback_attempts)]
+        audio_all = audio if is_store else audio_dev
+
+        tokens, out_lens, sum_lp, nsp = decode_rows(audio_all, toks, plens,
+                                                    ladder[0])
+        final_tokens, final_lens = tokens.copy(), out_lens.copy()
+        final_avg = np.array([avg_logprob(float(sum_lp[i]), int(out_lens[i]))
+                              for i in range(len(out_lens))])
+
+        def flag(i: int) -> bool:
+            if nsp[i] > nst:    # whisper: silence never triggers fallback
+                return False
+            return not quality_ok(win_text(final_tokens[i], final_lens[i]),
+                                  final_avg[i])
+
+        flagged = [i for i in range(n_real) if flag(i)]
+        for temp in ladder[1:]:
+            if not flagged:
+                break
+            rep = max(1, self.tpu.best_of) if temp > 0 else 1
+            idx = np.repeat(np.asarray(flagged, np.int64), rep)
+            sub_rows = self._rows(len(idx))
+            idx = np.concatenate([idx, np.repeat(idx[-1:], sub_rows - len(idx))])
+            t_s, l_s, s_s, _ = decode_rows(audio_all[idx], toks[idx],
+                                           plens[idx], temp)
+            still: List[int] = []
+            for fi, row in enumerate(flagged):
+                best_r, best_a = None, -np.inf
+                for j in range(rep):
+                    r = fi * rep + j
+                    a = avg_logprob(float(s_s[r]), int(l_s[r]))
+                    if a > best_a:
+                        best_r, best_a = r, a
+                final_tokens[row] = t_s[best_r]
+                final_lens[row] = l_s[best_r]
+                final_avg[row] = best_a
+                if flag(row):
+                    still.append(row)
+            flagged = still
 
         precision = 0.02
         tsb = sp.timestamp_begin
         results = []
         for i in range(n_real):
-            seq = tokens[i, : out_lens[i]].tolist()
+            seq = final_tokens[i, : final_lens[i]].tolist()
             win = float(window_s[i])
-            avg_lp = float(sum_lp[i]) / max(int(out_lens[i]) + 1, 1)
-            if nsp[i] > self.tpu.no_speech_threshold and \
-                    avg_lp <= self.tpu.logprob_threshold:
+            if nsp[i] > nst and final_avg[i] <= lpt:
                 results.append(("", win))           # silent window: skip it
                 continue
             is_ts = [t >= tsb for t in seq]
@@ -607,14 +701,19 @@ class ModelBundle:
                 last_slice = pairs[-1]
                 kept = seq[:last_slice]
                 advance = (seq[last_slice - 1] - tsb) * precision
+                if advance < 1.0:
+                    # A sub-second seek would re-decode essentially the same
+                    # window forever; keep ALL text and advance the whole
+                    # window instead — nothing dropped, progress guaranteed
+                    # (clipping advance up while dropping the tail text
+                    # would lose the audio in between).
+                    kept = seq
+                    advance = win
             else:
                 kept = seq
                 advance = win
             text = tok.decode([t for t in kept if t < sp.eot])
-            # Never stall: a degenerate window (no usable timestamp) still
-            # moves the cursor forward.
-            advance = float(np.clip(advance, 1.0, win)) if win > 1.0 else win
-            results.append((text, advance))
+            results.append((text, float(min(advance, win))))
         return results
 
     def embed_batch(self, audio: np.ndarray,

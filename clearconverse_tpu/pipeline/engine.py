@@ -81,22 +81,15 @@ class TranscriptionEngine:
             for row, j in enumerate(idx):
                 out[host_idx[j]] = embs[row]
         if store_idx:
-            from clearconverse_tpu.pipeline.batching import pick_bucket
-            groups: Dict[Tuple, List[int]] = {}
-            for i in store_idx:
-                b = int(pick_bucket(len(clips[i]) / sr,
-                                    self.tpu.duration_buckets) * sr)
-                groups.setdefault((id(refs[i][0]), b), []).append(i)
-            for (_, b), ids in sorted(groups.items()):
-                for lo in range(0, len(ids), bs):
-                    sub = ids[lo:lo + bs]
-                    embs = self.models.embed_store(
-                        refs[sub[0]][0],
-                        [refs[i][1] for i in sub],
-                        [refs[i][2] for i in sub],
-                        [max(min(len(clips[i]), b), 1) for i in sub], b)
-                    for i, e in zip(sub, embs):
-                        out[i] = e
+            from clearconverse_tpu.pipeline.bundle import iter_store_batches
+            for sub, sb in iter_store_batches(
+                    [refs[i] for i in store_idx],
+                    [len(clips[i]) for i in store_idx], sr,
+                    self.tpu.duration_buckets, bs):
+                embs = self.models.embed_store(sb.store, sb.rows, sb.starts,
+                                               sb.lens, sb.bucket)
+                for j, e in zip(sub, embs):
+                    out[store_idx[j]] = e
         return out
 
     @staticmethod
@@ -150,24 +143,18 @@ class TranscriptionEngine:
         store_ids = [i for i, r in enumerate(crefs)
                      if r and hasattr(self.models, "embed_denoised_store")]
         if store_ids:
-            from clearconverse_tpu.pipeline.batching import pick_bucket
-            groups: Dict[Tuple, List[int]] = {}
-            for i in store_ids:
-                b = int(pick_bucket(len(clips[i]) / sr,
-                                    self.tpu.duration_buckets) * sr)
-                groups.setdefault((id(crefs[i][0]), b), []).append(i)
-            for (_, b), ids in sorted(groups.items()):
-                for lo in range(0, len(ids), 64):
-                    sub = ids[lo:lo + 64]
-                    e = self.models.embed_denoised_store(
-                        crefs[sub[0]][0],
-                        [crefs[i][1] for i in sub],
-                        [crefs[i][2] for i in sub],
-                        [max(min(len(clips[i]), b), 1) for i in sub],
-                        self.config.noise_reduction_amount, b)
-                    for i, emb in zip(sub, e):
-                        embs[i] = emb
-        host_ids = [i for i in range(len(clips)) if i not in set(store_ids)]
+            from clearconverse_tpu.pipeline.bundle import iter_store_batches
+            for sub, sb in iter_store_batches(
+                    [crefs[i] for i in store_ids],
+                    [len(clips[i]) for i in store_ids], sr,
+                    self.tpu.duration_buckets, 64):
+                e = self.models.embed_denoised_store(
+                    sb.store, sb.rows, sb.starts, sb.lens,
+                    self.config.noise_reduction_amount, sb.bucket)
+                for j, emb in zip(sub, e):
+                    embs[store_ids[j]] = emb
+        store_id_set = set(store_ids)
+        host_ids = [i for i in range(len(clips)) if i not in store_id_set]
         host_clips = [clips[i] for i in host_ids]
         if host_ids and hasattr(self.models, "embed_denoised_batch"):
             for idx, padded, lens in batch_audio(host_clips, sr,
@@ -290,7 +277,10 @@ class TranscriptionEngine:
                 # Keep the gated audio resident on device: decode and
                 # segmentation batches gather windows from it instead of
                 # re-uploading them (bundle.AudioStore).
-                store = self.models.make_store(dev_batch, sr0)
+                try:
+                    store = self.models.make_store(dev_batch, sr0)
+                except Exception as exc:  # noqa: BLE001 — host fallback
+                    logger.error("audio store failed: %s", exc)
         else:
             hosts = load_audio_many(file_paths, sr0,
                                     self.config.noise_reduction_amount)
@@ -298,14 +288,21 @@ class TranscriptionEngine:
             (np.asarray(w, np.float32), sr0) if w is not None else None
             for w in hosts]
         ok = [i for i, l in enumerate(loaded) if l is not None]
-        acts = file_activities(self.models, [loaded[i][0] for i in ok],
-                               loaded[ok[0]][1], store=store,
-                               store_rows=[row_map[i] for i in ok]) if ok else []
         preloads: List[Optional[Dict]] = [None] * len(file_paths)
-        for i, act in zip(ok, acts):
+        # Shared-phase failures degrade, never error the whole group: a file
+        # with only (audio, sr) preloaded falls back to _prepare_file's
+        # per-file analysis (and its per-file try → None, api.py:1546).
+        for i in ok:
             preloads[i] = dict(audio=loaded[i][0], sr=loaded[i][1],
-                               activity=act, store=store,
-                               store_row=row_map[i])
+                               store=store, store_row=row_map[i])
+        try:
+            acts = file_activities(
+                self.models, [loaded[i][0] for i in ok], loaded[ok[0]][1],
+                store=store, store_rows=[row_map[i] for i in ok]) if ok else []
+            for i, act in zip(ok, acts):
+                preloads[i]["activity"] = act
+        except Exception as exc:  # noqa: BLE001 — per-file fallback
+            logger.error("batched segmentation failed: %s", exc, exc_info=True)
         # Diarize per file (host clustering + one small embed each), then
         # build ALL files' speaker profiles through shared denoise+embed
         # batches — the per-file version costs a few dispatches per file.
@@ -314,8 +311,10 @@ class TranscriptionEngine:
             hyst["onset"] = self.tpu.diarization_onset
         if self.tpu.diarization_offset is not None:
             hyst["offset"] = self.tpu.diarization_offset
-        for i in [i for i in ok if preloads[i] is not None]:
+        for i in ok:
             pre = preloads[i]
+            if "activity" not in pre:
+                continue
             try:
                 pre["raw_segments"] = diarize(
                     self.models, pre["audio"], pre["sr"],
@@ -326,14 +325,17 @@ class TranscriptionEngine:
         with_raw = [i for i in ok
                     if preloads[i] and "raw_segments" in preloads[i]]
         if with_raw:
-            profs = self._build_profiles_many(
-                [(preloads[i]["audio"], preloads[i]["raw_segments"])
-                 for i in with_raw], loaded[with_raw[0]][1],
-                store_refs=[(store, row_map[i])
-                            if store is not None and row_map[i] is not None
-                            else None for i in with_raw])
-            for i, prof in zip(with_raw, profs):
-                preloads[i]["profiles"] = prof
+            try:
+                profs = self._build_profiles_many(
+                    [(preloads[i]["audio"], preloads[i]["raw_segments"])
+                     for i in with_raw], loaded[with_raw[0]][1],
+                    store_refs=[(store, row_map[i])
+                                if store is not None and row_map[i] is not None
+                                else None for i in with_raw])
+                for i, prof in zip(with_raw, profs):
+                    preloads[i]["profiles"] = prof
+            except Exception as exc:  # noqa: BLE001 — per-file fallback
+                logger.error("batched profiles failed: %s", exc, exc_info=True)
 
         preps = [self._prepare_file(p, should_cancel, preloaded=pre)
                  if pre is not None else None
@@ -717,24 +719,14 @@ class TranscriptionEngine:
             def store_groups(uids, fixed_bucket=None):
                 """Group store-ref'd units into StoreBatch device batches
                 (windows gather on device; no audio upload)."""
-                from clearconverse_tpu.pipeline.batching import pick_bucket
-                from clearconverse_tpu.pipeline.bundle import StoreBatch
-                groups: Dict[Tuple, List[int]] = {}
-                for u in uids:
-                    ref = units[u]["sref"]
-                    b = (fixed_bucket if fixed_bucket is not None
-                         else int(pick_bucket(ref[3] / sr,
-                                              self.tpu.duration_buckets) * sr))
-                    groups.setdefault((id(ref[0]), b), []).append(u)
-                bs = self.config.transcription_batch_size
-                for (_, b), us in sorted(groups.items()):
-                    for lo in range(0, len(us), bs):
-                        sub = us[lo:lo + bs]
-                        refs = [units[u]["sref"] for u in sub]
-                        yield sub, StoreBatch(
-                            refs[0][0], [r[1] for r in refs],
-                            [r[2] for r in refs],
-                            [max(min(r[3], b), 1) for r in refs], b)
+                from clearconverse_tpu.pipeline.bundle import iter_store_batches
+                refs = [units[u]["sref"] for u in uids]
+                for sub, sb in iter_store_batches(
+                        refs, [r[3] for r in refs], sr,
+                        self.tpu.duration_buckets,
+                        self.config.transcription_batch_size,
+                        fixed_bucket=fixed_bucket):
+                    yield [uids[j] for j in sub], sb
 
             def spawn_next_window(u, advance_s):
                 """Append the successor window unit after a long window

@@ -250,6 +250,45 @@ def test_fallback_rng_differs_per_call(bundle, rng):
     assert not np.array_equal(np.asarray(keys[0]), np.asarray(keys[1]))
 
 
+def test_multilingual_prompt_tail(rng):
+    """Multilingual models prompt with whisper's SOT sequence
+    [sot, <|lang|>, <|transcribe|>, notimestamps]; the no-speech readout
+    offset follows (sot_from_end=4)."""
+    from unittest.mock import patch
+    from clearconverse_tpu.models import decoding as dec
+
+    dims = WhisperDims(n_mels=80, n_vocab=51865, n_audio_ctx=1500,
+                       n_audio_state=64, n_audio_head=2, n_audio_layer=1,
+                       n_text_ctx=448, n_text_state=64, n_text_head=2,
+                       n_text_layer=1)
+    b = ModelBundle(Config(whisper_model_size="tiny"),
+                    TPUConfig(max_decode_tokens=4, compute_dtype="float32",
+                              language="de"))
+    tok = ByteFallbackTokenizer(english=False)
+    b._whisper = (init_whisper_params(jax.random.PRNGKey(0), dims), dims, tok)
+    b._loaded = True
+
+    captured = {}
+
+    def fake(params, audio, toks, lens, dims_, opts, max_p, rng_=None, **kw):
+        captured["toks"] = np.asarray(toks)
+        captured["opts"] = opts
+        rows = int(audio.shape[0])
+        return {"tokens": jnp.full((rows, opts.max_tokens), opts.eot, jnp.int32),
+                "lengths": jnp.zeros((rows,), jnp.int32),
+                "sum_logprob": jnp.zeros((rows,), jnp.float32),
+                "no_speech_prob": jnp.zeros((rows,), jnp.float32)}
+
+    audio = rng.standard_normal((1, 8000)).astype(np.float32) * 0.1
+    with patch.object(dec, "greedy_decode_from_audio", fake):
+        b.transcribe_batch(audio, [""], temperature=0.0)
+    sp = tok.specials
+    tail = captured["toks"][0, -4:].tolist()
+    assert tail == [sp.sot, sp.language_token("de"), sp.transcribe,
+                    sp.no_timestamps]
+    assert captured["opts"].sot_from_end == 4
+
+
 def test_native_bundle_checkpoint_roundtrip(bundle, tmp_path):
     import jax
     import dataclasses

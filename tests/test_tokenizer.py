@@ -120,3 +120,26 @@ def test_load_tokenizer_fallback_when_missing(tmp_path):
                                                     load_tokenizer)
     assert isinstance(load_tokenizer(str(tmp_path)), ByteFallbackTokenizer)
     assert isinstance(load_tokenizer(None), ByteFallbackTokenizer)
+
+
+def test_language_tokens_and_v3_layout():
+    """Multilingual layouts: 99-language (v1/v2) and 100-language (v3)
+    special tables, language-token lookup in whisper's canonical order."""
+    import pytest
+
+    sp99 = SpecialTokens.for_model(english=False)
+    assert not sp99.english_only
+    assert SpecialTokens.for_model(english=True).english_only
+    assert sp99.language_token("en") == sp99.sot + 1 == 50259
+    assert sp99.language_token("zh") == 50260
+    assert sp99.sot_sequence(sp99.language_token("de")) == (
+        50258, 50261, sp99.transcribe)
+    with pytest.raises(ValueError):
+        sp99.language_token("yue")          # needs the v3 100-language table
+
+    sp100 = SpecialTokens.for_model(english=False, n_languages=100)
+    assert sp100.language_token("yue") == sp100.sot + 1 + 99
+    # Every later special shifts by one in the v3 layout.
+    assert sp100.transcribe == sp99.transcribe + 1
+    assert sp100.timestamp_begin == sp99.timestamp_begin + 1
+    assert sp100.n_vocab == 51866
