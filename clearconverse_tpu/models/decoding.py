@@ -233,7 +233,15 @@ def greedy_decode(
     audio = whisper_encode(params, mel, dims, cdt)
     if opts.scan_layers:
         params = stack_decoder(params)
-    cross_kv = precompute_cross_kv(params, audio, bits=opts.cross_kv_bits)
+    # Head-major K/V layout: the decode loop streams cross-KV every step,
+    # and the default [B, T, D] layout makes XLA re-transpose it per step
+    # (measured 4-5x the head-major stream time on v5e at B=32). The
+    # optimization barrier forces the transposed buffers to MATERIALIZE in
+    # row-major [B, H, dh, T] before the loop — without it XLA folds the
+    # transpose into the per-step einsum and the win evaporates.
+    cross_kv = precompute_cross_kv(params, audio, bits=opts.cross_kv_bits,
+                                   n_head=dims.n_text_head)
+    cross_kv = jax.lax.optimization_barrier(cross_kv)
     self_kv = init_kv_cache(dims, B, max_len, cdt, stacked=opts.scan_layers)
 
     pad = (P - prompt_lens)[:, None]                      # [B,1]

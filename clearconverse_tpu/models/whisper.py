@@ -284,12 +284,19 @@ def stack_decoder(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def precompute_cross_kv(params: Dict[str, Any], audio: jnp.ndarray,
-                        bits: int = 16) -> List[Dict[str, jnp.ndarray]]:
+                        bits: int = 16,
+                        n_head: Optional[int] = None) -> List[Dict[str, jnp.ndarray]]:
     """Per-layer cross-attention K/V from encoder output (computed once per
     segment, re-read EVERY decode step — measured as the decode loop's HBM
     bottleneck on v5e). ``bits`` ∈ {16, 8, 4} stores K/V quantized per
-    channel, cutting the per-step stream 2×/4×; dequantization fuses into
-    the attention einsums. int4 attention-weight error ≈ 2e-4 (measured)."""
+    channel, cutting the per-step stream 2×/4×.
+
+    ``n_head`` set → the head-major decode layout: K as [B, H, dh, T] and
+    V as [B, H, T, dh]. The default [B, T, D] layout makes XLA re-transpose
+    the full K/V every decode step (measured on v5e: 13.4 ms/step bf16,
+    6.8 ms/step int8 at B=32/T=1500); head-major streams at near-peak HBM
+    (2.7 ms bf16, 1.7 ms int8). Legacy layout kept for full-sequence
+    consumers (train/finetune.py, models/alignment.py)."""
     blocks = params["decoder"]["blocks"]
     if isinstance(blocks, dict):   # stacked decoder: one einsum for all layers
         cw = blocks["cross"]
@@ -298,6 +305,8 @@ def precompute_cross_kv(params: Dict[str, Any], audio: jnp.ndarray,
         v = jnp.einsum("btd,ldo->lbto", audio, cw["v"]["w"].astype(audio.dtype),
                        preferred_element_type=jnp.float32).astype(audio.dtype)
         v = v + cw["v"]["b"][:, None, None, :].astype(audio.dtype)
+        if n_head is not None:
+            return _to_head_major(k, v, n_head, bits)
         if bits in (4, 8):
             return {"k8": _quant_kv(k, bits), "v8": _quant_kv(v, bits)}
         return {"k": k, "v": v}
@@ -305,18 +314,39 @@ def precompute_cross_kv(params: Dict[str, Any], audio: jnp.ndarray,
     for blk in blocks:
         k = dense(audio, blk["cross"]["k"])
         v = dense(audio, blk["cross"]["v"])
-        if bits in (4, 8):
+        if n_head is not None:
+            out.append(_to_head_major(k, v, n_head, bits))
+        elif bits in (4, 8):
             out.append({"k8": _quant_kv(k, bits), "v8": _quant_kv(v, bits)})
         else:
             out.append({"k": k, "v": v})
     return out
 
 
-def _quant_kv(x: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
-    """[..., T, D] → int8/int4 values + per-channel scales (amax over T)."""
+def _to_head_major(k: jnp.ndarray, v: jnp.ndarray, n_head: int,
+                   bits: int) -> Dict[str, jnp.ndarray]:
+    """[..., T, D] K/V → head-major decode layout (K [..., H, dh, T],
+    V [..., H, T, dh]), optionally quantized per-d-channel over T — the
+    same scale semantics as the legacy layout."""
+    *lead, T, D = k.shape
+    dh = D // n_head
+    nd = k.ndim
+    perm_in = tuple(range(nd - 2)) + (nd - 1, nd, nd - 2)   # [..,H,dh,T]
+    kt = jnp.transpose(k.reshape(*lead, T, n_head, dh), perm_in)
+    perm_v = tuple(range(nd - 2)) + (nd - 1, nd - 2, nd)    # [..,H,T,dh]
+    vt = jnp.transpose(v.reshape(*lead, T, n_head, dh), perm_v)
+    if bits in (4, 8):
+        return {"k8t": _quant_kv(kt, bits, axis=-1),
+                "v8t": _quant_kv(vt, bits, axis=-2)}
+    return {"kt": kt, "vt": vt}
+
+
+def _quant_kv(x: jnp.ndarray, bits: int = 8, axis: int = -2) -> Dict[str, jnp.ndarray]:
+    """int8/int4 values + per-channel scales (amax over ``axis`` — the T
+    axis: -2 for [..., T, D] layouts, -1 for head-major K [..., dh, T])."""
     qmax = 127.0 if bits == 8 else 7.0
     dtype = jnp.int8 if bits == 8 else jnp.int4
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-2, keepdims=True)
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
     scale = jnp.maximum(amax / qmax, 1e-12)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -qmax, qmax)
     return {"q": q.astype(dtype), "scale": scale.astype(jnp.float32)}
@@ -324,6 +354,41 @@ def _quant_kv(x: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
 
 def _dequant_kv(p: Dict[str, jnp.ndarray], dtype) -> jnp.ndarray:
     return (p["q"].astype(dtype) * p["scale"].astype(dtype))
+
+
+def _cross_attention_head_major(q: jnp.ndarray, ckv: Dict[str, Any],
+                                n_head: int, mask: Optional[jnp.ndarray],
+                                cdt) -> jnp.ndarray:
+    """Cross-attention against head-major K/V (see precompute_cross_kv).
+
+    The whole dh**-0.5 scaling — and, when quantized, K's per-channel
+    dequant scale — folds into the tiny q tensor, so the K/V HBM stream is
+    consumed by the einsums directly with no per-step transpose or
+    dequantized materialization (the decode loop's measured bottleneck)."""
+    B, Tq, Dm = q.shape
+    dh = Dm // n_head
+    qh = jnp.transpose(q.reshape(B, Tq, n_head, dh), (0, 2, 1, 3))
+    if "k8t" in ckv:
+        kscale = jnp.swapaxes(ckv["k8t"]["scale"], -1, -2)   # [B,H,1,dh]
+        qs = (qh.astype(jnp.float32) * kscale * dh ** -0.5).astype(cdt)
+        kt = ckv["k8t"]["q"].astype(cdt)
+        vt = ckv["v8t"]["q"].astype(cdt)
+        vscale = ckv["v8t"]["scale"]                          # [B,H,1,dh]
+    else:
+        qs = qh * jnp.asarray(dh ** -0.5, qh.dtype)
+        kt = ckv["kt"].astype(cdt)
+        vt = ckv["vt"].astype(cdt)
+        vscale = None
+    logits = jnp.einsum("bhqd,bhdt->bhqt", qs, kt,
+                        preferred_element_type=jnp.float32)
+    if mask is not None:
+        logits = logits + mask
+    w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(cdt)
+    out = jnp.einsum("bhqt,bhtd->bhqd", w, vt,
+                     preferred_element_type=jnp.float32)
+    if vscale is not None:
+        out = out * vscale
+    return jnp.transpose(out.astype(cdt), (0, 2, 1, 3)).reshape(B, Tq, Dm)
 
 
 def init_kv_cache(dims: WhisperDims, batch: int, max_len: int,
@@ -370,14 +435,19 @@ def decoder_forward(
         x = x + dense(h, blk["attn"]["out"])
 
         h = layer_norm(x, blk["cross_ln"])
-        if "k8" in ckv:
-            ck = _dequant_kv(ckv["k8"], compute_dtype)
-            cv = _dequant_kv(ckv["v8"], compute_dtype)
+        if "kt" in ckv or "k8t" in ckv:
+            h = _cross_attention_head_major(
+                dense(h, blk["cross"]["q"]), ckv, dims.n_text_head,
+                cross_mask, compute_dtype)
         else:
-            ck = ckv["k"].astype(compute_dtype)
-            cv = ckv["v"].astype(compute_dtype)
-        h = attention(dense(h, blk["cross"]["q"]), ck, cv,
-                      cross_mask, dims.n_text_head)
+            if "k8" in ckv:
+                ck = _dequant_kv(ckv["k8"], compute_dtype)
+                cv = _dequant_kv(ckv["v8"], compute_dtype)
+            else:
+                ck = ckv["k"].astype(compute_dtype)
+                cv = ckv["v"].astype(compute_dtype)
+            h = attention(dense(h, blk["cross"]["q"]), ck, cv,
+                          cross_mask, dims.n_text_head)
         x = x + dense(h, blk["cross"]["out"])
         x = x + _mlp(layer_norm(x, blk["mlp_ln"]), blk["mlp"])
         return x, {"k": k_all, "v": v_all}

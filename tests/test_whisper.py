@@ -237,3 +237,33 @@ def test_scan_layers_matches_loop(hf_model, params, mel):
     np.testing.assert_array_equal(np.asarray(a["tokens"]), np.asarray(b["tokens"]))
     np.testing.assert_allclose(np.asarray(a["sum_logprob"]),
                                np.asarray(b["sum_logprob"]), atol=1e-4)
+
+
+def test_head_major_cross_kv_matches_legacy(params, mel):
+    """decoder_forward with head-major cross-KV (the decode-loop layout,
+    precompute_cross_kv(n_head=...)) == legacy [B,T,D] layout, for both
+    bf16 storage and int8 quantized storage."""
+    audio = whisper_encode(params, jnp.asarray(mel), DIMS)
+    B = audio.shape[0]
+    toks = jnp.asarray(np.array([[1, 5, 9], [1, 2, 3]], np.int32))
+    pos = jnp.broadcast_to(jnp.arange(3)[None, :], (B, 3))
+    k = jnp.arange(8)[None, None, None, :]
+    q = jnp.arange(3)[None, None, :, None]
+    mask = jnp.where((k <= q) & (k < 3), 0.0, -1e9).astype(jnp.float32)
+
+    def run(ckv):
+        kv = init_kv_cache(DIMS, B, 8)
+        logits, _ = decoder_forward(params, toks, pos, jnp.int32(0), kv,
+                                    ckv, mask, None, DIMS)
+        return np.asarray(logits)
+
+    legacy16 = run(precompute_cross_kv(params, audio))
+    hm16 = run(precompute_cross_kv(params, audio, n_head=DIMS.n_text_head))
+    np.testing.assert_allclose(hm16, legacy16, atol=2e-4)
+
+    legacy8 = run(precompute_cross_kv(params, audio, bits=8))
+    hm8 = run(precompute_cross_kv(params, audio, bits=8,
+                                  n_head=DIMS.n_text_head))
+    # identical per-channel quantization semantics; folding order differs
+    np.testing.assert_allclose(hm8, legacy8, atol=5e-3)
+    np.testing.assert_allclose(hm8, legacy16, atol=0.2)
