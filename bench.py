@@ -85,8 +85,10 @@ def bench_engine(n_files: int, repeats: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=32,
-                    help="30 s segments per device program")
+    ap.add_argument("--batch", type=int, default=128,
+                    help="30 s segments per device program (B=128 is the "
+                    "measured throughput sweet spot with head-major KV; "
+                    "B=256 regresses)")
     ap.add_argument("--decode-tokens", type=int, default=96,
                     help="tokens decoded per segment (~3.2 tok/s of speech)")
     ap.add_argument("--iters", type=int, default=3)

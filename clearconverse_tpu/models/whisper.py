@@ -393,12 +393,19 @@ def _cross_attention_head_major(q: jnp.ndarray, ckv: Dict[str, Any],
 
 def init_kv_cache(dims: WhisperDims, batch: int, max_len: int,
                   dtype: jnp.dtype = jnp.float32, stacked: bool = False):
+    """Self-attention KV cache, head-major decode layout: K [B,H,dh,M],
+    V [B,H,M,dh] per layer (leading L axis when ``stacked``). Same
+    rationale as the cross-KV layout (precompute_cross_kv): the decode
+    loop re-reads the whole cache every step, and the row-major [B,M,D]
+    layout makes XLA re-transpose it per step. decoder_forward also
+    accepts legacy {"k","v"} row-major dicts."""
+    H, dh = dims.n_text_head, dims.n_text_state // dims.n_text_head
+    lead = (dims.n_text_layer,) if stacked else ()
+    kt = jnp.zeros(lead + (batch, H, dh, max_len), dtype)
+    vt = jnp.zeros(lead + (batch, H, max_len, dh), dtype)
     if stacked:
-        shape = (dims.n_text_layer, batch, max_len, dims.n_text_state)
-        return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
-    return [{"k": jnp.zeros((batch, max_len, dims.n_text_state), dtype),
-             "v": jnp.zeros((batch, max_len, dims.n_text_state), dtype)}
-            for _ in range(dims.n_text_layer)]
+        return {"kt": kt, "vt": vt}
+    return [{"kt": kt, "vt": vt} for _ in range(dims.n_text_layer)]
 
 
 def decoder_forward(
@@ -406,7 +413,7 @@ def decoder_forward(
     tokens: jnp.ndarray,            # [B, T] token ids
     positions: jnp.ndarray,         # [B, T] absolute positions (pos-embed rows)
     cache_index: jnp.ndarray,       # scalar: write offset into the KV cache
-    self_kv: List[Dict[str, jnp.ndarray]],   # running cache [B, max_len, d]
+    self_kv: List[Dict[str, jnp.ndarray]],   # running cache (init_kv_cache)
     cross_kv: List[Dict[str, jnp.ndarray]],  # [B, audio_ctx, d]
     self_mask: jnp.ndarray,         # [B, 1, T, max_len] additive f32
     cross_mask: Optional[jnp.ndarray],  # [B, 1, 1, audio_ctx] or None
@@ -421,17 +428,48 @@ def decoder_forward(
     dec = params["decoder"]
     x = dec["tok"][tokens].astype(compute_dtype) + dec["pos"][positions].astype(compute_dtype)
 
+    H = dims.n_text_head
+    dh = dims.n_text_state // H
+
     def layer(x, blk, skv, ckv):
         h = layer_norm(x, blk["attn_ln"])
         q = dense(h, blk["attn"]["q"])
         k_new = dense(h, blk["attn"]["k"])
         v_new = dense(h, blk["attn"]["v"])
-        k_all = jax.lax.dynamic_update_slice_in_dim(
-            skv["k"], k_new.astype(skv["k"].dtype), cache_index, 1)
-        v_all = jax.lax.dynamic_update_slice_in_dim(
-            skv["v"], v_new.astype(skv["v"].dtype), cache_index, 1)
-        h = attention(q, k_all.astype(compute_dtype), v_all.astype(compute_dtype),
-                      self_mask, dims.n_text_head)
+        if "kt" in skv:
+            # Head-major cache (init_kv_cache): the per-step K/V stream is
+            # consumed by the einsums directly — no per-step transpose of
+            # the full cache (the same measured win as head-major cross-KV).
+            B_, T_, D_ = q.shape
+            kn = jnp.transpose(k_new.reshape(B_, T_, H, dh), (0, 2, 3, 1))
+            vn = jnp.transpose(v_new.reshape(B_, T_, H, dh), (0, 2, 1, 3))
+            k_all = jax.lax.dynamic_update_slice(
+                skv["kt"], kn.astype(skv["kt"].dtype), (0, 0, 0, cache_index))
+            v_all = jax.lax.dynamic_update_slice(
+                skv["vt"], vn.astype(skv["vt"].dtype), (0, 0, cache_index, 0))
+            qh = jnp.transpose(q.reshape(B_, T_, H, dh), (0, 2, 1, 3))
+            qh = qh * jnp.asarray(dh ** -0.5, qh.dtype)
+            logits = jnp.einsum("bhqd,bhdm->bhqm", qh,
+                                k_all.astype(compute_dtype),
+                                preferred_element_type=jnp.float32)
+            logits = logits + self_mask
+            w = jax.nn.softmax(logits.astype(jnp.float32),
+                               axis=-1).astype(compute_dtype)
+            o = jnp.einsum("bhqm,bhmd->bhqd", w,
+                           v_all.astype(compute_dtype),
+                           preferred_element_type=jnp.float32)
+            h = jnp.transpose(o.astype(compute_dtype),
+                              (0, 2, 1, 3)).reshape(B_, T_, D_)
+            new_skv = {"kt": k_all, "vt": v_all}
+        else:
+            k_all = jax.lax.dynamic_update_slice_in_dim(
+                skv["k"], k_new.astype(skv["k"].dtype), cache_index, 1)
+            v_all = jax.lax.dynamic_update_slice_in_dim(
+                skv["v"], v_new.astype(skv["v"].dtype), cache_index, 1)
+            h = attention(q, k_all.astype(compute_dtype),
+                          v_all.astype(compute_dtype),
+                          self_mask, dims.n_text_head)
+            new_skv = {"k": k_all, "v": v_all}
         x = x + dense(h, blk["attn"]["out"])
 
         h = layer_norm(x, blk["cross_ln"])
@@ -450,7 +488,7 @@ def decoder_forward(
                           cross_mask, dims.n_text_head)
         x = x + dense(h, blk["cross"]["out"])
         x = x + _mlp(layer_norm(x, blk["mlp_ln"]), blk["mlp"])
-        return x, {"k": k_all, "v": v_all}
+        return x, new_skv
 
     if isinstance(dec["blocks"], dict):
         # Stacked decoder (stack_decoder): scan over layers — ~12× fewer
