@@ -150,3 +150,99 @@ def spectral_gate_normalized_jit(audio: jnp.ndarray,
     peak_normalize after the jitted gate costs ~3 extra dispatches per
     batch over the device tunnel (engine profile-building hot path)."""
     return peak_normalize(spectral_gate(audio, sr, prop_decrease, mask))
+
+
+@partial(jax.jit, static_argnames=("sr", "denoise"))
+def gate_normalize_i16_jit(q: jnp.ndarray, prop_decrease: jnp.ndarray,
+                           mask: jnp.ndarray, sr: int = 16000,
+                           denoise: bool = True):
+    """int16 in → (f32 gated+normalized, int16 of it) — the multi-file load
+    path (audio.decode.load_audio_many). The tunnel moves audio at
+    ~10-50 MB/s, so both transfer legs ride source-precision int16: the
+    /32768 input scale is bit-exact for s16-sourced WAVs, and the int16
+    output leg adds ≤0.5 LSB (1.53e-5) on the normalized waveform. The f32
+    output never leaves the device — it becomes the AudioStore batch.
+    (Measured alternatives: f32 both ways ~2.3 s per 8×60 s batch vs ~1.95 s
+    int16; computing the host copy with spectral_gate_np instead of
+    downloading takes 3.5-7 s in-process — CPU contention with the device
+    client threads — so the download stays.)"""
+    x = q.astype(jnp.float32) / 32768.0
+    if denoise:
+        y = peak_normalize(spectral_gate(x, sr, prop_decrease, mask))
+    else:
+        y = peak_normalize(x)
+    q_out = jnp.clip(jnp.round(y * 32767.0), -32768, 32767).astype(jnp.int16)
+    return y, q_out
+
+
+def spectral_gate_np(audio: np.ndarray, sr: int = 16000,
+                     prop_decrease: float = 0.5,
+                     mask: np.ndarray | None = None) -> np.ndarray:
+    """Independent host numpy mirror of ``spectral_gate`` +
+    ``peak_normalize``, op for op (same STFT framing, masked stats,
+    separable triangular smoothing, overlap-add ISTFT). Serves as the
+    reference implementation the XLA program is verified against
+    (test_audio.test_host_gate_matches_device, ~1e-6 relative agreement)
+    and as a device-free fallback. Too slow for the load path in-process
+    (3.5-7 s per 8×60 s batch under device-client CPU contention — see
+    gate_normalize_i16_jit)."""
+    from scipy import fft as sfft
+    from scipy import ndimage
+
+    length = audio.shape[-1]
+    pad = N_FFT // 2
+    xp = np.pad(audio.astype(np.float32), ((0, 0), (pad, pad)))
+    n_frames = 1 + length // HOP
+    idx = (np.arange(n_frames) * HOP)[:, None] + np.arange(N_FFT)[None, :]
+    frames = xp[:, idx] * _hann(N_FFT)[None, None, :]
+    spec = np.transpose(sfft.rfft(frames, axis=-1), (0, 2, 1))  # [B,F,T]
+
+    mag_db = 20.0 * np.log10(np.maximum(np.abs(spec), 1e-20)).astype(np.float32)
+    if mask is not None:
+        frame_valid = ((np.arange(n_frames)[None, :] * HOP)
+                       < mask.sum(-1, keepdims=True))
+        w = frame_valid[:, None, :].astype(np.float32)
+        denom = np.maximum(w.sum(-1, keepdims=True), 1.0)
+        mean_db = (mag_db * w).sum(-1, keepdims=True) / denom
+        var_db = ((mag_db - mean_db) ** 2 * w).sum(-1, keepdims=True) / denom
+    else:
+        mean_db = mag_db.mean(-1, keepdims=True)
+        var_db = mag_db.var(-1, keepdims=True)
+    noise_thresh = mean_db + np.sqrt(var_db) * _N_STD_THRESH
+
+    gate = (mag_db > noise_thresh).astype(np.float32)
+    # The (freq × time) triangular kernel is an outer product → separable
+    # 1-D convolutions (zero boundary = the XLA explicit zero padding; both
+    # kernels are odd-length and symmetric, so correlation == convolution).
+    filt = _smoothing_filter(sr)
+    rf, rt = filt[:, 0], filt[0, :]
+    scale = filt.sum() / max(rf.sum() * rt.sum(), 1e-30)  # filt pre-normalized
+    gate = ndimage.convolve1d(gate, rf, axis=1, mode="constant")
+    gate = ndimage.convolve1d(gate, rt, axis=2, mode="constant") * scale
+    gate = gate * prop_decrease + (1.0 - prop_decrease)
+
+    # ISTFT overlap-add with window-square normalization, vectorized as
+    # N_FFT//HOP shifted block adds (scatter-add via np.add.at is ~100×
+    # slower at these sizes).
+    out_frames = sfft.irfft(np.transpose(spec * gate, (0, 2, 1)),
+                            n=N_FFT, axis=-1).astype(np.float32)
+    window = _hann(N_FFT)
+    out_frames *= window[None, None, :]
+    B = audio.shape[0]
+    k_blocks = N_FFT // HOP
+    total_blocks = n_frames - 1 + k_blocks
+    out_b = np.zeros((B, total_blocks, HOP), np.float32)
+    env_b = np.zeros((total_blocks, HOP), np.float32)
+    fb = out_frames.reshape(B, n_frames, k_blocks, HOP)
+    wb = (window * window).reshape(k_blocks, HOP)
+    for k in range(k_blocks):
+        out_b[:, k: k + n_frames] += fb[:, :, k, :]
+        env_b[k: k + n_frames] += wb[k][None, :]
+    out = out_b.reshape(B, -1)
+    env = env_b.reshape(-1)
+    out /= np.maximum(env, 1e-8)[None, :]
+    out = out[:, pad: pad + length]
+    if mask is not None:
+        out = out * mask
+    peak = np.max(np.abs(out), axis=-1, keepdims=True)
+    return out / (peak + 1e-8)

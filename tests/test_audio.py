@@ -264,3 +264,23 @@ def test_load_audio_many_matches_per_file(tmp_path, rng):
         want, _ = load_audio(p, noise_reduction_amount=0.5)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5)
+
+
+def test_host_gate_matches_device(rng):
+    """spectral_gate_np (the host copy in load_audio_many — nothing is
+    downloaded over the tunnel) == the XLA gate+normalize program, within
+    f32 FFT noise, including masked padded rows."""
+    from clearconverse_tpu.audio.denoise import (
+        spectral_gate_np, spectral_gate_normalized_jit)
+
+    T = 16000
+    x = np.zeros((3, T), np.float32)
+    n_valid = [T, 12000, 5000]
+    for b, n in enumerate(n_valid):
+        x[b, :n] = np.clip(rng.standard_normal(n) * 0.2, -0.99, 0.99)
+    mask = (np.arange(T)[None, :] < np.asarray(n_valid)[:, None]).astype(np.float32)
+
+    host = spectral_gate_np(x, 16000, 0.5, mask)
+    dev = np.asarray(spectral_gate_normalized_jit(
+        jnp.asarray(x), 0.5, jnp.asarray(mask), sr=16000))
+    np.testing.assert_allclose(host, dev, atol=2e-5)
