@@ -128,20 +128,13 @@ def vad_intervals(bundle, audio: np.ndarray, sr: int,
     return binarize(speech, fhop, onset, offset, min_on, min_off)
 
 
-def diarize(bundle, audio: np.ndarray, sr: int,
-            min_speakers: int = 1, max_speakers: int = 2,
-            onset: float = 0.5, offset: float = 0.5,
-            cluster_threshold: float = 0.7,
-            activity=None) -> List[LabeledSegment]:
-    """Full diarization → chronologically sorted labeled segments."""
-    act, fhop = activity if activity is not None else _file_activity(bundle, audio, sr)
-    if act.size == 0:
-        return []
-
-    # Carve per-slot activity into subsegments. For the embedding used in
-    # clustering, keep only frames where the slot is EXCLUSIVELY active —
-    # overlap frames mix speakers and chain-collapse the clustering
-    # (pyannote's diarization does the same).
+def _carve_subsegments(audio: np.ndarray, act, fhop: float, sr: int,
+                       onset: float, offset: float):
+    """Carve per-slot activity into subsegments. For the embedding used in
+    clustering, keep only frames where the slot is EXCLUSIVELY active —
+    overlap frames mix speakers and chain-collapse the clustering
+    (pyannote's diarization does the same). Returns (subsegs, emb_clips,
+    slots, clean)."""
     subsegs: List[Interval] = []
     emb_clips: List[np.ndarray] = []
     slots: List[int] = []
@@ -161,23 +154,28 @@ def diarize(bundle, audio: np.ndarray, sr: int,
             emb_clips.append(np.asarray(clip, np.float32))
             slots.append(slot)
             clean.append(is_clean)
-    if not subsegs:
-        return []
+    return subsegs, emb_clips, slots, clean
 
-    # One batched embedding call over fixed-size padded windows.
+
+def _pad_clips(emb_clips: List[np.ndarray], sr: int):
+    """Clip list → fixed-size padded (batch [N, pad], lengths [N])."""
     pad = int(EMBED_PAD_S * sr)
-    batch = np.zeros((len(subsegs), pad), np.float32)
-    lengths = np.zeros(len(subsegs), np.int64)
+    batch = np.zeros((len(emb_clips), pad), np.float32)
+    lengths = np.zeros(len(emb_clips), np.int64)
     for i, clip in enumerate(emb_clips):
         seg = clip[:pad]
         batch[i, : len(seg)] = seg
         lengths[i] = max(len(seg), 1)
-    embs = bundle.embed_batch(batch, lengths)
+    return batch, lengths
 
-    # Cluster CLEAN subsegments only — mixed-overlap embeddings sit between
-    # speaker manifolds and chain-collapse average-linkage AHC. Mixed ones
-    # are then assigned by their slot's majority cluster (slot identity is
-    # locally consistent) or nearest centroid.
+
+def _cluster_subsegments(embs, subsegs, slots, clean,
+                         min_speakers: int, max_speakers: int,
+                         cluster_threshold: float) -> List[LabeledSegment]:
+    """Cluster CLEAN subsegments only — mixed-overlap embeddings sit between
+    speaker manifolds and chain-collapse average-linkage AHC. Mixed ones
+    are then assigned by their slot's majority cluster (slot identity is
+    locally consistent) or nearest centroid."""
     clean_idx = [i for i, c in enumerate(clean) if c]
     labels = np.zeros(len(subsegs), np.int32)
     if clean_idx:
@@ -208,4 +206,58 @@ def diarize(bundle, audio: np.ndarray, sr: int,
 
     out = [(s, e, f"SPEAKER_{int(l):02d}") for (s, e), l in zip(subsegs, labels)]
     out.sort(key=lambda x: x[0])
+    return out
+
+
+def diarize(bundle, audio: np.ndarray, sr: int,
+            min_speakers: int = 1, max_speakers: int = 2,
+            onset: float = 0.5, offset: float = 0.5,
+            cluster_threshold: float = 0.7,
+            activity=None) -> List[LabeledSegment]:
+    """Full diarization → chronologically sorted labeled segments."""
+    act, fhop = activity if activity is not None else _file_activity(bundle, audio, sr)
+    if act.size == 0:
+        return []
+    subsegs, emb_clips, slots, clean = _carve_subsegments(
+        audio, act, fhop, sr, onset, offset)
+    if not subsegs:
+        return []
+    batch, lengths = _pad_clips(emb_clips, sr)
+    embs = bundle.embed_batch(batch, lengths)
+    return _cluster_subsegments(embs, subsegs, slots, clean,
+                                min_speakers, max_speakers, cluster_threshold)
+
+
+def diarize_many(bundle, audios: List[np.ndarray], sr: int,
+                 min_speakers: int = 1, max_speakers: int = 2,
+                 onset: float = 0.5, offset: float = 0.5,
+                 cluster_threshold: float = 0.7,
+                 activities=None) -> List[List[LabeledSegment]]:
+    """Multi-file diarization with ONE embedding device call for every
+    file's subsegments (process_files ran ``diarize`` per file — one
+    dispatch + upload each; dispatch latency dominates on tunnel-attached
+    chips). Clustering stays per file — embeddings never mix across files.
+    Semantically identical to [diarize(f) for f in files]."""
+    if activities is None:
+        activities = file_activities(bundle, audios, sr)
+    carved, counts = [], []
+    for audio, (act, fhop) in zip(audios, activities):
+        c = (_carve_subsegments(audio, act, fhop, sr, onset, offset)
+             if act.size else ([], [], [], []))
+        carved.append(c)
+        counts.append(len(c[0]))
+    all_clips = [clip for c in carved for clip in c[1]]
+    if all_clips:
+        batch, lengths = _pad_clips(all_clips, sr)
+        embs = bundle.embed_batch(batch, lengths)
+    out: List[List[LabeledSegment]] = []
+    lo = 0
+    for (subsegs, _clips, slots, clean), n in zip(carved, counts):
+        if not subsegs:
+            out.append([])
+            continue
+        out.append(_cluster_subsegments(
+            embs[lo: lo + n], subsegs, slots, clean,
+            min_speakers, max_speakers, cluster_threshold))
+        lo += n
     return out

@@ -311,17 +311,23 @@ class TranscriptionEngine:
             hyst["onset"] = self.tpu.diarization_onset
         if self.tpu.diarization_offset is not None:
             hyst["offset"] = self.tpu.diarization_offset
-        for i in ok:
-            pre = preloads[i]
-            if "activity" not in pre:
-                continue
+        with_act = [i for i in ok if "activity" in preloads[i]]
+        if with_act:
+            from clearconverse_tpu.pipeline.diarize import diarize_many
             try:
-                pre["raw_segments"] = diarize(
-                    self.models, pre["audio"], pre["sr"],
+                # One embedding device call for ALL files' subsegments
+                # (clustering stays per file) — the per-file diarize loop
+                # paid one dispatch + upload per file.
+                many = diarize_many(
+                    self.models, [preloads[i]["audio"] for i in with_act],
+                    preloads[with_act[0]]["sr"],
                     self.config.min_speakers, self.config.max_speakers,
-                    activity=pre["activity"], **hyst)
+                    activities=[preloads[i]["activity"] for i in with_act],
+                    **hyst)
+                for i, raw in zip(with_act, many):
+                    preloads[i]["raw_segments"] = raw
             except Exception as exc:  # noqa: BLE001 — fall back in-prep
-                logger.error("diarize failed for %s: %s", file_paths[i], exc)
+                logger.error("batched diarize failed: %s", exc, exc_info=True)
         with_raw = [i for i in ok
                     if preloads[i] and "raw_segments" in preloads[i]]
         if with_raw:

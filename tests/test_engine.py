@@ -211,6 +211,21 @@ def test_vad_and_diarize_on_synthetic():
     assert label_at(4.5) != label_at(1.0)
 
 
+def test_diarize_many_matches_per_file():
+    """One cross-file embedding batch (diarize_many, the process_files
+    path) == per-file diarize, including an empty file."""
+    from clearconverse_tpu.pipeline.diarize import diarize_many
+
+    fake = FakeModels()
+    a = synth_conversation()
+    b = np.concatenate([a[SR:], a[:SR]])        # shifted variant
+    silent = np.zeros(SR * 2, np.float32)
+    many = diarize_many(fake, [a, silent, b], SR, 1, 2)
+    per = [diarize(fake, x, SR, 1, 2) for x in (a, silent, b)]
+    assert many == per
+    assert many[1] == []
+
+
 # ---------------------------------------------------------------- engine
 
 def test_process_file_end_to_end(engine, tmp_path):
