@@ -46,6 +46,26 @@ def _hann(n: int) -> np.ndarray:
     return (0.5 * (1.0 - np.cos(2.0 * np.pi * i / n))).astype(np.float32)
 
 
+@lru_cache(maxsize=2)
+def _gate_dft_matrices():
+    """Windowed real-DFT/IDFT projection matrices for the gate's STFT and
+    ISTFT as MXU matmuls: XLA's TPU FFT runs the whole [8, 3751, 1024]
+    gate batch in ~1.04 s; the same transform as four f32 einsums runs in
+    ~10 ms. Forward matrices fold the analysis window; inverse matrices
+    fold the irfft conjugate-symmetry weights AND the synthesis window."""
+    N = N_FFT
+    n = np.arange(N, dtype=np.float64)
+    k = np.arange(N // 2 + 1, dtype=np.float64)
+    ang = 2.0 * np.pi * n[:, None] * k[None, :] / N
+    window = _hann(N).astype(np.float64)
+    cos_m = (np.cos(ang) * window[:, None]).astype(np.float32)    # [N, K]
+    sin_m = (-np.sin(ang) * window[:, None]).astype(np.float32)
+    wk = np.where((k == 0) | (k == N // 2), 1.0, 2.0) / N
+    icos = (np.cos(ang) * wk[None, :] * window[:, None]).astype(np.float32)
+    isin = (-np.sin(ang) * wk[None, :] * window[:, None]).astype(np.float32)
+    return cos_m, sin_m, icos, isin
+
+
 def _stft(x: jnp.ndarray) -> jnp.ndarray:
     """librosa-style STFT: center=True constant padding, periodic Hann.
     [B, T] → complex [B, freq, frames]."""
@@ -57,64 +77,132 @@ def _stft(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(jnp.fft.rfft(frames, axis=-1), (0, 2, 1))
 
 
-def _istft(spec: jnp.ndarray, length: int) -> jnp.ndarray:
-    """Overlap-add inverse with window-square normalization. [B,freq,frames]→[B,T]."""
-    frames = jnp.fft.irfft(jnp.transpose(spec, (0, 2, 1)), n=N_FFT, axis=-1)
-    window = jnp.asarray(_hann(N_FFT))
-    frames = frames * window[None, None, :]
-    n_frames = frames.shape[1]
-    total = (n_frames - 1) * HOP + N_FFT
-    idx = (jnp.arange(n_frames) * HOP)[:, None] + jnp.arange(N_FFT)[None, :]
+def _ola(frames_windowed: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Overlap-add of synthesis-windowed frames ``[B, n_frames, N_FFT]``
+    with window-square normalization → ``[B, length]``.
 
-    out = jnp.zeros((frames.shape[0], total), frames.dtype)
-    out = out.at[:, idx.reshape(-1)].add(frames.reshape(frames.shape[0], -1))
-    env = jnp.zeros((total,), frames.dtype)
-    env = env.at[idx.reshape(-1)].add(jnp.tile(window * window, n_frames))
-    out = out / jnp.maximum(env, 1e-8)[None, :]
+    Vectorized as N_FFT//HOP shifted block adds over static slices — the
+    index-based scatter-add serializes on TPU (it was most of the gate
+    program's ~1 s)."""
+    B, n_frames, _ = frames_windowed.shape
+    window = jnp.asarray(_hann(N_FFT))
+    kb = N_FFT // HOP                       # 4 overlapping blocks per sample
+    fb = frames_windowed.reshape(B, n_frames, kb, HOP)
+    wb = (window * window).reshape(kb, HOP)
+    out_b = sum(
+        jnp.pad(fb[:, :, k, :], ((0, 0), (k, kb - 1 - k), (0, 0)))
+        for k in range(kb))                 # [B, n_frames+kb-1, HOP]
+    env_b = sum(
+        jnp.pad(jnp.broadcast_to(wb[k], (n_frames, HOP)),
+                ((k, kb - 1 - k), (0, 0)))
+        for k in range(kb))
+    out = out_b.reshape(B, -1) / jnp.maximum(env_b.reshape(-1), 1e-8)[None, :]
     pad = N_FFT // 2
     return out[:, pad : pad + length]
 
 
+def _istft(spec: jnp.ndarray, length: int) -> jnp.ndarray:
+    """Overlap-add inverse with window-square normalization. [B,freq,frames]→[B,T]."""
+    frames = jnp.fft.irfft(jnp.transpose(spec, (0, 2, 1)), n=N_FFT, axis=-1)
+    frames = frames * jnp.asarray(_hann(N_FFT))[None, None, :]
+    return _ola(frames, length)
+
+
 def spectral_gate(audio: jnp.ndarray, sr: int = 16000,
                   prop_decrease: float = 0.5,
-                  mask: jnp.ndarray | None = None) -> jnp.ndarray:
+                  mask: jnp.ndarray | None = None,
+                  use_fft: bool = False) -> jnp.ndarray:
     """Stationary spectral gating over ``[B, T]`` (or ``[T]``) waveforms.
 
     ``mask`` (optional ``[B, T]`` 0/1) marks valid samples of padded batch
     entries so padding doesn't contaminate the noise statistics.
-    """
+
+    The default path runs the STFT/ISTFT as windowed real-DFT matmuls
+    (``_gate_dft_matrices``): XLA's TPU FFT takes ~1.04 s for an 8×60 s
+    batch where the einsums take ~10 ms on the MXU. ``use_fft=True`` keeps
+    the jnp.fft path (equality-tested against the matmul path)."""
     squeeze = audio.ndim == 1
     if squeeze:
         audio = audio[None, :]
     length = audio.shape[-1]
 
-    spec = _stft(audio)
-    mag_db = 20.0 * jnp.log10(jnp.maximum(jnp.abs(spec), 1e-20))
+    if use_fft:
+        spec = _stft(audio)                              # [B, K, F]
+        mag_db = 20.0 * jnp.log10(jnp.maximum(jnp.abs(spec), 1e-20))
+        t_axis, f_axis = -1, -2                          # stats over frames
+    else:
+        pad = N_FFT // 2
+        xp = jnp.pad(audio, ((0, 0), (pad, pad)))
+        n_frames = 1 + length // HOP
+        # Frame via shifted static slices of HOP-blocks (N_FFT = 4·HOP) —
+        # the index-gather framing serializes on TPU like the OLA scatter.
+        kb = N_FFT // HOP
+        n_blocks = n_frames - 1 + kb
+        xb = xp[:, : n_blocks * HOP].reshape(audio.shape[0], n_blocks, HOP)
+        frames = jnp.concatenate(
+            [xb[:, k: k + n_frames] for k in range(kb)], axis=-1)  # [B,F,N]
+        cos_m, sin_m, icos, isin = _gate_dft_matrices()
+        P = jax.lax.Precision.HIGHEST                    # f32 parity matters
+        re = jnp.einsum("bfn,nk->bfk", frames, jnp.asarray(cos_m),
+                        precision=P, preferred_element_type=jnp.float32)
+        im = jnp.einsum("bfn,nk->bfk", frames, jnp.asarray(sin_m),
+                        precision=P, preferred_element_type=jnp.float32)
+        # NOT 10·log10(max(power, 1e-40)): 1e-40 is subnormal in f32 and
+        # flushes to zero → log10(0) = -inf → NaN through the masked stats.
+        mag_db = 20.0 * jnp.log10(
+            jnp.maximum(jnp.sqrt(re * re + im * im), 1e-20))
+        t_axis, f_axis = -2, -1                          # [B, F, K] layout
 
     if mask is not None:
-        n_frames = spec.shape[-1]
-        frame_valid = (jnp.arange(n_frames)[None, :] * HOP) < jnp.sum(mask, -1, keepdims=True)
-        w = frame_valid[:, None, :].astype(mag_db.dtype)
-        denom = jnp.maximum(jnp.sum(w, -1, keepdims=True), 1.0)
-        mean_db = jnp.sum(mag_db * w, -1, keepdims=True) / denom
-        var_db = jnp.sum((mag_db - mean_db) ** 2 * w, -1, keepdims=True) / denom
+        nf = mag_db.shape[t_axis]
+        valid = (jnp.arange(nf) * HOP)[None, :] < jnp.sum(mask, -1, keepdims=True)
+        w = jnp.expand_dims(valid, f_axis).astype(mag_db.dtype)
+        denom = jnp.maximum(jnp.sum(w, t_axis, keepdims=True), 1.0)
+        mean_db = jnp.sum(mag_db * w, t_axis, keepdims=True) / denom
+        var_db = jnp.sum((mag_db - mean_db) ** 2 * w, t_axis,
+                         keepdims=True) / denom
     else:
-        mean_db = jnp.mean(mag_db, -1, keepdims=True)
-        var_db = jnp.var(mag_db, -1, keepdims=True)
+        mean_db = jnp.mean(mag_db, t_axis, keepdims=True)
+        var_db = jnp.var(mag_db, t_axis, keepdims=True)
     noise_thresh = mean_db + jnp.sqrt(var_db) * _N_STD_THRESH
 
     gate = (mag_db > noise_thresh).astype(jnp.float32)
-    filt = jnp.asarray(_smoothing_filter(sr))[None, :, :]
-    gate = jax.lax.conv_general_dilated(
-        gate[:, None, :, :], filt[None, :, :, :],
-        window_strides=(1, 1),
-        padding=[(filt.shape[1] // 2, (filt.shape[1] - 1) // 2),
-                 (filt.shape[2] // 2, (filt.shape[2] - 1) // 2)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-    )[:, 0]
+    if use_fft:
+        filt = _smoothing_filter(sr)                     # [freq, time]
+        filt_j = jnp.asarray(filt)[None, None, :, :]
+        gate = jax.lax.conv_general_dilated(
+            gate[:, None, :, :], filt_j,
+            window_strides=(1, 1),
+            padding=[(filt.shape[0] // 2, (filt.shape[0] - 1) // 2),
+                     (filt.shape[1] // 2, (filt.shape[1] - 1) // 2)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[:, 0]
+    else:
+        # The triangular kernel is rank-1 (outer(freq_ramp, time_ramp)), so
+        # smooth as two passes of shifted static-slice adds — a C=1 2-D
+        # conv over [B, 3751, 513] maps poorly onto the TPU conv units.
+        filt = _smoothing_filter(sr)
+        rf, rt = filt[:, 0], filt[0, :]
+        scale = filt.sum() / max(float(rf.sum() * rt.sum()), 1e-30)
+        F, K = gate.shape[1], gate.shape[2]
+        ct = len(rt) // 2
+        gp = jnp.pad(gate, ((0, 0), (ct, len(rt) - 1 - ct), (0, 0)))
+        gate = sum(float(w) * gp[:, i: i + F, :] for i, w in enumerate(rt))
+        cf = len(rf) // 2
+        gp = jnp.pad(gate, ((0, 0), (0, 0), (cf, len(rf) - 1 - cf)))
+        gate = sum(float(w) * gp[:, :, i: i + K] for i, w in enumerate(rf))
+        gate = gate * scale
     gate = gate * prop_decrease + (1.0 - prop_decrease)
 
-    out = _istft(spec * gate.astype(spec.dtype), length)
+    if use_fft:
+        out = _istft(spec * gate.astype(spec.dtype), length)
+    else:
+        out_frames = (
+            jnp.einsum("bfk,nk->bfn", re * gate, jnp.asarray(icos),
+                       precision=P, preferred_element_type=jnp.float32)
+            + jnp.einsum("bfk,nk->bfn", im * gate, jnp.asarray(isin),
+                         precision=P, preferred_element_type=jnp.float32))
+        out = _ola(out_frames, length)
     if mask is not None:
         out = out * mask
     return out[0] if squeeze else out

@@ -284,3 +284,17 @@ def test_host_gate_matches_device(rng):
     dev = np.asarray(spectral_gate_normalized_jit(
         jnp.asarray(x), 0.5, jnp.asarray(mask), sr=16000))
     np.testing.assert_allclose(host, dev, atol=2e-5)
+
+
+def test_gate_matmul_dft_matches_fft(rng):
+    """The MXU matmul-DFT gate path (default) == the jnp.fft path."""
+    x = np.zeros((2, 8000), np.float32)
+    x[0] = np.clip(rng.standard_normal(8000) * 0.2, -0.99, 0.99)
+    x[1, :5000] = np.clip(rng.standard_normal(5000) * 0.3, -0.99, 0.99)
+    mask = (np.arange(8000)[None, :] < np.asarray([8000, 5000])[:, None]
+            ).astype(np.float32)
+    a = np.asarray(spectral_gate(jnp.asarray(x), 16000, 0.5,
+                                 jnp.asarray(mask)))
+    b = np.asarray(spectral_gate(jnp.asarray(x), 16000, 0.5,
+                                 jnp.asarray(mask), use_fft=True))
+    np.testing.assert_allclose(a, b, atol=2e-5)
