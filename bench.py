@@ -103,6 +103,9 @@ def main() -> None:
     ap.add_argument("--kv-bits", type=int, default=8, choices=(16, 8, 4),
                     help="cross-attention KV width (the decode loop is "
                     "cross-KV-streaming-bound; 8-bit = 2.3x decode at B=32)")
+    ap.add_argument("--self-kv-bits", type=int, default=16, choices=(16, 8),
+                    help="self-attention cache width (int8 halves the "
+                    "per-step cache stream, exact per-position scales)")
     ap.add_argument("--engine-files", type=int, default=8,
                     help="synthetic conversations per engine pass")
     ap.add_argument("--engine-repeats", type=int, default=3)
@@ -137,7 +140,8 @@ def main() -> None:
     opts = DecodeOptions(max_tokens=args.decode_tokens, temperature=0.0,
                          eot=-1,  # never matches → fixed decode length
                          suppress_blank=False, compute_dtype=jnp.bfloat16,
-                         cross_kv_bits=args.kv_bits)
+                         cross_kv_bits=args.kv_bits,
+                         self_kv_bits=args.self_kv_bits)
     prompts, lens = build_prompt_batch([[50257]] * B, 1, pad_id=50256)
     prompts, lens = jnp.asarray(prompts), jnp.asarray(lens)
 

@@ -44,6 +44,10 @@ class DecodeOptions:
     # Cross-attention K/V storage width (16, 8, or 4 bits): the decode
     # loop's dominant HBM stream (models/whisper.precompute_cross_kv).
     cross_kv_bits: int = 16
+    # Self-attention cache width (16 or 8): int8 halves the per-step cache
+    # stream with exact per-position scale folding (models/whisper.
+    # init_kv_cache bits=8).
+    self_kv_bits: int = 16
     # lax.scan over stacked decoder layers: ~12x fewer instructions per
     # decode step (models/whisper.stack_decoder).
     scan_layers: bool = False
@@ -242,7 +246,8 @@ def greedy_decode(
     cross_kv = precompute_cross_kv(params, audio, bits=opts.cross_kv_bits,
                                    n_head=dims.n_text_head)
     cross_kv = jax.lax.optimization_barrier(cross_kv)
-    self_kv = init_kv_cache(dims, B, max_len, cdt, stacked=opts.scan_layers)
+    self_kv = init_kv_cache(dims, B, max_len, cdt, stacked=opts.scan_layers,
+                            bits=opts.self_kv_bits)
 
     pad = (P - prompt_lens)[:, None]                      # [B,1]
     slot = jnp.arange(P)[None, :]

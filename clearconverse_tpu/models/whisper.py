@@ -392,15 +392,28 @@ def _cross_attention_head_major(q: jnp.ndarray, ckv: Dict[str, Any],
 
 
 def init_kv_cache(dims: WhisperDims, batch: int, max_len: int,
-                  dtype: jnp.dtype = jnp.float32, stacked: bool = False):
+                  dtype: jnp.dtype = jnp.float32, stacked: bool = False,
+                  bits: int = 16):
     """Self-attention KV cache, head-major decode layout: K [B,H,dh,M],
     V [B,H,M,dh] per layer (leading L axis when ``stacked``). Same
     rationale as the cross-KV layout (precompute_cross_kv): the decode
     loop re-reads the whole cache every step, and the row-major [B,M,D]
     layout makes XLA re-transpose it per step. decoder_forward also
-    accepts legacy {"k","v"} row-major dicts."""
+    accepts legacy {"k","v"} row-major dicts.
+
+    ``bits=8`` stores int8 values with per-position f32 scales (amax over
+    the dh axis per cache slot) — halving the per-step cache stream. The
+    per-position scale is EXACT to fold: K's scale multiplies the logits
+    column after the dh contraction; V's scale folds into the attention
+    weights before the V matmul."""
     H, dh = dims.n_text_head, dims.n_text_state // dims.n_text_head
     lead = (dims.n_text_layer,) if stacked else ()
+    if bits == 8:
+        cell = {"kq": jnp.zeros(lead + (batch, H, dh, max_len), jnp.int8),
+                "ks": jnp.zeros(lead + (batch, H, 1, max_len), jnp.float32),
+                "vq": jnp.zeros(lead + (batch, H, max_len, dh), jnp.int8),
+                "vs": jnp.zeros(lead + (batch, H, max_len, 1), jnp.float32)}
+        return cell if stacked else [dict(cell) for _ in range(dims.n_text_layer)]
     kt = jnp.zeros(lead + (batch, H, dh, max_len), dtype)
     vt = jnp.zeros(lead + (batch, H, max_len, dh), dtype)
     if stacked:
@@ -436,31 +449,64 @@ def decoder_forward(
         q = dense(h, blk["attn"]["q"])
         k_new = dense(h, blk["attn"]["k"])
         v_new = dense(h, blk["attn"]["v"])
-        if "kt" in skv:
+        if "kt" in skv or "kq" in skv:
             # Head-major cache (init_kv_cache): the per-step K/V stream is
             # consumed by the einsums directly — no per-step transpose of
             # the full cache (the same measured win as head-major cross-KV).
             B_, T_, D_ = q.shape
             kn = jnp.transpose(k_new.reshape(B_, T_, H, dh), (0, 2, 3, 1))
             vn = jnp.transpose(v_new.reshape(B_, T_, H, dh), (0, 2, 1, 3))
-            k_all = jax.lax.dynamic_update_slice(
-                skv["kt"], kn.astype(skv["kt"].dtype), (0, 0, 0, cache_index))
-            v_all = jax.lax.dynamic_update_slice(
-                skv["vt"], vn.astype(skv["vt"].dtype), (0, 0, cache_index, 0))
             qh = jnp.transpose(q.reshape(B_, T_, H, dh), (0, 2, 1, 3))
             qh = qh * jnp.asarray(dh ** -0.5, qh.dtype)
-            logits = jnp.einsum("bhqd,bhdm->bhqm", qh,
-                                k_all.astype(compute_dtype),
-                                preferred_element_type=jnp.float32)
-            logits = logits + self_mask
-            w = jax.nn.softmax(logits.astype(jnp.float32),
-                               axis=-1).astype(compute_dtype)
-            o = jnp.einsum("bhqm,bhmd->bhqd", w,
-                           v_all.astype(compute_dtype),
-                           preferred_element_type=jnp.float32)
+            if "kq" in skv:
+                # int8 cache: per-position scales (amax over dh) are exact
+                # to fold — K's into the logits columns after the dh
+                # contraction, V's into the attention weights.
+                ks_n = jnp.max(jnp.abs(kn.astype(jnp.float32)), axis=2,
+                               keepdims=True) / 127.0
+                kq_n = jnp.round(kn.astype(jnp.float32)
+                                 / jnp.maximum(ks_n, 1e-12)).astype(jnp.int8)
+                vs_n = jnp.max(jnp.abs(vn.astype(jnp.float32)), axis=3,
+                               keepdims=True) / 127.0
+                vq_n = jnp.round(vn.astype(jnp.float32)
+                                 / jnp.maximum(vs_n, 1e-12)).astype(jnp.int8)
+                kq = jax.lax.dynamic_update_slice(
+                    skv["kq"], kq_n, (0, 0, 0, cache_index))
+                ks = jax.lax.dynamic_update_slice(
+                    skv["ks"], ks_n, (0, 0, 0, cache_index))
+                vq = jax.lax.dynamic_update_slice(
+                    skv["vq"], vq_n, (0, 0, cache_index, 0))
+                vs = jax.lax.dynamic_update_slice(
+                    skv["vs"], vs_n, (0, 0, cache_index, 0))
+                logits = jnp.einsum("bhqd,bhdm->bhqm", qh,
+                                    kq.astype(compute_dtype),
+                                    preferred_element_type=jnp.float32)
+                logits = logits * ks + self_mask
+                w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                w = (w * jnp.swapaxes(vs, -1, -2)).astype(compute_dtype)
+                o = jnp.einsum("bhqm,bhmd->bhqd", w,
+                               vq.astype(compute_dtype),
+                               preferred_element_type=jnp.float32)
+                new_skv = {"kq": kq, "ks": ks, "vq": vq, "vs": vs}
+            else:
+                k_all = jax.lax.dynamic_update_slice(
+                    skv["kt"], kn.astype(skv["kt"].dtype),
+                    (0, 0, 0, cache_index))
+                v_all = jax.lax.dynamic_update_slice(
+                    skv["vt"], vn.astype(skv["vt"].dtype),
+                    (0, 0, cache_index, 0))
+                logits = jnp.einsum("bhqd,bhdm->bhqm", qh,
+                                    k_all.astype(compute_dtype),
+                                    preferred_element_type=jnp.float32)
+                logits = logits + self_mask
+                w = jax.nn.softmax(logits.astype(jnp.float32),
+                                   axis=-1).astype(compute_dtype)
+                o = jnp.einsum("bhqm,bhmd->bhqd", w,
+                               v_all.astype(compute_dtype),
+                               preferred_element_type=jnp.float32)
+                new_skv = {"kt": k_all, "vt": v_all}
             h = jnp.transpose(o.astype(compute_dtype),
                               (0, 2, 1, 3)).reshape(B_, T_, D_)
-            new_skv = {"kt": k_all, "vt": v_all}
         else:
             k_all = jax.lax.dynamic_update_slice_in_dim(
                 skv["k"], k_new.astype(skv["k"].dtype), cache_index, 1)

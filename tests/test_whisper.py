@@ -267,3 +267,21 @@ def test_head_major_cross_kv_matches_legacy(params, mel):
     # identical per-channel quantization semantics; folding order differs
     np.testing.assert_allclose(hm8, legacy8, atol=5e-3)
     np.testing.assert_allclose(hm8, legacy16, atol=0.2)
+
+
+def test_int8_self_kv_matches_f32_cache(hf_model, params, mel):
+    """Greedy decode with the int8 self-attention cache (per-position
+    scales, init_kv_cache bits=8) produces the same tokens as the full-
+    precision cache on the tiny model."""
+    sot, steps = 1, 8
+    toks, lens = build_prompt_batch([[sot], [sot]], 1, pad_id=0)
+    base = DecodeOptions(max_tokens=steps, eot=VOCAB - 1, suppress_blank=False)
+    q8 = DecodeOptions(max_tokens=steps, eot=VOCAB - 1, suppress_blank=False,
+                       self_kv_bits=8)
+    a = greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                      jnp.asarray(lens), DIMS, base, 1)
+    b = greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                      jnp.asarray(lens), DIMS, q8, 1)
+    np.testing.assert_array_equal(np.asarray(a["tokens"]), np.asarray(b["tokens"]))
+    np.testing.assert_allclose(np.asarray(a["sum_logprob"]),
+                               np.asarray(b["sum_logprob"]), atol=0.05)
