@@ -222,11 +222,28 @@ def _flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
 def _use_flash(T: int, enabled: bool = False) -> bool:
     # Disabled by default: see _flash_attention docstring (measured slower
-    # for whisper's dh=64 on v5e; naive einsum wins).
+    # for whisper's dh=64 on v5e; naive einsum wins — re-confirmed at
+    # B=128: 469 ms einsum vs 1851 ms flash for the full encoder).
     if not enabled or T < 512:
         return False
     try:
         return jax.default_backend() not in ("cpu",)
+    except RuntimeError:
+        return False
+
+
+def _use_pallas_attn(T: int, B: int, n_head: int,
+                     enabled: bool = True) -> bool:
+    # First-party Pallas encoder-attention kernel
+    # (ops/pallas/encoder_attention.py): keeps the [T, T] logits in VMEM
+    # instead of round-tripping them through HBM. Measured full-encoder
+    # (small.en, T=1500, bf16): B=32 243→149 ms (-39%); B=64 ~tied;
+    # B=128 469→499 ms — XLA's fused einsum wins at large B, so the
+    # kernel serves the engine's small decode batches only.
+    if not enabled or T < 256 or B > 48 or n_head % 2:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
     except RuntimeError:
         return False
 
@@ -242,12 +259,17 @@ def whisper_encode(params: Dict[str, Any], mel: jnp.ndarray, dims: WhisperDims,
     x = jax.nn.gelu(_conv1d(x, enc["conv2"], stride=2), approximate=False)
     x = x + enc["pos"][: x.shape[1]].astype(compute_dtype)
     flash = _use_flash(x.shape[1])
+    pallas_attn = _use_pallas_attn(x.shape[1], x.shape[0], dims.n_audio_head)
     for blk in enc["blocks"]:
         h = layer_norm(x, blk["attn_ln"])
         qkv = blk["attn"]
         q, k, v = dense(h, qkv["q"]), dense(h, qkv["k"]), dense(h, qkv["v"])
         if flash:
             h = _flash_attention(q, k, v, dims.n_audio_head)
+        elif pallas_attn:
+            from clearconverse_tpu.ops.pallas.encoder_attention import (
+                encoder_attention_pallas)
+            h = encoder_attention_pallas(q, k, v, dims.n_audio_head)
         else:
             h = attention(q, k, v, None, dims.n_audio_head)
         x = x + dense(h, qkv["out"])

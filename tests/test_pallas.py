@@ -37,3 +37,25 @@ def test_logmel_pallas_non_block_multiple(rng):
     ref = np.asarray(log_mel_spectrogram(audio))
     assert ours.shape == ref.shape
     np.testing.assert_allclose(ours, ref, atol=5e-4)
+
+
+def test_encoder_attention_pallas_matches_einsum(rng):
+    """The Pallas encoder-attention kernel (VMEM-resident logits, head
+    pairs per grid step) == models/whisper.attention, f32 and bf16,
+    including a non-block-multiple T (padded keys masked)."""
+    from clearconverse_tpu.models.whisper import attention
+    from clearconverse_tpu.ops.pallas.encoder_attention import (
+        encoder_attention_pallas)
+
+    B, T, D, H = 2, 300, 256, 4
+    q, k, v = (jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32)
+                           * 0.3) for _ in range(3))
+    ref = np.asarray(attention(q, k, v, None, H))
+    ours = np.asarray(encoder_attention_pallas(q, k, v, H, interpret=True))
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    refb = np.asarray(attention(qb, kb, vb, None, H)).astype(np.float32)
+    oursb = np.asarray(encoder_attention_pallas(
+        qb, kb, vb, H, interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(oursb, refb, atol=2e-3)
