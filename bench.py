@@ -83,9 +83,12 @@ def bench_engine(n_files: int, repeats: int) -> dict:
         results = engine.process_files(paths)
         per_pass.append(time.perf_counter() - t0)
 
+    # Explicit keys (no ambiguous "rtfx_warm"): _best is the headline —
+    # the machine's capability — _mean includes whatever congestion the
+    # measurement window had.
     pass_audio = sum(len(base) / SR for _ in paths)
     segs = sum(len(r["segments"]) for r in results if r)
-    return {"rtfx_warm": round(pass_audio / min(per_pass), 2),
+    return {"rtfx_warm_best": round(pass_audio / min(per_pass), 2),
             "rtfx_warm_mean": round(pass_audio * repeats / sum(per_pass), 2),
             "audio_seconds": round(pass_audio * repeats, 1),
             "files": n_files, "segments_per_pass": segs}

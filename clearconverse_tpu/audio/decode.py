@@ -135,14 +135,20 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
     if not waves:
         return (results, None, row_map) if return_device else results
     # Assemble on HOST and move int16 BOTH WAYS (the tunnel moves audio at
-    # ~10-50 MB/s; the sources are 16-bit anyway — see gate_normalize_i16_jit
-    # for the precision + measured-strategy notes). The f32 gated batch
-    # stays on device as the AudioStore.
+    # ~10-50 MB/s — see gate_normalize_i16_jit for the precision +
+    # measured-strategy notes). Each row pre-scales to its own peak before
+    # quantizing: the gate is scale-invariant (dB stats shift with the
+    # signal) and the output is peak-normalized anyway, so quiet 24-bit or
+    # >1.0 float-PCM sources keep full 16-bit precision instead of being
+    # crushed/clipped by a fixed /32768 grid. The f32 gated batch stays on
+    # device as the AudioStore.
     T = _next_bucket(max(n_outs), target_sr)
     batch_np = np.zeros((len(waves), T), np.float32)
     for row, w in enumerate(waves):
         batch_np[row, : len(w)] = w
-    q_up = np.clip(np.round(batch_np * 32768.0), -32768, 32767).astype(np.int16)
+    peaks = np.max(np.abs(batch_np), axis=-1, keepdims=True)
+    scaled = batch_np * (32767.0 / np.maximum(peaks, 1e-12))
+    q_up = np.clip(np.round(scaled), -32768, 32767).astype(np.int16)
     mask = jnp.asarray(
         (np.arange(T)[None, :] < np.asarray(n_outs)[:, None]).astype(np.float32))
     batch, q_down = _denoise.gate_normalize_i16_jit(

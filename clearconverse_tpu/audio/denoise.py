@@ -246,10 +246,13 @@ def gate_normalize_i16_jit(q: jnp.ndarray, prop_decrease: jnp.ndarray,
                            denoise: bool = True):
     """int16 in → (f32 gated+normalized, int16 of it) — the multi-file load
     path (audio.decode.load_audio_many). The tunnel moves audio at
-    ~10-50 MB/s, so both transfer legs ride source-precision int16: the
-    /32768 input scale is bit-exact for s16-sourced WAVs, and the int16
-    output leg adds ≤0.5 LSB (1.53e-5) on the normalized waveform. The f32
-    output never leaves the device — it becomes the AudioStore batch.
+    ~10-50 MB/s, so both transfer legs ride int16. The caller pre-scales
+    each row to its peak (the gate is scale-invariant and the output is
+    peak-normalized, so the /32768 here is an arbitrary constant), giving
+    every source — s16, 24/32-bit PCM, float — full 16-bit transfer
+    precision; the int16 output leg adds ≤0.5 LSB (1.53e-5) on the
+    normalized waveform. The f32 output never leaves the device — it
+    becomes the AudioStore batch.
     (Measured alternatives: f32 both ways ~2.3 s per 8×60 s batch vs ~1.95 s
     int16; computing the host copy with spectral_gate_np instead of
     downloading takes 3.5-7 s in-process — CPU contention with the device

@@ -232,15 +232,19 @@ def _use_flash(T: int, enabled: bool = False) -> bool:
         return False
 
 
-def _use_pallas_attn(T: int, B: int, n_head: int,
+def _use_pallas_attn(T: int, B: int, n_head: int, dh: int,
                      enabled: bool = True) -> bool:
     # First-party Pallas encoder-attention kernel
     # (ops/pallas/encoder_attention.py): keeps the [T, T] logits in VMEM
     # instead of round-tripping them through HBM. Measured full-encoder
     # (small.en, T=1500, bf16): B=32 243→149 ms (-39%); B=64 ~tied;
     # B=128 469→499 ms — XLA's fused einsum wins at large B, so the
-    # kernel serves the engine's small decode batches only.
-    if not enabled or T < 256 or B > 48 or n_head % 2:
+    # kernel serves the engine's small decode batches only. Differentiable
+    # (custom VJP through the einsum), so the finetune path may take it.
+    if not enabled or T < 256 or B > 48:
+        return False
+    from clearconverse_tpu.ops.pallas.encoder_attention import supports_shape
+    if not supports_shape(n_head, dh):
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -259,7 +263,9 @@ def whisper_encode(params: Dict[str, Any], mel: jnp.ndarray, dims: WhisperDims,
     x = jax.nn.gelu(_conv1d(x, enc["conv2"], stride=2), approximate=False)
     x = x + enc["pos"][: x.shape[1]].astype(compute_dtype)
     flash = _use_flash(x.shape[1])
-    pallas_attn = _use_pallas_attn(x.shape[1], x.shape[0], dims.n_audio_head)
+    pallas_attn = _use_pallas_attn(
+        x.shape[1], x.shape[0], dims.n_audio_head,
+        dims.n_audio_state // dims.n_audio_head)
     for blk in enc["blocks"]:
         h = layer_norm(x, blk["attn_ln"])
         qkv = blk["attn"]
@@ -420,8 +426,7 @@ def init_kv_cache(dims: WhisperDims, batch: int, max_len: int,
     V [B,H,M,dh] per layer (leading L axis when ``stacked``). Same
     rationale as the cross-KV layout (precompute_cross_kv): the decode
     loop re-reads the whole cache every step, and the row-major [B,M,D]
-    layout makes XLA re-transpose it per step. decoder_forward also
-    accepts legacy {"k","v"} row-major dicts.
+    layout makes XLA re-transpose it per step.
 
     ``bits=8`` stores int8 values with per-position f32 scales (amax over
     the dh axis per cache slot) — halving the per-step cache stream. The
@@ -530,14 +535,8 @@ def decoder_forward(
             h = jnp.transpose(o.astype(compute_dtype),
                               (0, 2, 1, 3)).reshape(B_, T_, D_)
         else:
-            k_all = jax.lax.dynamic_update_slice_in_dim(
-                skv["k"], k_new.astype(skv["k"].dtype), cache_index, 1)
-            v_all = jax.lax.dynamic_update_slice_in_dim(
-                skv["v"], v_new.astype(skv["v"].dtype), cache_index, 1)
-            h = attention(q, k_all.astype(compute_dtype),
-                          v_all.astype(compute_dtype),
-                          self_mask, dims.n_text_head)
-            new_skv = {"k": k_all, "v": v_all}
+            raise ValueError("self-KV cache must come from init_kv_cache "
+                             "(head-major {'kt','vt'} or int8 layout)")
         x = x + dense(h, blk["attn"]["out"])
 
         h = layer_norm(x, blk["cross_ln"])

@@ -31,11 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 BQ = 512  # query rows per grid step (sweep: 512 beats 128/256 at B=32/128)
 
 
-def _kernel(q_ref, k_ref, v_ref, out_ref, *, t_valid: int, dh: int):
-    # Blocks carry TWO heads side by side on the lane axis (2·dh = 128,
-    # the minimum lane-dim block): q [1, BQ, 2dh], k/v [1, Tp, 2dh].
-    # Each head attends independently via static lane slices.
-    for h in range(2):
+def _kernel(q_ref, k_ref, v_ref, out_ref, *, t_valid: int, dh: int,
+            heads_per_block: int):
+    # Blocks carry 128//dh heads side by side on the lane axis (dh ≤ 128
+    # heads group to the minimum 128-lane block): q [1, BQ, 128],
+    # k/v [1, Tp, 128]. Each head attends independently via static lane
+    # slices.
+    for h in range(heads_per_block):
         sl = slice(h * dh, (h + 1) * dh)
         s = jax.lax.dot_general(
             q_ref[0][:, sl], k_ref[0][:, sl],
@@ -49,20 +51,36 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, t_valid: int, dh: int):
             preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
+def supports_shape(n_head: int, dh: int) -> bool:
+    """The kernel groups 128//dh heads per 128-lane block: dh must divide
+    128 and the head count must split into whole groups."""
+    return 128 % dh == 0 and n_head % (128 // dh) == 0
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def encoder_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                              n_head: int,
                              interpret: bool = False) -> jnp.ndarray:
     """q, k, v: [B, T, D] → [B, T, D]; full (unmasked) attention over T.
 
-    Head pairs are selected by the BLOCK INDEX MAP on the feature axis
-    (grid dim h picks columns 2h·dh : (2h+2)·dh; 2·dh = 128 satisfies the
-    lane-dim block constraint) — no [B,H,T,dh] transpose ever materializes
-    in HBM (at B=128 those transposes cost more than the kernel saved).
-    Requires an even head count (whisper's family: 6..20, all even)."""
+    Head groups (128//dh heads) are selected by the BLOCK INDEX MAP on the
+    feature axis — no [B,H,T,dh] transpose ever materializes in HBM (at
+    B=128 those transposes cost more than the kernel saved). Requires
+    supports_shape(n_head, dh).
+
+    Differentiable: the custom VJP recomputes the backward pass through
+    the plain einsum attention (models/whisper.attention) — raw
+    pallas_call has no transpose rule, which would break train/finetune's
+    value_and_grad through whisper_encode."""
+    return _forward(q, k, v, n_head, interpret)
+
+
+def _forward(q, k, v, n_head, interpret):
     B, T, D = q.shape
     dh = D // n_head
-    if n_head % 2:
-        raise ValueError("encoder_attention_pallas needs an even head count")
+    if not supports_shape(n_head, dh):
+        raise ValueError(f"unsupported head shape: {n_head} heads of {dh}")
+    hpb = 128 // dh
     Tp = pl.cdiv(T, BQ) * BQ
 
     def padt(x):
@@ -72,20 +90,39 @@ def encoder_attention_pallas(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     kh, vh = padt(k), padt(v)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, t_valid=T, dh=dh),
+        functools.partial(_kernel, t_valid=T, dh=dh, heads_per_block=hpb),
         out_shape=jax.ShapeDtypeStruct((B, Tp, D), q.dtype),
-        grid=(B, n_head // 2, Tp // BQ),
+        grid=(B, n_head // hpb, Tp // BQ),
         in_specs=[
-            pl.BlockSpec((1, BQ, 2 * dh), lambda b, h, i: (b, i, h),
+            pl.BlockSpec((1, BQ, 128), lambda b, h, i: (b, i, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tp, 2 * dh), lambda b, h, i: (b, 0, h),
+            pl.BlockSpec((1, Tp, 128), lambda b, h, i: (b, 0, h),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Tp, 2 * dh), lambda b, h, i: (b, 0, h),
+            pl.BlockSpec((1, Tp, 128), lambda b, h, i: (b, 0, h),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BQ, 2 * dh), lambda b, h, i: (b, i, h),
+        out_specs=pl.BlockSpec((1, BQ, 128), lambda b, h, i: (b, i, h),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(qh, kh, vh)
 
     return out[:, :T, :]
+
+
+def _ref_attention(q, k, v, n_head):
+    from clearconverse_tpu.models.whisper import attention
+    return attention(q, k, v, None, n_head)
+
+
+def _fwd(q, k, v, n_head, interpret):
+    return _forward(q, k, v, n_head, interpret), (q, k, v)
+
+
+def _bwd(n_head, interpret, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _ref_attention(q_, k_, v_, n_head),
+                     q, k, v)
+    return vjp(g)
+
+
+encoder_attention_pallas.defvjp(_fwd, _bwd)

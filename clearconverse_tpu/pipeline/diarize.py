@@ -19,9 +19,12 @@ with (1, 2) speaker bounds.
 
 from __future__ import annotations
 
+import logging
 from typing import List, Tuple
 
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from clearconverse_tpu.pipeline.clustering import binarize, cluster_speakers
 
@@ -237,7 +240,9 @@ def diarize_many(bundle, audios: List[np.ndarray], sr: int,
     file's subsegments (process_files ran ``diarize`` per file — one
     dispatch + upload each; dispatch latency dominates on tunnel-attached
     chips). Clustering stays per file — embeddings never mix across files.
-    Semantically identical to [diarize(f) for f in files]."""
+    Semantically identical to [diarize(f) for f in files], except a file
+    whose clustering throws yields None (per-file isolation) instead of
+    failing the batch."""
     if activities is None:
         activities = file_activities(bundle, audios, sr)
     carved, counts = [], []
@@ -252,12 +257,19 @@ def diarize_many(bundle, audios: List[np.ndarray], sr: int,
         embs = bundle.embed_batch(batch, lengths)
     out: List[List[LabeledSegment]] = []
     lo = 0
-    for (subsegs, _clips, slots, clean), n in zip(carved, counts):
+    for fi, ((subsegs, _clips, slots, clean), n) in enumerate(
+            zip(carved, counts)):
         if not subsegs:
             out.append([])
             continue
-        out.append(_cluster_subsegments(
-            embs[lo: lo + n], subsegs, slots, clean,
-            min_speakers, max_speakers, cluster_threshold))
+        try:
+            out.append(_cluster_subsegments(
+                embs[lo: lo + n], subsegs, slots, clean,
+                min_speakers, max_speakers, cluster_threshold))
+        except Exception as exc:  # noqa: BLE001 — per-file isolation: one
+            # pathological file must not discard the other files' results
+            # (the caller falls back to per-file diarize for None entries).
+            logger.error("clustering failed for file %d: %s", fi, exc)
+            out.append(None)
         lo += n
     return out

@@ -325,7 +325,9 @@ class TranscriptionEngine:
                     activities=[preloads[i]["activity"] for i in with_act],
                     **hyst)
                 for i, raw in zip(with_act, many):
-                    preloads[i]["raw_segments"] = raw
+                    if raw is not None:   # None → that file's clustering
+                        # failed; _prepare_file re-diarizes it per file.
+                        preloads[i]["raw_segments"] = raw
             except Exception as exc:  # noqa: BLE001 — fall back in-prep
                 logger.error("batched diarize failed: %s", exc, exc_info=True)
         with_raw = [i for i in ok

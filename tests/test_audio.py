@@ -262,8 +262,13 @@ def test_load_audio_many_matches_per_file(tmp_path, rng):
     assert out[1] is None
     for got, p in ((out[0], paths[0]), (out[2], paths[1])):
         want, _ = load_audio(p, noise_reduction_amount=0.5)
+        # The batched path moves audio over the device link as int16
+        # (peak-scaled per row); the <=0.5-LSB transport noise propagates
+        # through the spectral gate to a few LSB on the normalized output
+        # - the contract is "within 16-bit source precision" (1e-4 ~ 3
+        # LSB), not bit-equality with the f32 per-file path.
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                                   atol=2e-5)
+                                   atol=1e-4)
 
 
 def test_host_gate_matches_device(rng):

@@ -422,3 +422,24 @@ def test_profiles_disabled_triggers_secondary(tmp_path):
     # Secondary diarization relabels with its own clustering; segments exist
     # and carry transcriptions regardless.
     assert all(s.transcription for s in res["segments"])
+
+
+def test_diarize_many_isolates_clustering_failure(monkeypatch):
+    """One file whose clustering throws yields None; the other files'
+    results survive (per-file isolation in the batched path)."""
+    from clearconverse_tpu.pipeline import diarize as dmod
+
+    fake = FakeModels()
+    a = synth_conversation()
+    calls = {"n": 0}
+    real = dmod.cluster_speakers
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:       # second file's clustering
+            raise RuntimeError("degenerate embeddings")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(dmod, "cluster_speakers", flaky)
+    many = dmod.diarize_many(fake, [a, a, a], SR, 1, 2)
+    assert many[0] and many[2] and many[1] is None

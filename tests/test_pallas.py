@@ -59,3 +59,29 @@ def test_encoder_attention_pallas_matches_einsum(rng):
     oursb = np.asarray(encoder_attention_pallas(
         qb, kb, vb, H, interpret=True)).astype(np.float32)
     np.testing.assert_allclose(oursb, refb, atol=2e-3)
+
+
+def test_encoder_attention_pallas_grad_matches_einsum(rng):
+    """The kernel's custom VJP (einsum-recompute backward) matches
+    jax.grad through the plain attention — the finetune path
+    differentiates whisper_encode."""
+    from clearconverse_tpu.models.whisper import attention
+    from clearconverse_tpu.ops.pallas.encoder_attention import (
+        encoder_attention_pallas)
+
+    import jax
+
+    B, T, D, H = 1, 300, 256, 4
+    q, k, v = (jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32)
+                           * 0.3) for _ in range(3))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention(q, k, v, None, H) ** 2)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(encoder_attention_pallas(q, k, v, H, True) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
