@@ -87,6 +87,10 @@ class TPUConfig:
     pad_to_full_window: bool = True
     # Cross-attention KV storage width for the decode loop (16/8/4).
     cross_kv_bits: int = 8
+    # Self-attention cache width (16/8): int8 halves the per-step cache
+    # stream with exact per-position scale folding (+1-2% RTFx measured;
+    # default stays full precision for parity purity).
+    self_kv_bits: int = 16
     # Compute dtype for matmuls (MXU-native).
     compute_dtype: str = "bfloat16"
     # Run all Pallas kernels in interpreter mode (CPU testing).
@@ -112,6 +116,7 @@ def tpu_config_from_env(env: Optional[dict] = None) -> "TPUConfig":
         ("CC_TPU_DATA_AXIS", "data_axis", int),
         ("CC_TPU_MODEL_AXIS", "model_axis", int),
         ("CC_TPU_CROSS_KV_BITS", "cross_kv_bits", int),
+        ("CC_TPU_SELF_KV_BITS", "self_kv_bits", int),
         ("CC_TPU_MAX_FALLBACK", "max_fallback_attempts", int),
         ("CC_TPU_BEST_OF", "best_of", int),
         ("CC_TPU_COMPUTE_DTYPE", "compute_dtype", str),

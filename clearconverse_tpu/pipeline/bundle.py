@@ -434,6 +434,7 @@ class ModelBundle:
                 suppress_tokens=suppress,
                 compute_dtype=cdt,
                 cross_kv_bits=self.tpu.cross_kv_bits,
+                self_kv_bits=self.tpu.self_kv_bits,
                 no_speech_token=sp.no_speech, sot_from_end=sot_off)
             rng = None
             if temp > 0:
@@ -599,6 +600,7 @@ class ModelBundle:
                 eot=sp.eot, suppress_blank=True, blank_token=220,
                 suppress_tokens=suppress, compute_dtype=cdt,
                 cross_kv_bits=self.tpu.cross_kv_bits,
+                self_kv_bits=self.tpu.self_kv_bits,
                 no_speech_token=sp.no_speech, sot_from_end=sot_off,
                 timestamps=True, timestamp_begin=sp.timestamp_begin)
             rng = None
