@@ -16,6 +16,8 @@ from clearconverse_tpu.eval.harness import build_sweep_grid, run_sweep
 
 
 def main(argv=None) -> int:
+    from clearconverse_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(prog="clearconverse-eval")
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--audio_file", help="single audio file to sweep")

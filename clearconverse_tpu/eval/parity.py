@@ -95,6 +95,8 @@ def evaluate_file(engine, wav: str, ref_txt: str,
 
 
 def main(argv=None) -> int:
+    from clearconverse_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--models", default="./models")
     ap.add_argument("--eval-set", required=True)

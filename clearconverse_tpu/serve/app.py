@@ -508,6 +508,9 @@ def main():
     # thread while an asyncio loop runs (verified by repro in this image).
     try:
         import jax
+
+        from clearconverse_tpu.utils.jaxcache import enable_persistent_cache
+        enable_persistent_cache()   # cold server start: ~9 min → seconds
         logger.info("JAX devices: %s", jax.devices())
     except Exception as exc:  # noqa: BLE001 — serve even without a device
         logger.warning("JAX backend init failed: %s", exc)

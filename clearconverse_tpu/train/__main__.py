@@ -18,6 +18,8 @@ import numpy as np
 
 
 def main(argv=None) -> int:
+    from clearconverse_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     ap = argparse.ArgumentParser(prog="clearconverse-finetune")
     ap.add_argument("--data_dir", required=True)
     ap.add_argument("--model", default="small.en")
