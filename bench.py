@@ -32,9 +32,10 @@ import numpy as np
 def bench_engine(n_files: int, repeats: int) -> dict:
     """Full-pipeline RTFx: process_files over synthetic conversations.
 
-    Returns {"rtfx_warm": ..., "audio_seconds": ..., "files": ...,
-    "segments": ...}. Cold run (compiles) excluded from the timing; the warm
-    number is what a loaded server delivers."""
+    Returns {"rtfx_warm_best": ..., "rtfx_warm_mean": ...,
+    "audio_seconds": ..., "files": ..., "segments_per_pass": ...}. Cold run
+    (compiles) excluded from the timing; the warm numbers are what a loaded
+    server delivers."""
     import numpy as np
 
     from clearconverse_tpu.audio.wav import write_wav
@@ -121,9 +122,8 @@ def main() -> None:
     # Persistent compilation cache: first-ever compile of the small.en
     # pipeline takes minutes over the device tunnel; subsequent runs hit
     # the cache.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/cc_tpu_jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from clearconverse_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
 
     import jax.numpy as jnp
 

@@ -358,7 +358,13 @@ def _head_major_kv_direct(audio: jnp.ndarray, cross: Dict[str, Any],
     """Project K/V straight into the head-major decode layout: the einsum
     emits [B,H,dh,T] / [B,H,T,dh] directly instead of dense() → transpose
     (164 ms → 93 ms for the 12-layer int8 precompute at B=128 — the
-    intermediate [B,T,D] round-trips were half the cost)."""
+    intermediate [B,T,D] round-trips were half the cost). int8-quantized
+    projection leaves ({"wq","scale"}, ops/quantize.py) keep the dense()
+    dispatch + transpose path."""
+    if "w" not in cross["k"] or "w" not in cross["v"]:
+        k = dense(audio, cross["k"])
+        v = dense(audio, cross["v"])
+        return _to_head_major(k, v, n_head, bits)
     D = audio.shape[-1]
     dh = D // n_head
     wk = cross["k"]["w"].reshape(D, n_head, dh)
@@ -463,6 +469,8 @@ def init_kv_cache(dims: WhisperDims, batch: int, max_len: int,
     weights before the V matmul."""
     H, dh = dims.n_text_head, dims.n_text_state // dims.n_text_head
     lead = (dims.n_text_layer,) if stacked else ()
+    if bits not in (8, 16):
+        raise ValueError(f"self-KV cache width must be 16 or 8, got {bits}")
     if bits == 8:
         cell = {"kq": jnp.zeros(lead + (batch, H, dh, max_len), jnp.int8),
                 "ks": jnp.zeros(lead + (batch, H, 1, max_len), jnp.float32),

@@ -20,7 +20,7 @@ with (1, 2) speaker bounds.
 from __future__ import annotations
 
 import logging
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -235,7 +235,7 @@ def diarize_many(bundle, audios: List[np.ndarray], sr: int,
                  min_speakers: int = 1, max_speakers: int = 2,
                  onset: float = 0.5, offset: float = 0.5,
                  cluster_threshold: float = 0.7,
-                 activities=None) -> List[List[LabeledSegment]]:
+                 activities=None) -> List[Optional[List[LabeledSegment]]]:
     """Multi-file diarization with ONE embedding device call for every
     file's subsegments (process_files ran ``diarize`` per file — one
     dispatch + upload each; dispatch latency dominates on tunnel-attached
