@@ -97,6 +97,9 @@ def bench_engine(n_files: int, repeats: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="small.en",
+                    help="whisper size for the hot path (full registry: "
+                    "tiny..large-v3-turbo, .en variants)")
     ap.add_argument("--batch", type=int, default=128,
                     help="30 s segments per device program (B=128 is the "
                     "measured throughput sweet spot with head-major KV; "
@@ -132,7 +135,7 @@ def main() -> None:
         DecodeOptions, build_prompt_batch, greedy_decode)
     from clearconverse_tpu.models.whisper import init_whisper_params, model_dims
 
-    dims = model_dims("small.en")
+    dims = model_dims(args.model)
     params = init_whisper_params(jax.random.PRNGKey(0), dims)
     params = jax.device_put(params)
 
@@ -150,7 +153,7 @@ def main() -> None:
 
     @jax.jit
     def pipeline(params, audio):
-        mel = log_mel_auto(audio)
+        mel = log_mel_auto(audio, n_mels=dims.n_mels)
         return greedy_decode(params, mel, prompts, lens, dims, opts, 1)
 
     def sync(result):
@@ -170,7 +173,7 @@ def main() -> None:
     rtfx = audio_seconds / dt
 
     line = {
-        "metric": "whisper_small_en_rtfx",
+        "metric": f"whisper_{args.model.replace('.', '_').replace('-', '_')}_rtfx",
         "value": round(rtfx, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtfx / 50.0, 3),
