@@ -511,6 +511,13 @@ def main():
 
         from clearconverse_tpu.utils.jaxcache import enable_persistent_cache
         enable_persistent_cache()   # cold server start: ~9 min → seconds
+        if (os.environ.get("CC_TPU_FAKE_MODELS") == "1"
+                and os.environ.get("CC_TPU_DEV_DEVICE") != "1"):
+            # Dev mode runs signal-processing stand-ins; routing its few
+            # small programs through the tunnel chip only adds per-process
+            # install latency (minutes under congestion). CC_TPU_DEV_DEVICE=1
+            # keeps the real device for dev-mode device-path testing.
+            jax.config.update("jax_platforms", "cpu")
         logger.info("JAX devices: %s", jax.devices())
     except Exception as exc:  # noqa: BLE001 — serve even without a device
         logger.warning("JAX backend init failed: %s", exc)

@@ -285,3 +285,18 @@ def test_int8_self_kv_matches_f32_cache(hf_model, params, mel):
     np.testing.assert_array_equal(np.asarray(a["tokens"]), np.asarray(b["tokens"]))
     np.testing.assert_allclose(np.asarray(a["sum_logprob"]),
                                np.asarray(b["sum_logprob"]), atol=0.05)
+
+
+def test_int8_self_kv_multitoken_prefill(hf_model, params, mel):
+    """int8 self-KV with a MULTI-token prompt: the prefill writes a T>1
+    block into the quantized cache (per-position scales per slot)."""
+    steps = 6
+    toks, lens = build_prompt_batch([[1, 5, 9], [1, 7]], 4, pad_id=0)
+    base = DecodeOptions(max_tokens=steps, eot=VOCAB - 1, suppress_blank=False)
+    q8 = DecodeOptions(max_tokens=steps, eot=VOCAB - 1, suppress_blank=False,
+                       self_kv_bits=8)
+    a = greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                      jnp.asarray(lens), DIMS, base, 4)
+    b = greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                      jnp.asarray(lens), DIMS, q8, 4)
+    np.testing.assert_array_equal(np.asarray(a["tokens"]), np.asarray(b["tokens"]))
