@@ -45,7 +45,10 @@ class Config:
     min_overlap_duration_for_separation: float = 0.50
     enhance_separated_audio: bool = True
     speaker_embedding_threshold: float = 0.40
-    transcription_batch_size: int = 8
+    # 32 measured on v5e: a 32-file pass runs 64x -> 167x RTFx vs cap 8
+    # (the cap split rows into sequential decode batches); single-file
+    # requests are unaffected (batches only grow when the ready set does).
+    transcription_batch_size: int = 32
     transcribe_overlaps_individually: bool = True
 
     def replace(self, **kw) -> "Config":
