@@ -173,6 +173,9 @@ def main() -> None:
     rtfx = audio_seconds / dt
 
     line = {
+        # NOTE: the default (--model small.en) must keep producing the
+        # historical key "whisper_small_en_rtfx" — longitudinal tooling
+        # (BENCH_r*.json) is keyed on it (ADVICE r2).
         "metric": f"whisper_{args.model.replace('.', '_').replace('-', '_')}_rtfx",
         "value": round(rtfx, 2),
         "unit": "x_realtime_per_chip",

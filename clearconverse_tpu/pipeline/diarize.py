@@ -242,7 +242,12 @@ def diarize_many(bundle, audios: List[np.ndarray], sr: int,
     chips). Clustering stays per file — embeddings never mix across files.
     Semantically identical to [diarize(f) for f in files], except a file
     whose clustering throws yields None (per-file isolation) instead of
-    failing the batch."""
+    failing the batch.
+
+    CONTRACT: ``sr`` applies to EVERY file — callers must resample to a
+    uniform rate first (the engine resamples everything to
+    Config.target_sample_rate before reaching here, engine.py). Passing
+    mixed-rate audios would silently produce wrong timestamps (ADVICE r2)."""
     if activities is None:
         activities = file_activities(bundle, audios, sr)
     carved, counts = [], []

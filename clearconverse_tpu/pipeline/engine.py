@@ -259,6 +259,21 @@ class TranscriptionEngine:
         wavefront so segments from different requests share device batches
         (driver config 5; impossible in the reference's one-process-per-task
         design, SURVEY.md §2.5)."""
+        # Install the bundle-level cancel gate for this run: every batched
+        # compute method probes it before dispatching, so a cancelled task
+        # never pays a first-per-shape compile (minutes over the tunnel,
+        # VERDICT r2 weak #4). Restored in the finally below.
+        if hasattr(self.models, "should_cancel"):
+            self.models.should_cancel = should_cancel
+        try:
+            return self._process_files_inner(file_paths, should_cancel)
+        finally:
+            if hasattr(self.models, "should_cancel"):
+                self.models.should_cancel = None
+
+    def _process_files_inner(self, file_paths: List[str],
+                             should_cancel: Optional[Callable[[], bool]] = None
+                             ) -> List[Optional[Dict]]:
         # Cross-file batching of the segmentation pass: load every file,
         # score ALL files' windows in ONE device call, then run each file's
         # analysis on its slice (per-file it costs one dispatch per file —
@@ -266,6 +281,9 @@ class TranscriptionEngine:
         from clearconverse_tpu.audio.decode import load_audio_many
         from clearconverse_tpu.pipeline.diarize import file_activities
 
+        # A task cancelled before the run starts must not even pay the
+        # audio-load/gate device program (VERDICT r2 weak #4).
+        check_cancel(should_cancel)
         sr0 = self.config.target_sample_rate
         store = None
         row_map: List[Optional[int]] = [None] * len(file_paths)
@@ -279,6 +297,8 @@ class TranscriptionEngine:
                 # re-uploading them (bundle.AudioStore).
                 try:
                     store = self.models.make_store(dev_batch, sr0)
+                except ProcessingCancelled:
+                    raise
                 except Exception as exc:  # noqa: BLE001 — host fallback
                     logger.error("audio store failed: %s", exc)
         else:
@@ -301,6 +321,8 @@ class TranscriptionEngine:
                 store=store, store_rows=[row_map[i] for i in ok]) if ok else []
             for i, act in zip(ok, acts):
                 preloads[i]["activity"] = act
+        except ProcessingCancelled:
+            raise
         except Exception as exc:  # noqa: BLE001 — per-file fallback
             logger.error("batched segmentation failed: %s", exc, exc_info=True)
         # Diarize per file (host clustering + one small embed each), then
@@ -328,6 +350,8 @@ class TranscriptionEngine:
                     if raw is not None:   # None → that file's clustering
                         # failed; _prepare_file re-diarizes it per file.
                         preloads[i]["raw_segments"] = raw
+            except ProcessingCancelled:
+                raise
             except Exception as exc:  # noqa: BLE001 — fall back in-prep
                 logger.error("batched diarize failed: %s", exc, exc_info=True)
         with_raw = [i for i in ok
@@ -342,6 +366,8 @@ class TranscriptionEngine:
                                 else None for i in with_raw])
                 for i, prof in zip(with_raw, profs):
                     preloads[i]["profiles"] = prof
+            except ProcessingCancelled:
+                raise
             except Exception as exc:  # noqa: BLE001 — per-file fallback
                 logger.error("batched profiles failed: %s", exc, exc_info=True)
 
@@ -496,6 +522,8 @@ class TranscriptionEngine:
                                        **hyst)
                         subs = S.merge_segments(subs, cfg.merge_gap_threshold) \
                             if subs else [(0.0, e - s, "UNKNOWN")]
+                    except ProcessingCancelled:
+                        raise
                     except Exception as exc:  # → UNKNOWN (back/api.py:1135-1137)
                         logger.error("Secondary diarization failed: %s", exc)
                         subs = [(0.0, e - s, "UNKNOWN")]
@@ -528,6 +556,8 @@ class TranscriptionEngine:
                         sep = self.models.separate_batch(padded)  # [B,T,2]
                         for row, j in enumerate(idx):
                             sep_sources[j] = sep[row, : lens[row], :]
+                    except ProcessingCancelled:
+                        raise
                     except Exception as exc:
                         logger.error("Separation failed: %s", exc)
 

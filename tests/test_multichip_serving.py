@@ -117,3 +117,15 @@ def test_tpu_config_from_env():
     assert t.pad_to_full_window is False
     d = tpu_config_from_env({})
     assert (d.data_axis, d.model_axis) == (1, 1)
+
+
+def test_pallas_encoder_attn_opt_out():
+    """TPUConfig.pallas_encoder_attn threads an off switch through
+    whisper_encode so parity-sensitive runs can pin the einsum attention in
+    every batch regime (ADVICE r2)."""
+    from clearconverse_tpu.models.whisper import _use_pallas_attn
+
+    assert tpu_config_from_env({"CC_TPU_PALLAS_ENC": "0"}).pallas_encoder_attn is False
+    assert tpu_config_from_env({}).pallas_encoder_attn is True
+    # enabled=False wins even in the kernel's native regime.
+    assert _use_pallas_attn(1500, 32, 12, 64, enabled=False) is False
