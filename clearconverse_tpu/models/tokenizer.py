@@ -246,16 +246,47 @@ def load_tokenizer(model_dir: Optional[str] = None, english: bool = True,
 
 
 def _merges_from_ranks(vocab: Dict[str, int]) -> List[Tuple[str, str]]:
-    """Recover a usable merge list from a rank table: for each token of
-    length>1 find the split whose halves both exist with lower rank."""
+    """Recover the exact merge list from a BPE rank table (tiktoken files
+    carry only token→rank).
+
+    For a genuinely BPE-trained table (GPT-2's), each multi-character token
+    of rank r is the result of exactly one merge, and its two parents are
+    what the merges of rank < r reduce its character sequence to. So walk
+    tokens in rank order, BPE-encode each with the merges recovered so far,
+    and when exactly two symbols remain they are that token's parents.
+    (A first-valid-split heuristic is NOT equivalent: for "abc" with "a",
+    "bc", "ab", "c" all in vocab it can pick ("a","bc") when the trained
+    merge was ("ab","c"), silently changing encodings elsewhere.)
+
+    Tokens that never reduce to two symbols (e.g. byte-alphabet leftovers
+    or specials embedded in the table) contribute no merge — matching
+    openai's published vocab where such entries don't appear in merges.txt.
+    """
+    ranks: Dict[Tuple[str, str], int] = {}
+    merges: List[Tuple[str, str]] = []
     by_rank = sorted(vocab.items(), key=lambda kv: kv[1])
-    merges = []
-    for tok, rank in by_rank:
+    big = 1 << 30
+    for tok, _rank in by_rank:
         if len(tok) < 2:
             continue
-        for i in range(1, len(tok)):
-            a, b = tok[:i], tok[i:]
-            if vocab.get(a, 1 << 30) < rank and vocab.get(b, 1 << 30) < rank:
-                merges.append((a, b))
+        word = list(tok)
+        while len(word) > 2:
+            pairs = [(word[i], word[i + 1]) for i in range(len(word) - 1)]
+            best = min(pairs, key=lambda p: ranks.get(p, big))
+            if best not in ranks:
                 break
+            merged, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and (word[i], word[i + 1]) == best:
+                    merged.append(word[i] + word[i + 1])
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = merged
+        if len(word) == 2 and word[0] in vocab and word[1] in vocab:
+            pair = (word[0], word[1])
+            if pair not in ranks:
+                ranks[pair] = len(merges)
+                merges.append(pair)
     return merges
