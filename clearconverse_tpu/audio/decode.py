@@ -100,7 +100,8 @@ def load_audio(file_path: str, target_sr: int = TARGET_SR,
 
 def load_audio_many(paths, target_sr: int = TARGET_SR,
                     noise_reduction_amount: float = 0.5,
-                    denoise: bool = True, return_device: bool = False):
+                    denoise: bool = True, return_device: bool = False,
+                    stage_times=None):
     """Batched multi-file load (process_files): per-file decode/resample,
     then ONE fused gate+normalize device call over the padded batch and ONE
     device→host transfer — per-file load_audio pays both per file.
@@ -109,7 +110,21 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
     files that failed to load. With ``return_device=True`` also returns the
     gated DEVICE batch [K, T] and a path→row map, so callers can keep the
     audio resident on device (pipeline/bundle.AudioStore) instead of
-    re-uploading windows of it later."""
+    re-uploading windows of it later.
+
+    ``stage_times`` (optional dict) receives a wall-clock decomposition —
+    host decode, device upload+gate, gated-batch download — so bench.py's
+    engine breakdown can attribute load cost to host IO vs the tunnel."""
+    import time as _time
+    from clearconverse_tpu.utils.tracing import force_sync
+
+    def _mark(key: str, t0: float) -> float:
+        t1 = _time.perf_counter()
+        if stage_times is not None:
+            stage_times[key] = stage_times.get(key, 0.0) + (t1 - t0)
+        return t1
+
+    t0 = _time.perf_counter()
     waves, n_outs, order = [], [], []
     results = [None] * len(paths)
     row_map = [None] * len(paths)
@@ -149,12 +164,17 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
     peaks = np.max(np.abs(batch_np), axis=-1, keepdims=True)
     scaled = batch_np * (32767.0 / np.maximum(peaks, 1e-12))
     q_up = np.clip(np.round(scaled), -32768, 32767).astype(np.int16)
-    mask = jnp.asarray(
-        (np.arange(T)[None, :] < np.asarray(n_outs)[:, None]).astype(np.float32))
+    mask_np = (np.arange(T)[None, :]
+               < np.asarray(n_outs)[:, None]).astype(np.float32)
+    t0 = _mark("host_decode", t0)
+    mask = jnp.asarray(mask_np)
     batch, q_down = _denoise.gate_normalize_i16_jit(
         jnp.asarray(q_up), noise_reduction_amount, mask, sr=target_sr,
         denoise=bool(denoise and noise_reduction_amount > 0))
+    force_sync(q_down)
+    t0 = _mark("upload_gate", t0)
     host = np.asarray(q_down).astype(np.float32) / 32767.0
+    _mark("download", t0)
     for row, i in enumerate(order):
         results[i] = host[row, : n_outs[row]]
         row_map[i] = row

@@ -113,8 +113,11 @@ class TPUConfig:
     diarization_offset: Optional[float] = None
     # Transcription language for MULTILINGUAL whisper models (prompt becomes
     # [sot, <|lang|>, <|transcribe|>, ...]); ignored by .en models. The
-    # reference pins small.en, so "en" is the faithful default.
-    language: str = "en"
+    # reference pins small.en, so "en" is the faithful default. ``None``
+    # auto-detects per row (whisper detect_language: one [sot] forward,
+    # argmax over the language-token logits — models/decoding.
+    # detect_language_from_audio).
+    language: Optional[str] = "en"
 
 
 def tpu_config_from_env(env: Optional[dict] = None) -> "TPUConfig":
@@ -135,6 +138,9 @@ def tpu_config_from_env(env: Optional[dict] = None) -> "TPUConfig":
          lambda v: v not in ("0", "false", "False")),
         ("CC_TPU_PAD_FULL_WINDOW", "pad_to_full_window",
          lambda v: v not in ("0", "false", "False")),
+        # "auto" => None => per-row language detection (multilingual only).
+        ("CC_TPU_LANGUAGE", "language",
+         lambda v: None if v == "auto" else v),
     ):
         raw = src.get(var)
         if raw not in (None, ""):

@@ -350,33 +350,55 @@ class ModelBundle:
         self._whisper_placed = True
         return params, dims, tok
 
-    def _prompt_batch(self, prompts, tok, dims, timestamps: bool):
+    def _prompt_batch(self, prompts, tok, dims, timestamps: bool,
+                      languages=None):
         """openai-whisper parity prompt assembly: context encodes as
         " " + prompt.strip() kept to the last n_text_ctx//2-1 tokens
         (transcribe.py's initial_prompt handling), terminated by the SOT
         sequence — bare [sot] for .en models, [sot, <|lang|>, <|transcribe|>]
         for multilingual ones — plus notimestamps outside timestamp mode.
-        Prompt lengths bucket into a tiny static set (max_prompt_len is a
-        static jit arg; arbitrary lengths would recompile the decode program
-        per batch)."""
+        ``languages`` (per-row ISO codes, from detection) overrides the
+        pinned TPUConfig.language on multilingual models. Prompt lengths
+        bucket into a tiny static set (max_prompt_len is a static jit arg;
+        arbitrary lengths would recompile the decode program per batch)."""
         from clearconverse_tpu.models.decoding import build_prompt_batch
         sp = tok.specials
         ctx_keep = dims.n_text_ctx // 2 - 1
         if sp.english_only:
-            tail = [sp.sot]
+            tails = [[sp.sot]] * len(prompts)
         else:
-            tail = list(sp.sot_sequence(
-                sp.language_token(self.tpu.language)))
+            langs = (languages if languages is not None
+                     else [self.tpu.language or "en"] * len(prompts))
+            tails = [list(sp.sot_sequence(sp.language_token(lang)))
+                     for lang in langs]
+        tail_len = len(tails[0])
         if not timestamps:
-            tail = tail + [sp.no_timestamps]
+            tails = [t + [sp.no_timestamps] for t in tails]
+            tail_len += 1
         prompt_lists = [
             (([sp.sot_prev] + tok.encode(" " + p.strip())[-ctx_keep:])
-             if p.strip() else []) + tail
-            for p in prompts]
+             if p.strip() else []) + tails[i]
+            for i, p in enumerate(prompts)]
         need = max(len(p) for p in prompt_lists)
         max_p = next(b for b in (4, 16, 64, 256) if b >= min(need, 256))
         toks, lens = build_prompt_batch(prompt_lists, max_p, pad_id=sp.eot)
-        return toks, lens, max_p, len(tail)   # tail length = SOT offset
+        return toks, lens, max_p, tail_len    # tail length = SOT offset
+
+    def _detect_languages(self, audio, params, dims, tok, target: int):
+        """Per-row language codes via whisper detect_language (VERDICT r2
+        missing #5) — runs only for multilingual models with
+        TPUConfig.language=None."""
+        import jax.numpy as jnp
+        from clearconverse_tpu.models.decoding import detect_language_from_audio
+        from clearconverse_tpu.models.tokenizer import WHISPER_LANGUAGES
+        sp = tok.specials
+        wav = audio.gather() if isinstance(audio, StoreBatch) else audio
+        lang_lo = sp.sot + 1
+        lang_hi = sp.translate                 # one past the last language
+        ids = np.asarray(detect_language_from_audio(
+            params, jnp.asarray(wav, jnp.float32), dims, sp.sot, lang_lo,
+            lang_hi, target, self._cdt))
+        return [WHISPER_LANGUAGES[i - lang_lo] for i in ids]
 
     def _suppress_ids(self, tok, timestamps: bool):
         """Whisper's per-step suppression set: non-speech symbols +
@@ -433,8 +455,13 @@ class ModelBundle:
             # store batches gather their windows on device as well.
             audio = self._put_data(jnp.asarray(audio, jnp.float32))
 
+        languages = None
+        if not sp.english_only and self.tpu.language is None:
+            languages = self._detect_languages(audio, params, dims, tok,
+                                               target)
         toks, lens, max_p, sot_off = self._prompt_batch(prompts, tok, dims,
-                                                        timestamps=False)
+                                                        timestamps=False,
+                                                        languages=languages)
         cdt = self._cdt
         suppress = self._suppress_ids(tok, timestamps=False)
 
@@ -637,8 +664,14 @@ class ModelBundle:
         if not is_store:
             audio_dev = self._put_data(jnp.asarray(audio, jnp.float32))
 
+        languages = None
+        if not sp.english_only and self.tpu.language is None:
+            languages = self._detect_languages(
+                audio if is_store else audio_dev, params, dims, tok,
+                30 * 16000)
         toks, plens, max_p, sot_off = self._prompt_batch(prompts, tok, dims,
-                                                         timestamps=True)
+                                                         timestamps=True,
+                                                         languages=languages)
         cdt = self._cdt
         suppress = self._suppress_ids(tok, timestamps=True)
 

@@ -284,13 +284,22 @@ class TranscriptionEngine:
         # A task cancelled before the run starts must not even pay the
         # audio-load/gate device program (VERDICT r2 weak #4).
         check_cancel(should_cancel)
+        # Run-level stage clock covering the SHARED batched phases (the
+        # per-file StageTimer in _prepare_file can't see them) — exposed at
+        # self.last_run_stage_times so bench.py can decompose the engine's
+        # wall clock (VERDICT r2 weak #2).
+        from clearconverse_tpu.utils.tracing import StageTimer
+        run_timer = StageTimer()
+        self.last_run_stage_times = run_timer.as_dict()
         sr0 = self.config.target_sample_rate
         store = None
         row_map: List[Optional[int]] = [None] * len(file_paths)
+        load_sub: Dict[str, float] = {}
         if getattr(self.models, "supports_store", False):
-            hosts, dev_batch, row_map = load_audio_many(
-                file_paths, sr0, self.config.noise_reduction_amount,
-                return_device=True)
+            with run_timer.stage("load_gate"):
+                hosts, dev_batch, row_map = load_audio_many(
+                    file_paths, sr0, self.config.noise_reduction_amount,
+                    return_device=True, stage_times=load_sub)
             if dev_batch is not None:
                 # Keep the gated audio resident on device: decode and
                 # segmentation batches gather windows from it instead of
@@ -302,8 +311,12 @@ class TranscriptionEngine:
                 except Exception as exc:  # noqa: BLE001 — host fallback
                     logger.error("audio store failed: %s", exc)
         else:
-            hosts = load_audio_many(file_paths, sr0,
-                                    self.config.noise_reduction_amount)
+            with run_timer.stage("load_gate"):
+                hosts = load_audio_many(file_paths, sr0,
+                                        self.config.noise_reduction_amount,
+                                        stage_times=load_sub)
+        for k, v in load_sub.items():   # sub-decomposition of load_gate
+            run_timer.spans.append((f"load_gate.{k}", v))
         loaded: List[Optional[Tuple]] = [
             (np.asarray(w, np.float32), sr0) if w is not None else None
             for w in hosts]
@@ -316,9 +329,11 @@ class TranscriptionEngine:
             preloads[i] = dict(audio=loaded[i][0], sr=loaded[i][1],
                                store=store, store_row=row_map[i])
         try:
-            acts = file_activities(
-                self.models, [loaded[i][0] for i in ok], loaded[ok[0]][1],
-                store=store, store_rows=[row_map[i] for i in ok]) if ok else []
+            with run_timer.stage("segmentation"):
+                acts = file_activities(
+                    self.models, [loaded[i][0] for i in ok], loaded[ok[0]][1],
+                    store=store,
+                    store_rows=[row_map[i] for i in ok]) if ok else []
             for i, act in zip(ok, acts):
                 preloads[i]["activity"] = act
         except ProcessingCancelled:
@@ -340,12 +355,13 @@ class TranscriptionEngine:
                 # One embedding device call for ALL files' subsegments
                 # (clustering stays per file) — the per-file diarize loop
                 # paid one dispatch + upload per file.
-                many = diarize_many(
-                    self.models, [preloads[i]["audio"] for i in with_act],
-                    preloads[with_act[0]]["sr"],
-                    self.config.min_speakers, self.config.max_speakers,
-                    activities=[preloads[i]["activity"] for i in with_act],
-                    **hyst)
+                with run_timer.stage("diarize_cluster"):
+                    many = diarize_many(
+                        self.models, [preloads[i]["audio"] for i in with_act],
+                        preloads[with_act[0]]["sr"],
+                        self.config.min_speakers, self.config.max_speakers,
+                        activities=[preloads[i]["activity"] for i in with_act],
+                        **hyst)
                 for i, raw in zip(with_act, many):
                     if raw is not None:   # None → that file's clustering
                         # failed; _prepare_file re-diarizes it per file.
@@ -358,12 +374,14 @@ class TranscriptionEngine:
                     if preloads[i] and "raw_segments" in preloads[i]]
         if with_raw:
             try:
-                profs = self._build_profiles_many(
-                    [(preloads[i]["audio"], preloads[i]["raw_segments"])
-                     for i in with_raw], loaded[with_raw[0]][1],
-                    store_refs=[(store, row_map[i])
-                                if store is not None and row_map[i] is not None
-                                else None for i in with_raw])
+                with run_timer.stage("profiles"):
+                    profs = self._build_profiles_many(
+                        [(preloads[i]["audio"], preloads[i]["raw_segments"])
+                         for i in with_raw], loaded[with_raw[0]][1],
+                        store_refs=[(store, row_map[i])
+                                    if store is not None
+                                    and row_map[i] is not None
+                                    else None for i in with_raw])
                 for i, prof in zip(with_raw, profs):
                     preloads[i]["profiles"] = prof
             except ProcessingCancelled:
@@ -371,9 +389,10 @@ class TranscriptionEngine:
             except Exception as exc:  # noqa: BLE001 — per-file fallback
                 logger.error("batched profiles failed: %s", exc, exc_info=True)
 
-        preps = [self._prepare_file(p, should_cancel, preloaded=pre)
-                 if pre is not None else None
-                 for p, pre in zip(file_paths, preloads)]
+        with run_timer.stage("prepare_files"):
+            preps = [self._prepare_file(p, should_cancel, preloaded=pre)
+                     if pre is not None else None
+                     for p, pre in zip(file_paths, preloads)]
         merged: List[Dict] = []
         offsets: List[int] = []
         for prep in preps:
@@ -388,7 +407,8 @@ class TranscriptionEngine:
                 merged.append(it)
         if merged:
             sr = next(p["sr"] for p in preps if p is not None)
-            self._transcribe_wavefront(merged, sr, should_cancel)
+            with run_timer.stage("decode_wavefront"):
+                self._transcribe_wavefront(merged, sr, should_cancel)
         results: List[Optional[Dict]] = []
         for prep, off in zip(preps, offsets):
             if prep is None:
@@ -398,6 +418,7 @@ class TranscriptionEngine:
             for local, it in zip(prep["items"], merged[off : off + n]):
                 local["text"] = it.get("text", "")
             results.append(self._finalize(prep))
+        self.last_run_stage_times = run_timer.as_dict()
         return results
 
     def _prepare_file(self, file_path: str,

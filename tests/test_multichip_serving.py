@@ -129,3 +129,9 @@ def test_pallas_encoder_attn_opt_out():
     assert tpu_config_from_env({}).pallas_encoder_attn is True
     # enabled=False wins even in the kernel's native regime.
     assert _use_pallas_attn(1500, 32, 12, 64, enabled=False) is False
+
+
+def test_language_env_override():
+    assert tpu_config_from_env({"CC_TPU_LANGUAGE": "de"}).language == "de"
+    assert tpu_config_from_env({"CC_TPU_LANGUAGE": "auto"}).language is None
+    assert tpu_config_from_env({}).language == "en"
