@@ -158,6 +158,9 @@ def main() -> None:
     ap.add_argument("--engine-repeats", type=int, default=3)
     ap.add_argument("--skip-engine", action="store_true",
                     help="hot path only (also CC_BENCH_SKIP_ENGINE=1)")
+    ap.add_argument("--engine-only", action="store_true",
+                    help="skip the hot path (fast iteration on the engine "
+                    "stage breakdown)")
     args = ap.parse_args()
 
     import jax
@@ -167,6 +170,13 @@ def main() -> None:
     # the cache.
     from clearconverse_tpu.utils.jaxcache import enable_persistent_cache
     enable_persistent_cache()
+
+    if args.engine_only:
+        print(json.dumps(
+            {"metric": "engine_only", "unit": "x_realtime_per_chip",
+             "engine": bench_engine(args.engine_files,
+                                    args.engine_repeats)}))
+        return
 
     import jax.numpy as jnp
 
