@@ -90,9 +90,9 @@ def load_audio(file_path: str, target_sr: int = TARGET_SR,
         # Gate + peak-normalize fused into one device program (the gate
         # zero-masks padding, so the peak over the padded buffer equals the
         # peak over the valid samples).
-        mask = (jnp.arange(wave.shape[-1]) < n_out).astype(jnp.float32)
         wave = _denoise.spectral_gate_normalized_jit(
-            wave[None], noise_reduction_amount, mask[None], sr=target_sr)[0]
+            wave[None], noise_reduction_amount,
+            jnp.asarray([n_out], jnp.int32), sr=target_sr)[0]
     else:
         wave = _denoise.peak_normalize_jit(wave)  # pad is zeros: peak equal
     return wave[:n_out], target_sr
@@ -128,6 +128,10 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
     waves, n_outs, order = [], [], []
     results = [None] * len(paths)
     row_map = [None] * len(paths)
+
+    # Sequential per-file decode: this image exposes ONE host core, so a
+    # thread pool here is pure GIL thrash (measured r3: 8 threads made this
+    # loop 8x SLOWER, 0.31 -> 2.6 s per 8-file pass).
     for i, p in enumerate(paths):
         try:
             p = ensure_wav_format(p)
@@ -164,12 +168,12 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
     peaks = np.max(np.abs(batch_np), axis=-1, keepdims=True)
     scaled = batch_np * (32767.0 / np.maximum(peaks, 1e-12))
     q_up = np.clip(np.round(scaled), -32768, 32767).astype(np.int16)
-    mask_np = (np.arange(T)[None, :]
-               < np.asarray(n_outs)[:, None]).astype(np.float32)
     t0 = _mark("host_decode", t0)
-    mask = jnp.asarray(mask_np)
+    # Validity crosses as a [K] int32 vector; the [K, T] f32 mask builds on
+    # device (host-built it was 30.7 MB — 2× the audio's own bytes).
     batch, q_down = _denoise.gate_normalize_i16_jit(
-        jnp.asarray(q_up), noise_reduction_amount, mask, sr=target_sr,
+        jnp.asarray(q_up), noise_reduction_amount,
+        jnp.asarray(n_outs, jnp.int32), sr=target_sr,
         denoise=bool(denoise and noise_reduction_amount > 0))
     force_sync(q_down)
     t0 = _mark("upload_gate", t0)

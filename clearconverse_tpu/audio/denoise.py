@@ -211,13 +211,23 @@ def spectral_gate(audio: jnp.ndarray, sr: int = 16000,
 from functools import partial
 
 
+def _valid_mask(T: int, n_valid: jnp.ndarray) -> jnp.ndarray:
+    """[B] valid lengths → [B, T] 0/1 mask, built ON DEVICE inside the jit.
+    A host-built f32 mask is 2× the bytes of the int16 audio it describes —
+    uploading it dominated the engine's load stage (measured r3: 30.7 MB
+    mask vs 15.4 MB audio per 8×60 s batch at ~23 MB/s tunnel)."""
+    return (jnp.arange(T)[None, :] < n_valid[:, None]).astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("sr",))
 def spectral_gate_jit(audio: jnp.ndarray, prop_decrease: jnp.ndarray,
-                      mask: jnp.ndarray, sr: int = 16000) -> jnp.ndarray:
+                      n_valid: jnp.ndarray, sr: int = 16000) -> jnp.ndarray:
     """Jitted batched gate (eager dispatch costs ~30-100 ms/op over the
     device tunnel; the gate is ~25 ops). prop_decrease is traced so one
-    program serves every config value."""
-    return spectral_gate(audio, sr, prop_decrease, mask)
+    program serves every config value. ``n_valid`` [B] int32 marks each
+    row's valid-sample count (mask materializes on device)."""
+    return spectral_gate(audio, sr, prop_decrease,
+                         _valid_mask(audio.shape[-1], n_valid))
 
 
 def peak_normalize(audio: jnp.ndarray, eps: float = 1e-8) -> jnp.ndarray:
@@ -232,17 +242,19 @@ peak_normalize_jit = jax.jit(peak_normalize)
 @partial(jax.jit, static_argnames=("sr",))
 def spectral_gate_normalized_jit(audio: jnp.ndarray,
                                  prop_decrease: jnp.ndarray,
-                                 mask: jnp.ndarray,
+                                 n_valid: jnp.ndarray,
                                  sr: int = 16000) -> jnp.ndarray:
     """Gate + peak-normalize as ONE device program: an eager
     peak_normalize after the jitted gate costs ~3 extra dispatches per
-    batch over the device tunnel (engine profile-building hot path)."""
-    return peak_normalize(spectral_gate(audio, sr, prop_decrease, mask))
+    batch over the device tunnel (engine profile-building hot path).
+    ``n_valid`` [B] int32 per-row valid lengths (mask built on device)."""
+    return peak_normalize(spectral_gate(
+        audio, sr, prop_decrease, _valid_mask(audio.shape[-1], n_valid)))
 
 
 @partial(jax.jit, static_argnames=("sr", "denoise"))
 def gate_normalize_i16_jit(q: jnp.ndarray, prop_decrease: jnp.ndarray,
-                           mask: jnp.ndarray, sr: int = 16000,
+                           n_valid: jnp.ndarray, sr: int = 16000,
                            denoise: bool = True):
     """int16 in → (f32 gated+normalized, int16 of it) — the multi-file load
     path (audio.decode.load_audio_many). The tunnel moves audio at
@@ -259,7 +271,8 @@ def gate_normalize_i16_jit(q: jnp.ndarray, prop_decrease: jnp.ndarray,
     client threads — so the download stays.)"""
     x = q.astype(jnp.float32) / 32768.0
     if denoise:
-        y = peak_normalize(spectral_gate(x, sr, prop_decrease, mask))
+        y = peak_normalize(spectral_gate(
+            x, sr, prop_decrease, _valid_mask(x.shape[-1], n_valid)))
     else:
         y = peak_normalize(x)
     q_out = jnp.clip(jnp.round(y * 32767.0), -32768, 32767).astype(jnp.int16)

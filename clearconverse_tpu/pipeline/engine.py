@@ -169,10 +169,9 @@ class TranscriptionEngine:
             denoised: List[np.ndarray] = []
             for idx, padded, lens in batch_audio(host_clips, sr,
                                                  self.tpu.duration_buckets, 64):
-                mask = (np.arange(padded.shape[1])[None, :] < lens[:, None]).astype(np.float32)
                 clean = np.asarray(spectral_gate_normalized_jit(
                     jnp.asarray(padded), self.config.noise_reduction_amount,
-                    jnp.asarray(mask), sr=sr))
+                    jnp.asarray(lens, jnp.int32), sr=sr))
                 for row, j in enumerate(idx):
                     denoised.append((j, clean[row, : lens[row]]))
             denoised.sort(key=lambda x: x[0])
@@ -393,6 +392,17 @@ class TranscriptionEngine:
             preps = [self._prepare_file(p, should_cancel, preloaded=pre)
                      if pre is not None else None
                      for p, pre in zip(file_paths, preloads)]
+        # Surface the per-file sub-stages (vad, secondary diarization,
+        # segment embeddings, separation, ...) summed across files as
+        # dotted children of prepare_files in the bench breakdown.
+        prep_sub: Dict[str, float] = {}
+        for prep in preps:
+            if prep is None:
+                continue
+            for k, v in prep["timer"].as_dict().items():
+                prep_sub[k] = prep_sub.get(k, 0.0) + v
+        for k, v in prep_sub.items():
+            run_timer.spans.append((f"prepare_files.{k}", v))
         merged: List[Dict] = []
         offsets: List[int] = []
         for prep in preps:

@@ -287,7 +287,7 @@ def test_host_gate_matches_device(rng):
 
     host = spectral_gate_np(x, 16000, 0.5, mask)
     dev = np.asarray(spectral_gate_normalized_jit(
-        jnp.asarray(x), 0.5, jnp.asarray(mask), sr=16000))
+        jnp.asarray(x), 0.5, jnp.asarray(n_valid, jnp.int32), sr=16000))
     np.testing.assert_allclose(host, dev, atol=2e-5)
 
 

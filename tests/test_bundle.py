@@ -138,9 +138,9 @@ def test_embed_denoised_batch_matches_separate_programs(bundle, rng):
     lens = np.asarray([8000, 5000, 8000])
     fused = bundle.embed_denoised_batch(audio, lens, 0.5)
 
-    mask = (np.arange(8000)[None, :] < lens[:, None]).astype(np.float32)
     clean = np.asarray(spectral_gate_normalized_jit(
-        jnp.asarray(audio), jnp.float32(0.5), jnp.asarray(mask), sr=16000))
+        jnp.asarray(audio), jnp.float32(0.5),
+        jnp.asarray(lens, jnp.int32), sr=16000))
     want = bundle.embed_batch(clean, lens)
     np.testing.assert_allclose(fused, want, rtol=1e-4, atol=1e-5)
 
