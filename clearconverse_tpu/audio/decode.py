@@ -20,7 +20,7 @@ import numpy as np
 
 from clearconverse_tpu.audio import denoise as _denoise
 from clearconverse_tpu.audio.resample import resample
-from clearconverse_tpu.audio.wav import read_wav
+from clearconverse_tpu.audio.wav import read_wav, read_wav_i16
 
 logger = logging.getLogger(__name__)
 
@@ -135,6 +135,17 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
     for i, p in enumerate(paths):
         try:
             p = ensure_wav_format(p)
+            # Mono 16-bit PCM already at target_sr (the ffmpeg-normalized
+            # common case, ensure_wav_format emits exactly this) rides its
+            # native int16 grid straight to the device: no f32 round-trip,
+            # no peak-prescale requantization (which costs ≤0.5 LSB), and
+            # no [T]-sized float temporaries on this one-core host.
+            fast = read_wav_i16(p)
+            if fast is not None and fast[1] == target_sr:
+                waves.append(fast[0])
+                n_outs.append(len(fast[0]))
+                order.append(i)
+                continue
             samples, sr = read_wav(p)
             mono = samples.mean(axis=0).astype(np.float32)
             n_out = len(mono)
@@ -155,19 +166,23 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
         return (results, None, row_map) if return_device else results
     # Assemble on HOST and move int16 BOTH WAYS (the tunnel moves audio at
     # ~10-50 MB/s — see gate_normalize_i16_jit for the precision +
-    # measured-strategy notes). Each row pre-scales to its own peak before
+    # measured-strategy notes). Native int16 rows keep their own grid;
+    # float rows (odd rates/bit depths) pre-scale to their own peak before
     # quantizing: the gate is scale-invariant (dB stats shift with the
     # signal) and the output is peak-normalized anyway, so quiet 24-bit or
     # >1.0 float-PCM sources keep full 16-bit precision instead of being
     # crushed/clipped by a fixed /32768 grid. The f32 gated batch stays on
     # device as the AudioStore.
     T = _next_bucket(max(n_outs), target_sr)
-    batch_np = np.zeros((len(waves), T), np.float32)
+    q_up = np.zeros((len(waves), T), np.int16)
     for row, w in enumerate(waves):
-        batch_np[row, : len(w)] = w
-    peaks = np.max(np.abs(batch_np), axis=-1, keepdims=True)
-    scaled = batch_np * (32767.0 / np.maximum(peaks, 1e-12))
-    q_up = np.clip(np.round(scaled), -32768, 32767).astype(np.int16)
+        if w.dtype == np.int16:      # native grid: straight copy
+            q_up[row, : len(w)] = w
+            continue
+        peak = max(float(np.max(np.abs(w))), 1e-12) if len(w) else 1e-12
+        scaled = w * (32767.0 / peak)
+        q_up[row, : len(w)] = np.clip(np.round(scaled), -32768,
+                                      32767).astype(np.int16)
     t0 = _mark("host_decode", t0)
     # Validity crosses as a [K] int32 vector; the [K, T] f32 mask builds on
     # device (host-built it was 30.7 MB — 2× the audio's own bytes).

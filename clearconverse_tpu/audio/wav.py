@@ -20,10 +20,8 @@ _IEEE_FLOAT = 3
 _EXTENSIBLE = 0xFFFE
 
 
-def read_wav(path: str) -> Tuple[np.ndarray, int]:
-    """Read a WAV file → (float32 samples in [-1, 1] of shape [channels, T],
-    sample_rate). Channel-major to match torchaudio.load's convention that the
-    reference pipeline assumes (back/api.py:820-824)."""
+def _scan_chunks(path: str):
+    """RIFF chunk walk → ((tag, channels, rate, bits), data payload)."""
     with open(path, "rb") as fh:
         data = fh.read()
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -45,7 +43,27 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
             break
     if fmt is None or payload is None:
         raise ValueError(f"{path}: missing fmt/data chunk")
+    return fmt, payload
 
+
+def read_wav_i16(path: str):
+    """Raw fast path: mono 16-bit PCM → (int16 [T] samples, rate), or None
+    for any other layout. Callers that move audio to an accelerator as
+    int16 (audio.decode.load_audio_many) skip the float round-trip AND the
+    peak-prescale requantization — the native 16-bit grid is bit-faithful,
+    re-quantizing through f32 adds ≤0.5 LSB."""
+    fmt, payload = _scan_chunks(path)
+    tag, channels, rate, bits = fmt
+    if tag != _PCM or bits != 16 or channels != 1:
+        return None
+    return np.frombuffer(payload, dtype="<i2"), rate
+
+
+def read_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Read a WAV file → (float32 samples in [-1, 1] of shape [channels, T],
+    sample_rate). Channel-major to match torchaudio.load's convention that the
+    reference pipeline assumes (back/api.py:820-824)."""
+    fmt, payload = _scan_chunks(path)
     tag, channels, rate, bits = fmt
     # C++ fast path (audio/native): PCM unpack + de-interleave in one pass.
     try:

@@ -29,6 +29,7 @@ class DevModels:
     def __init__(self):
         self._loaded = False
         self.transcribe_calls: List[List[str]] = []  # prompts per batch call
+        self.embed_calls = 0                         # embed_batch dispatches
         self.echo_prompt = False
 
     def models_are_loaded(self):
@@ -45,6 +46,7 @@ class DevModels:
     # -- embeddings: [low-energy, high-energy] direction ------------------
     def embed_batch(self, audio: np.ndarray,
                     lengths: Optional[np.ndarray] = None) -> np.ndarray:
+        self.embed_calls += 1
         out = np.zeros((len(audio), 4), np.float32)
         for i, row in enumerate(audio):
             n = int(lengths[i]) if lengths is not None else len(row)

@@ -388,10 +388,52 @@ class TranscriptionEngine:
             except Exception as exc:  # noqa: BLE001 — per-file fallback
                 logger.error("batched profiles failed: %s", exc, exc_info=True)
 
+        # Plan every file (host-side when the batched phases above landed),
+        # then embed ALL files' non-overlap segments in ONE device call —
+        # per-file _embed_many dispatches were ~0.35 s/pass on the 8-file
+        # bench. Plan failure isolates per file (prep → None, api.py:1546).
+        plans: List[Optional[Dict]] = [None] * len(file_paths)
+        with run_timer.stage("plan_files"):
+            for i, (p, pre) in enumerate(zip(file_paths, preloads)):
+                if pre is None:
+                    continue
+                try:
+                    plans[i] = self._plan_file(p, should_cancel,
+                                               preloaded=pre)
+                except ProcessingCancelled:
+                    raise
+                except Exception as exc:  # noqa: BLE001 — per-file
+                    logger.error("Error in process_file: %s", exc,
+                                 exc_info=True)
+                    preloads[i] = None
+        embs_per_file: List[Optional[Dict]] = [None] * len(file_paths)
+        jobs = [(i, si) for i, plan in enumerate(plans) if plan is not None
+                for si in plan["non_ov_idx"]]
+        if jobs:
+            try:
+                with run_timer.stage("segment_embeds"):
+                    embs = self._embed_many(
+                        [plans[i]["seg_audio"][si] for i, si in jobs],
+                        plans[jobs[0][0]]["sr"],
+                        refs=[plans[i]["seg_ref"](plans[i]["refined"][si][0],
+                                                  plans[i]["refined"][si][1])
+                              for i, si in jobs])
+                for (i, si), emb in zip(jobs, embs):
+                    if embs_per_file[i] is None:
+                        embs_per_file[i] = {}
+                    embs_per_file[i][si] = emb
+            except ProcessingCancelled:
+                raise
+            except Exception as exc:  # noqa: BLE001 — per-file fallback
+                logger.error("batched segment embeddings failed: %s", exc,
+                             exc_info=True)
+                embs_per_file = [None] * len(file_paths)
         with run_timer.stage("prepare_files"):
-            preps = [self._prepare_file(p, should_cancel, preloaded=pre)
+            preps = [self._prepare_file(p, should_cancel, preloaded=pre,
+                                        plan=plans[i],
+                                        seg_embs=embs_per_file[i])
                      if pre is not None else None
-                     for p, pre in zip(file_paths, preloads)]
+                     for i, (p, pre) in enumerate(zip(file_paths, preloads))]
         # Surface the per-file sub-stages (vad, secondary diarization,
         # segment embeddings, separation, ...) summed across files as
         # dotted children of prepare_files in the bench breakdown.
@@ -431,9 +473,16 @@ class TranscriptionEngine:
         self.last_run_stage_times = run_timer.as_dict()
         return results
 
-    def _prepare_file(self, file_path: str,
-                      should_cancel: Optional[Callable[[], bool]] = None,
-                      preloaded: Optional[Tuple] = None) -> Optional[Dict]:
+    def _plan_file(self, file_path: str,
+                   should_cancel: Optional[Callable[[], bool]] = None,
+                   preloaded: Optional[Dict] = None) -> Dict:
+        """Analysis planning for one file: load / vad / diarization /
+        profiles (normally preloaded by process_files' batched phases)
+        through segment classification. Extracted from _prepare_file so
+        process_files can batch EVERY file's segment embeddings into one
+        device call between planning and preparation (per-file _embed_many
+        dispatches were ~0.35 s/pass on the 8-file bench). Raises on
+        failure — the caller owns per-file isolation."""
         cfg = self.config
         from clearconverse_tpu.utils.tracing import StageTimer
         timer = StageTimer()
@@ -441,93 +490,129 @@ class TranscriptionEngine:
         def ck():  # one cancel check per analysis stage boundary
             check_cancel(should_cancel)
 
-        try:
-            from clearconverse_tpu.audio.decode import ensure_wav_format, load_audio
-            pre = preloaded or {}
-            activity = pre.get("activity")
-            with timer.stage("load_audio"):
-                if "audio" in pre:
-                    audio, sr = pre["audio"], pre["sr"]
-                else:
-                    file_path = ensure_wav_format(file_path)
-                    wave, sr = load_audio(file_path, cfg.target_sample_rate,
-                                          cfg.noise_reduction_amount)
-                    audio = np.asarray(wave, np.float32)
-            duration = len(audio) / sr
-            logger.info("Processing audio file: %.2f seconds", duration)
-
-            hyst = {}
-            if self.tpu.diarization_onset is not None:
-                hyst["onset"] = self.tpu.diarization_onset
-            if self.tpu.diarization_offset is not None:
-                hyst["offset"] = self.tpu.diarization_offset
-            ck()
-            with timer.stage("vad"):
-                if activity is None:
-                    activity = file_activity(self.models, audio, sr)
-                vad = vad_intervals(self.models, audio, sr,
-                                    activity=activity, **hyst)
-            ck()
-            with timer.stage("diarization"):
-                raw_segments = pre.get("raw_segments")
-                if raw_segments is None:
-                    raw_segments = diarize(self.models, audio, sr,
-                                           cfg.min_speakers, cfg.max_speakers,
-                                           activity=activity, **hyst)
-            logger.info("Diarization found %d raw segments", len(raw_segments))
-
-            merged = S.merge_segments(raw_segments, cfg.merge_gap_threshold)
-            if cfg.use_vad_refinement:
-                refined = []
-                for start, end, spk in merged:
-                    r = S.refine_segment_with_vad((start, end), vad)
-                    if r and (r[1] - r[0]) >= cfg.min_segment_duration:
-                        refined.append((r[0], r[1], spk))
+        from clearconverse_tpu.audio.decode import ensure_wav_format, load_audio
+        pre = preloaded or {}
+        activity = pre.get("activity")
+        with timer.stage("load_audio"):
+            if "audio" in pre:
+                audio, sr = pre["audio"], pre["sr"]
             else:
-                refined = merged
+                file_path = ensure_wav_format(file_path)
+                wave, sr = load_audio(file_path, cfg.target_sample_rate,
+                                      cfg.noise_reduction_amount)
+                audio = np.asarray(wave, np.float32)
+        duration = len(audio) / sr
+        logger.info("Processing audio file: %.2f seconds", duration)
 
-            ck()
-            with timer.stage("profiles"):
-                profiles = pre.get("profiles")
-                if profiles is None:
-                    profiles = self._build_profiles(audio, sr, raw_segments)
-            mapping = S.map_speakers(refined)
-            overlap_regions = S.detect_overlap_regions(raw_segments,
-                                                       cfg.overlap_threshold)
-            refined.sort(key=lambda x: x[0])
+        hyst = {}
+        if self.tpu.diarization_onset is not None:
+            hyst["onset"] = self.tpu.diarization_onset
+        if self.tpu.diarization_offset is not None:
+            hyst["offset"] = self.tpu.diarization_offset
+        ck()
+        with timer.stage("vad"):
+            if activity is None:
+                activity = file_activity(self.models, audio, sr)
+            vad = vad_intervals(self.models, audio, sr,
+                                activity=activity, **hyst)
+        ck()
+        with timer.stage("diarization"):
+            raw_segments = pre.get("raw_segments")
+            if raw_segments is None:
+                raw_segments = diarize(self.models, audio, sr,
+                                       cfg.min_speakers, cfg.max_speakers,
+                                       activity=activity, **hyst)
+        logger.info("Diarization found %d raw segments", len(raw_segments))
 
-            # ---------- phase 1: classify + model scoring (batched) ------
-            seg_audio = [S.extract_segment(audio, s, e, sr) for s, e, _ in refined]
-            # Device-resident audio refs (AudioStore): (store, row,
-            # start-sample) per segment when the clip is a clean contiguous
-            # slice — decode batches then gather windows on device instead
-            # of re-uploading them.
-            store, srow = pre.get("store"), pre.get("store_row")
-            duration_all = len(audio) / sr
+        merged = S.merge_segments(raw_segments, cfg.merge_gap_threshold)
+        if cfg.use_vad_refinement:
+            refined = []
+            for start, end, spk in merged:
+                r = S.refine_segment_with_vad((start, end), vad)
+                if r and (r[1] - r[0]) >= cfg.min_segment_duration:
+                    refined.append((r[0], r[1], spk))
+        else:
+            refined = merged
 
-            def seg_ref(s, e):
-                if store is None or srow is None:
-                    return None
-                i0 = int(max(s, 0.0) * sr)
-                i1 = int(min(e, duration_all) * sr)
-                return (store, srow, i0) if i0 < i1 else None
-            is_overlap: List[bool] = []
-            involved: List[List[str]] = []
-            for (s, e, _spk) in refined:
-                hit = next(((os_, oe, spks) for os_, oe, spks in overlap_regions
-                            if max(s, os_) < min(e, oe)), None)
-                is_overlap.append(hit is not None)
-                involved.append(hit[2] if hit else [])
+        ck()
+        with timer.stage("profiles"):
+            profiles = pre.get("profiles")
+            if profiles is None:
+                profiles = self._build_profiles(audio, sr, raw_segments)
+        mapping = S.map_speakers(refined)
+        overlap_regions = S.detect_overlap_regions(raw_segments,
+                                                   cfg.overlap_threshold)
+        refined.sort(key=lambda x: x[0])
 
-            non_ov_idx = [i for i, ov in enumerate(is_overlap)
-                          if not ov and (refined[i][1] - refined[i][0]) >= cfg.min_segment_duration]
-            timer.spans.append(("classify", 0.0))
+        # ---------- phase 1: classify + model scoring (batched) ------
+        seg_audio = [S.extract_segment(audio, s, e, sr) for s, e, _ in refined]
+        # Device-resident audio refs (AudioStore): (store, row,
+        # start-sample) per segment when the clip is a clean contiguous
+        # slice — decode batches then gather windows on device instead
+        # of re-uploading them.
+        store, srow = pre.get("store"), pre.get("store_row")
+        duration_all = len(audio) / sr
+
+        def seg_ref(s, e):
+            if store is None or srow is None:
+                return None
+            i0 = int(max(s, 0.0) * sr)
+            i1 = int(min(e, duration_all) * sr)
+            return (store, srow, i0) if i0 < i1 else None
+        is_overlap: List[bool] = []
+        involved: List[List[str]] = []
+        for (s, e, _spk) in refined:
+            hit = next(((os_, oe, spks) for os_, oe, spks in overlap_regions
+                        if max(s, os_) < min(e, oe)), None)
+            is_overlap.append(hit is not None)
+            involved.append(hit[2] if hit else [])
+
+        non_ov_idx = [i for i, ov in enumerate(is_overlap)
+                      if not ov and (refined[i][1] - refined[i][0]) >= cfg.min_segment_duration]
+        timer.spans.append(("classify", 0.0))
+        return dict(file_path=file_path, timer=timer, audio=audio, sr=sr,
+                    duration=duration, hyst=hyst, refined=refined,
+                    profiles=profiles, mapping=mapping, seg_audio=seg_audio,
+                    store=store, srow=srow, seg_ref=seg_ref,
+                    is_overlap=is_overlap, involved=involved,
+                    non_ov_idx=non_ov_idx)
+
+    def _prepare_file(self, file_path: str,
+                      should_cancel: Optional[Callable[[], bool]] = None,
+                      preloaded: Optional[Tuple] = None,
+                      plan: Optional[Dict] = None,
+                      seg_embs: Optional[Dict] = None) -> Optional[Dict]:
+        """Turn one file's analysis plan into transcription items.
+        ``plan``/``seg_embs`` come from process_files' batched phases;
+        absent either, the full per-file path runs here (process_file via a
+        failed batch phase, tests)."""
+        cfg = self.config
+
+        def ck():  # one cancel check per analysis stage boundary
+            check_cancel(should_cancel)
+
+        try:
+            if plan is None:
+                plan = self._plan_file(file_path, should_cancel, preloaded)
+            timer = plan["timer"]
+            audio, sr = plan["audio"], plan["sr"]
+            duration, hyst = plan["duration"], plan["hyst"]
+            refined, profiles = plan["refined"], plan["profiles"]
+            mapping, seg_audio = plan["mapping"], plan["seg_audio"]
+            store, srow = plan["store"], plan["srow"]
+            seg_ref = plan["seg_ref"]
+            is_overlap, involved = plan["is_overlap"], plan["involved"]
+            non_ov_idx = plan["non_ov_idx"]
+
             ck()
             with timer.stage("segment_embeddings"):
-                embs = self._embed_many(
-                    [seg_audio[i] for i in non_ov_idx], sr,
-                    refs=[seg_ref(refined[i][0], refined[i][1])
-                          for i in non_ov_idx])
+                if seg_embs is not None:     # cross-file batched embeddings
+                    embs = [seg_embs.get(i) for i in non_ov_idx]
+                else:
+                    embs = self._embed_many(
+                        [seg_audio[i] for i in non_ov_idx], sr,
+                        refs=[seg_ref(refined[i][0], refined[i][1])
+                              for i in non_ov_idx])
             needs_secondary: Dict[int, bool] = {}
             for i, emb in zip(non_ov_idx, embs):
                 if emb is None:   # too short to embed → no rescue (api.py:1407)

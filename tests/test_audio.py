@@ -63,6 +63,29 @@ def test_wav_float32_and_24bit(tmp_path, rng):
     assert np.max(np.abs(y[0] - x)) < 2.0 / 8388608
 
 
+def test_read_wav_i16_fast_path(tmp_path, rng):
+    """Mono 16-bit PCM reads back bit-exact as raw int16; any other layout
+    (stereo, float) declines so callers fall back to read_wav."""
+    import struct
+    q = rng.integers(-32768, 32768, 4000).astype("<i2")
+    body = q.tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(body))
+    p = tmp_path / "i16.wav"
+    p.write_bytes(hdr + body)
+    got = wavmod.read_wav_i16(str(p))
+    assert got is not None
+    raw, sr = got
+    assert sr == 16000 and raw.dtype == np.int16
+    np.testing.assert_array_equal(raw, q)
+
+    x = np.clip(rng.standard_normal(1000) * 0.3, -0.99, 0.99).astype(np.float32)
+    st = str(tmp_path / "st.wav")
+    wavmod.write_wav(st, np.stack([x, x]), 16000)
+    assert wavmod.read_wav_i16(st) is None
+
+
 # ---------------------------------------------------------------- Resampler
 
 def _numpy_sinc_resample(x, orig, new, width_f=6, rolloff=0.99):

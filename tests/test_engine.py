@@ -404,6 +404,36 @@ def test_process_files_merges_transcription_batches(tmp_path):
     assert [[s.transcription for s in r["segments"]] for r in seq] == texts
 
 
+def test_process_files_batches_segment_embeddings(tmp_path):
+    """All files' non-overlap segment embeddings share device batches:
+    process_files dispatches fewer embed calls than sequential per-file
+    processing (the per-file _embed_many loop was ~0.35 s/pass on the
+    8-file bench) while producing identical speaker labels."""
+    from clearconverse_tpu.audio.wav import write_wav
+    from clearconverse_tpu.config import Config, TPUConfig
+    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+    audio = synth_conversation()
+    paths = []
+    for i in range(3):
+        p = tmp_path / f"conv{i}.wav"
+        write_wav(str(p), audio, SR)
+        paths.append(str(p))
+
+    eng = TranscriptionEngine(Config(noise_reduction_amount=0.0,
+                                     transcription_batch_size=32),
+                              TPUConfig(), models=FakeModels())
+    results = eng.process_files(paths)
+    batched_calls = eng.models.embed_calls
+    assert all(r is not None for r in results)
+    assert "segment_embeds" in eng.last_run_stage_times
+
+    eng.models.embed_calls = 0
+    seq = [eng.process_file(p) for p in paths]
+    assert batched_calls < eng.models.embed_calls
+    key = lambda r: [(s.speaker_id, s.transcription) for s in r["segments"]]
+    assert [key(r) for r in results] == [key(r) for r in seq]
+
+
 def test_profiles_disabled_triggers_secondary(tmp_path):
     """use_speaker_embeddings=False → no profiles → every embeddable
     non-overlap segment takes the secondary-diarization path (reference
