@@ -937,6 +937,47 @@ class ModelBundle:
             self._ecapa, store.dev, self._put_data(rows),
             self._put_data(starts), self._put_data(lens)))[:n_real]
 
+    def embed_frames_store(self, store: AudioStore, rows, fstarts, totals,
+                           frame: int, pad: int) -> np.ndarray:
+        """embed_batch over NON-CONTIGUOUS clips assembled on device: clip i
+        concatenates fixed-length ``frame``-sample windows of store row
+        rows[i] at sample offsets fstarts[i, :] (diarization's
+        exclusive-frame subsegment clips, pipeline/diarize._carve_subsegments),
+        truncated to ``pad`` samples with ``totals[i]`` valid. Replaces the
+        per-clip host upload (~190 KB each over the ~25 MB/s tunnel)."""
+        self._ensure()
+        import jax
+        import jax.numpy as jnp
+        from clearconverse_tpu.models.ecapa import EcapaDims, ecapa_embed
+        rows = np.asarray(rows, np.int32)
+        fstarts = np.asarray(fstarts, np.int32)
+        totals = np.asarray(totals, np.int32)
+        n_real = len(rows)
+        b = self._rows(n_real)
+        if b > n_real:
+            rows = np.pad(rows, (0, b - n_real))
+            fstarts = np.pad(fstarts, ((0, b - n_real), (0, 0)))
+            totals = np.pad(totals, (0, b - n_real), constant_values=1)
+        dims = self._ecapa_dims or EcapaDims()
+        self._place_aux()
+        F = fstarts.shape[1]
+        key = ("frames", F, int(frame), int(pad))
+        if key not in self._jit_embed_from_store:
+            def f(p, dev, r, s, tot, F=F, frame=int(frame), pad=int(pad)):
+                def one_clip(row, ss):     # ss [F] → [F*frame]
+                    return jax.vmap(lambda st: jax.lax.dynamic_slice(
+                        dev, (row, st), (1, frame))[0])(ss).reshape(-1)
+                clips = jax.vmap(one_clip)(r, s)[:, :pad]
+                if clips.shape[1] < pad:   # F under-provisioned by caller
+                    clips = jnp.pad(clips, ((0, 0), (0, pad - clips.shape[1])))
+                mask = (jnp.arange(pad)[None, :]
+                        < tot[:, None]).astype(clips.dtype)
+                return ecapa_embed(p, clips * mask, tot, dims)
+            self._jit_embed_from_store[key] = jax.jit(f)
+        return np.asarray(self._jit_embed_from_store[key](
+            self._ecapa, store.dev, self._put_data(rows),
+            self._put_data(fstarts), self._put_data(totals)))[:n_real]
+
     def embed_denoised_store(self, store: AudioStore, rows, starts, lens,
                              prop_decrease: float, bucket: int) -> np.ndarray:
         """gather + spectral gate + peak-norm + embed as ONE device program

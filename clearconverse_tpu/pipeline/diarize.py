@@ -137,27 +137,96 @@ def _carve_subsegments(audio: np.ndarray, act, fhop: float, sr: int,
     clustering, keep only frames where the slot is EXCLUSIVELY active —
     overlap frames mix speakers and chain-collapse the clustering
     (pyannote's diarization does the same). Returns (subsegs, emb_clips,
-    slots, clean)."""
+    slots, clean, descs) — ``descs`` describe each clip as store-gather
+    coordinates (("frames", starts[int64], ends[int64]) for exclusive-frame
+    concatenations, ("slice", i0, i1) for contiguous fallbacks) so callers
+    with a device-resident AudioStore can assemble the clips ON DEVICE
+    instead of re-uploading them."""
     subsegs: List[Interval] = []
     emb_clips: List[np.ndarray] = []
     slots: List[int] = []
     clean: List[bool] = []
+    descs: List[tuple] = []
     for slot in range(act.shape[1]):
         others = [o for o in range(act.shape[1]) if o != slot]
         exclusive = (act[:, slot] > onset) & np.all(act[:, others] <= 0.5, axis=1)
         for s, e in binarize(act[:, slot], fhop, onset, offset,
                              min_duration_on=MIN_SUBSEG_S, min_duration_off=0.1):
             f0, f1 = int(s / fhop), min(int(e / fhop), len(exclusive))
+            frames = [f for f in range(f0, f1) if exclusive[f]]
             pieces = [audio[int(f * fhop * sr): int((f + 1) * fhop * sr)]
-                      for f in range(f0, f1) if exclusive[f]]
+                      for f in frames]
             is_clean = bool(pieces) and sum(len(p) for p in pieces) >= MIN_SUBSEG_S * sr
-            clip = (np.concatenate(pieces) if is_clean
-                    else audio[int(s * sr): int(e * sr)])
+            if is_clean:
+                clip = np.concatenate(pieces)
+                descs.append(("frames",
+                              np.asarray([int(f * fhop * sr) for f in frames],
+                                         np.int64),
+                              np.asarray([int((f + 1) * fhop * sr)
+                                          for f in frames], np.int64)))
+            else:
+                i0, i1 = int(s * sr), min(int(e * sr), len(audio))
+                clip = audio[i0:i1]
+                descs.append(("slice", i0, max(i1, i0)))
             subsegs.append((s, e))
             emb_clips.append(np.asarray(clip, np.float32))
             slots.append(slot)
             clean.append(is_clean)
-    return subsegs, emb_clips, slots, clean
+    return subsegs, emb_clips, slots, clean, descs
+
+
+def _embed_descs_store(bundle, store, rows: List[int], descs: List[tuple],
+                       sr: int) -> Optional[np.ndarray]:
+    """Embed carve descriptors via ON-DEVICE store gathers (no clip upload):
+    exclusive-frame clips through bundle.embed_frames_store, contiguous
+    slices through bundle.embed_store. Bit-equivalent to embedding the
+    host-assembled clips of _pad_clips over the same gated audio. Returns
+    None when the descriptors don't fit the fixed-frame gather (non-uniform
+    frame lengths from float hop rounding) — caller falls back to host."""
+    pad = int(EMBED_PAD_S * sr)
+    frame_ids = [i for i, d in enumerate(descs) if d[0] == "frames"]
+    slice_ids = [i for i, d in enumerate(descs) if d[0] == "slice"]
+    fr = None
+    if frame_ids:
+        lens = set()
+        for i in frame_ids:
+            _, fs, fe = descs[i]
+            lens.update(np.unique(fe - fs).tolist())
+        if len(lens) != 1:
+            return None
+        fr = int(lens.pop())
+        if fr <= 0:
+            return None
+    emb_map = {}
+    CHUNK = 128
+    if frame_ids:
+        F = -(-pad // fr)                       # ceil: F*fr >= pad
+        starts = np.zeros((len(frame_ids), F), np.int32)
+        totals = np.ones(len(frame_ids), np.int32)
+        rws = np.asarray([rows[i] for i in frame_ids], np.int32)
+        for k, i in enumerate(frame_ids):
+            _, fs, _ = descs[i]
+            n = min(len(fs), F)
+            starts[k, :n] = fs[:n]
+            totals[k] = max(min(len(fs) * fr, pad), 1)
+        for lo in range(0, len(frame_ids), CHUNK):
+            hi = min(lo + CHUNK, len(frame_ids))
+            embs = bundle.embed_frames_store(store, rws[lo:hi],
+                                             starts[lo:hi], totals[lo:hi],
+                                             fr, pad)
+            for k, i in enumerate(frame_ids[lo:hi]):
+                emb_map[i] = embs[k]
+    if slice_ids:
+        for lo in range(0, len(slice_ids), CHUNK):
+            ids = slice_ids[lo:lo + CHUNK]
+            embs = bundle.embed_store(
+                store, [rows[i] for i in ids],
+                [descs[i][1] for i in ids],
+                [max(min(descs[i][2] - descs[i][1], pad), 1) for i in ids],
+                pad)
+            for k, i in enumerate(ids):
+                emb_map[i] = embs[k]
+    return np.stack([emb_map[i] for i in range(len(descs))])
 
 
 def _pad_clips(emb_clips: List[np.ndarray], sr: int):
@@ -221,7 +290,7 @@ def diarize(bundle, audio: np.ndarray, sr: int,
     act, fhop = activity if activity is not None else _file_activity(bundle, audio, sr)
     if act.size == 0:
         return []
-    subsegs, emb_clips, slots, clean = _carve_subsegments(
+    subsegs, emb_clips, slots, clean, _descs = _carve_subsegments(
         audio, act, fhop, sr, onset, offset)
     if not subsegs:
         return []
@@ -235,7 +304,8 @@ def diarize_many(bundle, audios: List[np.ndarray], sr: int,
                  min_speakers: int = 1, max_speakers: int = 2,
                  onset: float = 0.5, offset: float = 0.5,
                  cluster_threshold: float = 0.7,
-                 activities=None) -> List[Optional[List[LabeledSegment]]]:
+                 activities=None, store=None,
+                 store_rows=None) -> List[Optional[List[LabeledSegment]]]:
     """Multi-file diarization with ONE embedding device call for every
     file's subsegments (process_files ran ``diarize`` per file — one
     dispatch + upload each; dispatch latency dominates on tunnel-attached
@@ -244,25 +314,47 @@ def diarize_many(bundle, audios: List[np.ndarray], sr: int,
     whose clustering throws yields None (per-file isolation) instead of
     failing the batch.
 
+    ``store``/``store_rows`` (pipeline/bundle.AudioStore + per-file rows of
+    the SAME gated audio as ``audios``) assemble the embedding clips on
+    device — the host-upload path moved ~190 KB per subsegment through the
+    ~25 MB/s tunnel.
+
     CONTRACT: ``sr`` applies to EVERY file — callers must resample to a
     uniform rate first (the engine resamples everything to
     Config.target_sample_rate before reaching here, engine.py). Passing
     mixed-rate audios would silently produce wrong timestamps (ADVICE r2)."""
     if activities is None:
-        activities = file_activities(bundle, audios, sr)
+        activities = file_activities(bundle, audios, sr,
+                                     store=store, store_rows=store_rows)
     carved, counts = [], []
     for audio, (act, fhop) in zip(audios, activities):
         c = (_carve_subsegments(audio, act, fhop, sr, onset, offset)
-             if act.size else ([], [], [], []))
+             if act.size else ([], [], [], [], []))
         carved.append(c)
         counts.append(len(c[0]))
     all_clips = [clip for c in carved for clip in c[1]]
+    use_store = (store is not None and store_rows is not None
+                 and all(r is not None for r in store_rows)
+                 and hasattr(bundle, "embed_frames_store")
+                 and hasattr(bundle, "embed_store"))
     if all_clips:
-        batch, lengths = _pad_clips(all_clips, sr)
-        embs = bundle.embed_batch(batch, lengths)
+        embs = None
+        if use_store:
+            clip_rows = [r for c, r in zip(carved, store_rows)
+                         for _ in c[0]]
+            all_descs = [d for c in carved for d in c[4]]
+            try:
+                embs = _embed_descs_store(bundle, store, clip_rows,
+                                          all_descs, sr)
+            except Exception as exc:  # noqa: BLE001 — host fallback
+                logger.error("store-gathered diarize embeds failed: %s", exc)
+                embs = None
+        if embs is None:
+            batch, lengths = _pad_clips(all_clips, sr)
+            embs = bundle.embed_batch(batch, lengths)
     out: List[List[LabeledSegment]] = []
     lo = 0
-    for fi, ((subsegs, _clips, slots, clean), n) in enumerate(
+    for fi, ((subsegs, _clips, slots, clean, _descs), n) in enumerate(
             zip(carved, counts)):
         if not subsegs:
             out.append([])

@@ -360,6 +360,8 @@ class TranscriptionEngine:
                         preloads[with_act[0]]["sr"],
                         self.config.min_speakers, self.config.max_speakers,
                         activities=[preloads[i]["activity"] for i in with_act],
+                        store=store,
+                        store_rows=[row_map[i] for i in with_act],
                         **hyst)
                 for i, raw in zip(with_act, many):
                     if raw is not None:   # None → that file's clustering

@@ -112,6 +112,65 @@ def test_file_activities_store_equals_host(bundle, rng):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
 
 
+def test_embed_frames_store_equals_host(bundle, rng):
+    """Non-contiguous frame-gather embeds (diarization's exclusive-frame
+    clips) == embedding the host-assembled concatenation: scattered frames,
+    an over-budget clip truncated at pad, and zero-padding past totals."""
+    sr = 16000
+    files = [rng.standard_normal(8 * sr).astype(np.float32) * 0.1,
+             rng.standard_normal(6 * sr).astype(np.float32) * 0.1]
+    store = _make_store(bundle, files, sr)
+    fr, pad = 270, 3 * sr
+    F = -(-pad // fr)
+    starts0 = np.asarray([k * fr for k in range(0, 40, 4)])   # 10 scattered
+    starts1 = np.asarray([k * fr for k in range(200)])        # > pad budget
+    fstarts = np.zeros((2, F), np.int32)
+    fstarts[0, : len(starts0)] = starts0
+    fstarts[1, :] = starts1[:F]
+    totals = np.asarray([len(starts0) * fr, pad], np.int32)
+    got = bundle.embed_frames_store(store, [0, 1], fstarts, totals, fr, pad)
+
+    host = np.zeros((2, pad), np.float32)
+    clip0 = np.concatenate([files[0][s: s + fr] for s in starts0])
+    host[0, : len(clip0)] = clip0
+    host[1] = np.concatenate([files[1][s: s + fr] for s in starts1])[:pad]
+    want = bundle.embed_batch(host, np.asarray([len(clip0), pad]))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_diarize_many_store_equals_host(bundle):
+    """diarize_many with a device store (clips assembled on device via
+    embed_frames_store/embed_store) == the host-upload path, driven by a
+    hand-built activity matrix so carving covers both descriptor kinds:
+    exclusive-frame clips AND a mixed-overlap contiguous fallback."""
+    from clearconverse_tpu.models.pyannet import PyannetDims
+    from clearconverse_tpu.pipeline.diarize import diarize_many
+
+    sr = 16000
+    rng = np.random.default_rng(7)
+    files = [rng.standard_normal(12 * sr).astype(np.float32) * 0.1,
+             rng.standard_normal(9 * sr).astype(np.float32) * 0.1]
+    store = _make_store(bundle, files, sr)
+    fhop = PyannetDims().frame_hop_seconds
+
+    def act_for(n_samples):
+        F = int(n_samples / sr / fhop)
+        act = np.zeros((F, 3), np.float32)
+        a, b = int(3.0 / fhop), int(6.0 / fhop)
+        act[:b, 0] = 0.9              # slot 0 active 0-6 s
+        act[a:, 1] = 0.9              # slot 1 active 3 s-end → 3-6 s mixed
+        return act, fhop
+
+    activities = [act_for(len(f)) for f in files]
+    kw = dict(min_speakers=1, max_speakers=2, activities=activities,
+              cluster_threshold=0.7)
+    with_store = diarize_many(bundle, files, sr, store=store,
+                              store_rows=[0, 1], **kw)
+    without = diarize_many(bundle, files, sr, **kw)
+    assert with_store == without
+    assert all(segs for segs in without)      # non-vacuous
+
+
 def test_engine_store_on_equals_off(bundle, rng, tmp_path):
     """Full engine: device-store path produces the same transcript items as
     the host-upload path."""
