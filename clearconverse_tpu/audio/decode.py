@@ -98,10 +98,58 @@ def load_audio(file_path: str, target_sr: int = TARGET_SR,
     return wave[:n_out], target_sr
 
 
+class LazyAudio:
+    """Float32 [T] file audio whose bytes may still be in flight from the
+    device (load_audio_many(host_async=True) overlaps the gated-batch
+    download with the engine's device-side analysis phases). Length is
+    known immediately; the first BYTE access joins the transfer. Covers
+    the engine's actual access patterns (len / slicing / np.asarray) —
+    not a general ndarray stand-in."""
+
+    def __init__(self, join, row: int, n: int):
+        self._join = join
+        self._row = row
+        self._n = n
+        self._arr = None
+
+    def _materialize(self) -> np.ndarray:
+        if self._arr is None:
+            self._arr = self._join()[self._row, : self._n]
+        return self._arr
+
+    def __len__(self) -> int:
+        return self._n
+
+    @property
+    def size(self) -> int:
+        return self._n
+
+    @property
+    def shape(self):
+        return (self._n,)
+
+    @property
+    def ndim(self) -> int:
+        return 1
+
+    @property
+    def dtype(self):
+        return np.dtype(np.float32)
+
+    def __getitem__(self, key):
+        return self._materialize()[key]
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._materialize()
+        if dtype is not None and np.dtype(dtype) != a.dtype:
+            return a.astype(dtype)
+        return np.array(a) if copy else a
+
+
 def load_audio_many(paths, target_sr: int = TARGET_SR,
                     noise_reduction_amount: float = 0.5,
                     denoise: bool = True, return_device: bool = False,
-                    stage_times=None):
+                    stage_times=None, host_async: bool = False):
     """Batched multi-file load (process_files): per-file decode/resample,
     then ONE fused gate+normalize device call over the padded batch and ONE
     device→host transfer — per-file load_audio pays both per file.
@@ -192,6 +240,42 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
         denoise=bool(denoise and noise_reduction_amount > 0))
     force_sync(q_down)
     t0 = _mark("upload_gate", t0)
+    if host_async and return_device:
+        # Pull the gated batch back on a worker thread (the device→host
+        # copy releases the GIL during transport) and hand out LazyAudio
+        # views: the engine's device-side phases (segmentation, diarize,
+        # store-gathered embeds) run on the AudioStore and never touch the
+        # bytes, so the 15+ MB download rides the tunnel WHILE they
+        # compute instead of blocking before them. First byte access
+        # joins. stage_times gains download_async (thread transfer time,
+        # overlapped) and download_wait (time a consumer actually blocked).
+        import threading
+        holder = {}
+
+        def _download():
+            td = _time.perf_counter()
+            holder["host"] = np.asarray(q_down).astype(np.float32) / 32767.0
+            if stage_times is not None:
+                stage_times["download_async"] = (
+                    stage_times.get("download_async", 0.0)
+                    + (_time.perf_counter() - td))
+
+        th = threading.Thread(target=_download, daemon=True)
+        th.start()
+
+        def _join():
+            tw = _time.perf_counter()
+            th.join()
+            if stage_times is not None:
+                stage_times["download_wait"] = (
+                    stage_times.get("download_wait", 0.0)
+                    + (_time.perf_counter() - tw))
+            return holder["host"]
+
+        for row, i in enumerate(order):
+            results[i] = LazyAudio(_join, row, n_outs[row])
+            row_map[i] = row
+        return results, batch, row_map
     host = np.asarray(q_down).astype(np.float32) / 32767.0
     _mark("download", t0)
     for row, i in enumerate(order):

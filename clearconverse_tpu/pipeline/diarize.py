@@ -136,43 +136,58 @@ def _carve_subsegments(audio: np.ndarray, act, fhop: float, sr: int,
     """Carve per-slot activity into subsegments. For the embedding used in
     clustering, keep only frames where the slot is EXCLUSIVELY active —
     overlap frames mix speakers and chain-collapse the clustering
-    (pyannote's diarization does the same). Returns (subsegs, emb_clips,
-    slots, clean, descs) — ``descs`` describe each clip as store-gather
-    coordinates (("frames", starts[int64], ends[int64]) for exclusive-frame
-    concatenations, ("slice", i0, i1) for contiguous fallbacks) so callers
-    with a device-resident AudioStore can assemble the clips ON DEVICE
-    instead of re-uploading them."""
+    (pyannote's diarization does the same). Returns (subsegs, slots, clean,
+    descs) — ``descs`` describe each clip as gather coordinates
+    (("frames", starts[int64], ends[int64]) for exclusive-frame
+    concatenations, ("slice", i0, i1) for contiguous fallbacks). No audio
+    BYTES are read here: callers with a device-resident AudioStore assemble
+    the clips on device, and the host path materializes via
+    _clips_from_descs — so ``audio`` may be a decode.LazyAudio whose
+    download is still in flight (only len(audio) is consulted)."""
     subsegs: List[Interval] = []
-    emb_clips: List[np.ndarray] = []
     slots: List[int] = []
     clean: List[bool] = []
     descs: List[tuple] = []
+    n = len(audio)
     for slot in range(act.shape[1]):
         others = [o for o in range(act.shape[1]) if o != slot]
         exclusive = (act[:, slot] > onset) & np.all(act[:, others] <= 0.5, axis=1)
         for s, e in binarize(act[:, slot], fhop, onset, offset,
                              min_duration_on=MIN_SUBSEG_S, min_duration_off=0.1):
             f0, f1 = int(s / fhop), min(int(e / fhop), len(exclusive))
-            frames = [f for f in range(f0, f1) if exclusive[f]]
-            pieces = [audio[int(f * fhop * sr): int((f + 1) * fhop * sr)]
-                      for f in frames]
-            is_clean = bool(pieces) and sum(len(p) for p in pieces) >= MIN_SUBSEG_S * sr
+            fs = [min(int(f * fhop * sr), n) for f in range(f0, f1)
+                  if exclusive[f]]
+            fe = [min(int((f + 1) * fhop * sr), n) for f in range(f0, f1)
+                  if exclusive[f]]
+            total = sum(b - a for a, b in zip(fs, fe))
+            is_clean = bool(fs) and total >= MIN_SUBSEG_S * sr
             if is_clean:
-                clip = np.concatenate(pieces)
-                descs.append(("frames",
-                              np.asarray([int(f * fhop * sr) for f in frames],
-                                         np.int64),
-                              np.asarray([int((f + 1) * fhop * sr)
-                                          for f in frames], np.int64)))
+                descs.append(("frames", np.asarray(fs, np.int64),
+                              np.asarray(fe, np.int64)))
             else:
-                i0, i1 = int(s * sr), min(int(e * sr), len(audio))
-                clip = audio[i0:i1]
+                i0, i1 = int(s * sr), min(int(e * sr), n)
                 descs.append(("slice", i0, max(i1, i0)))
             subsegs.append((s, e))
-            emb_clips.append(np.asarray(clip, np.float32))
             slots.append(slot)
             clean.append(is_clean)
-    return subsegs, emb_clips, slots, clean, descs
+    return subsegs, slots, clean, descs
+
+
+def _clips_from_descs(audio, descs: List[tuple]) -> List[np.ndarray]:
+    """Materialize carve descriptors into host clip arrays (the host-upload
+    embedding path). Byte-identical to the clips the pre-descriptor code
+    built inline."""
+    clips: List[np.ndarray] = []
+    for d in descs:
+        if d[0] == "frames":
+            _, fs, fe = d
+            clips.append(np.concatenate(
+                [np.asarray(audio[a:b], np.float32)
+                 for a, b in zip(fs, fe)]) if len(fs)
+                else np.zeros(0, np.float32))
+        else:
+            clips.append(np.asarray(audio[d[1]: d[2]], np.float32))
+    return clips
 
 
 def _embed_descs_store(bundle, store, rows: List[int], descs: List[tuple],
@@ -290,11 +305,11 @@ def diarize(bundle, audio: np.ndarray, sr: int,
     act, fhop = activity if activity is not None else _file_activity(bundle, audio, sr)
     if act.size == 0:
         return []
-    subsegs, emb_clips, slots, clean, _descs = _carve_subsegments(
+    subsegs, slots, clean, descs = _carve_subsegments(
         audio, act, fhop, sr, onset, offset)
     if not subsegs:
         return []
-    batch, lengths = _pad_clips(emb_clips, sr)
+    batch, lengths = _pad_clips(_clips_from_descs(audio, descs), sr)
     embs = bundle.embed_batch(batch, lengths)
     return _cluster_subsegments(embs, subsegs, slots, clean,
                                 min_speakers, max_speakers, cluster_threshold)
@@ -329,20 +344,19 @@ def diarize_many(bundle, audios: List[np.ndarray], sr: int,
     carved, counts = [], []
     for audio, (act, fhop) in zip(audios, activities):
         c = (_carve_subsegments(audio, act, fhop, sr, onset, offset)
-             if act.size else ([], [], [], [], []))
+             if act.size else ([], [], [], []))
         carved.append(c)
         counts.append(len(c[0]))
-    all_clips = [clip for c in carved for clip in c[1]]
     use_store = (store is not None and store_rows is not None
                  and all(r is not None for r in store_rows)
                  and hasattr(bundle, "embed_frames_store")
                  and hasattr(bundle, "embed_store"))
-    if all_clips:
+    if sum(counts):
         embs = None
         if use_store:
             clip_rows = [r for c, r in zip(carved, store_rows)
                          for _ in c[0]]
-            all_descs = [d for c in carved for d in c[4]]
+            all_descs = [d for c in carved for d in c[3]]
             try:
                 embs = _embed_descs_store(bundle, store, clip_rows,
                                           all_descs, sr)
@@ -350,11 +364,15 @@ def diarize_many(bundle, audios: List[np.ndarray], sr: int,
                 logger.error("store-gathered diarize embeds failed: %s", exc)
                 embs = None
         if embs is None:
+            # Host path: materializing clips here (not in carve) keeps the
+            # store path byte-free so LazyAudio downloads stay in flight.
+            all_clips = [clip for audio, c in zip(audios, carved)
+                         for clip in _clips_from_descs(audio, c[3])]
             batch, lengths = _pad_clips(all_clips, sr)
             embs = bundle.embed_batch(batch, lengths)
     out: List[List[LabeledSegment]] = []
     lo = 0
-    for fi, ((subsegs, _clips, slots, clean, _descs), n) in enumerate(
+    for fi, ((subsegs, slots, clean, _descs), n) in enumerate(
             zip(carved, counts)):
         if not subsegs:
             out.append([])

@@ -296,9 +296,15 @@ class TranscriptionEngine:
         load_sub: Dict[str, float] = {}
         if getattr(self.models, "supports_store", False):
             with run_timer.stage("load_gate"):
+                # host_async: the gated-batch download rides the tunnel on
+                # a worker thread while the device-side analysis phases
+                # below run on the AudioStore; hosts are LazyAudio views
+                # that join on first byte access (profiles' np.var is the
+                # first reader in the store path).
                 hosts, dev_batch, row_map = load_audio_many(
                     file_paths, sr0, self.config.noise_reduction_amount,
-                    return_device=True, stage_times=load_sub)
+                    return_device=True, stage_times=load_sub,
+                    host_async=True)
             if dev_batch is not None:
                 # Keep the gated audio resident on device: decode and
                 # segmentation batches gather windows from it instead of
@@ -314,11 +320,12 @@ class TranscriptionEngine:
                 hosts = load_audio_many(file_paths, sr0,
                                         self.config.noise_reduction_amount,
                                         stage_times=load_sub)
-        for k, v in load_sub.items():   # sub-decomposition of load_gate
-            run_timer.spans.append((f"load_gate.{k}", v))
+        # (load_sub spans are appended at the END of the run — the async
+        # download's timings land in the dict after load_gate closes.)
+        # hosts entries stay as returned: np.asarray on a LazyAudio here
+        # would join the in-flight download immediately.
         loaded: List[Optional[Tuple]] = [
-            (np.asarray(w, np.float32), sr0) if w is not None else None
-            for w in hosts]
+            (w, sr0) if w is not None else None for w in hosts]
         ok = [i for i, l in enumerate(loaded) if l is not None]
         preloads: List[Optional[Dict]] = [None] * len(file_paths)
         # Shared-phase failures degrade, never error the whole group: a file
@@ -472,6 +479,8 @@ class TranscriptionEngine:
             for local, it in zip(prep["items"], merged[off : off + n]):
                 local["text"] = it.get("text", "")
             results.append(self._finalize(prep))
+        for k, v in load_sub.items():   # sub-decomposition of load_gate
+            run_timer.spans.append((f"load_gate.{k}", v))
         self.last_run_stage_times = run_timer.as_dict()
         return results
 
