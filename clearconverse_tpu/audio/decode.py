@@ -146,6 +146,62 @@ class LazyAudio:
         return np.array(a) if copy else a
 
 
+class LazyClip:
+    """Lazy float32 [T] sub-view over an audio source (LazyAudio or ndarray):
+    bounds clamp eagerly — so len() is free — and bytes materialize on
+    first access. Lets segment clips flow through the engine's store-backed
+    phases (which pass (row, start, len) descriptors to the device) without
+    joining an in-flight LazyAudio download."""
+
+    def __init__(self, src, a: int, b: int):
+        n = len(src)
+        self._src = src
+        self._a = min(max(int(a), 0), n)
+        self._b = min(max(int(b), self._a), n)
+        self._arr = None
+
+    def _materialize(self) -> np.ndarray:
+        if self._arr is None:
+            self._arr = np.asarray(self._src[self._a: self._b], np.float32)
+        return self._arr
+
+    def __len__(self) -> int:
+        return self._b - self._a
+
+    @property
+    def size(self) -> int:
+        return self._b - self._a
+
+    @property
+    def shape(self):
+        return (self._b - self._a,)
+
+    @property
+    def ndim(self) -> int:
+        return 1
+
+    @property
+    def dtype(self):
+        return np.dtype(np.float32)
+
+    def __getitem__(self, key):
+        return self._materialize()[key]
+
+    def __array__(self, dtype=None, copy=None):
+        a = self._materialize()
+        if dtype is not None and np.dtype(dtype) != a.dtype:
+            return a.astype(dtype)
+        return np.array(a) if copy else a
+
+
+def lazy_slice(audio, a: int, b: int):
+    """audio[a:b] without reading bytes when ``audio`` is lazy; plain
+    ndarrays slice eagerly (cheap view) for type stability downstream."""
+    if isinstance(audio, np.ndarray):
+        return np.asarray(audio[a:b], np.float32)
+    return LazyClip(audio, a, b)
+
+
 def load_audio_many(paths, target_sr: int = TARGET_SR,
                     noise_reduction_amount: float = 0.5,
                     denoise: bool = True, return_device: bool = False,

@@ -62,4 +62,6 @@ def split_long(clip: np.ndarray, sr: int, max_s: float = 30.0) -> List[np.ndarra
     """Split a clip into ≤max_s pieces (whisper's window; segments longer
     than 30 s are rare after diarization — SURVEY.md §5.7)."""
     limit = int(max_s * sr)
+    if len(clip) <= limit:     # common case; also keeps lazy clips unread
+        return [clip]
     return [clip[i : i + limit] for i in range(0, max(len(clip), 1), limit)]

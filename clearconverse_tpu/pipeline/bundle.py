@@ -979,9 +979,13 @@ class ModelBundle:
             self._put_data(fstarts), self._put_data(totals)))[:n_real]
 
     def embed_denoised_store(self, store: AudioStore, rows, starts, lens,
-                             prop_decrease: float, bucket: int) -> np.ndarray:
+                             prop_decrease: float, bucket: int,
+                             with_var: bool = False):
         """gather + spectral gate + peak-norm + embed as ONE device program
-        over store windows (profile building)."""
+        over store windows (profile building). ``with_var`` also returns the
+        population variance of each RAW (pre-denoise) window — the profile
+        weighting the engine otherwise computes as host np.var(clip), which
+        would join a still-in-flight LazyAudio download."""
         self._ensure()
         import jax
         import jax.numpy as jnp
@@ -991,19 +995,31 @@ class ModelBundle:
         rows, starts, lens, n_real = self._store_embed_args(rows, starts, lens)
         dims = self._ecapa_dims or EcapaDims()
         self._place_aux()
-        key = (bucket, store.sr)
+        key = (bucket, store.sr, bool(with_var))
         if key not in self._jit_embed_denoised_store:
-            def f(p, dev, r, s, l, pd, bucket=bucket, sr=store.sr):
+            def f(p, dev, r, s, l, pd, bucket=bucket, sr=store.sr,
+                  with_var=bool(with_var)):
                 audio = gather_windows(dev, r, s, l, bucket)
                 mask = (jnp.arange(bucket)[None, :]
                         < l[:, None]).astype(jnp.float32)
                 clean = peak_normalize(spectral_gate(audio, sr, pd, mask))
-                return ecapa_embed(p, clean, l, dims)
+                emb = ecapa_embed(p, clean, l, dims)
+                if not with_var:
+                    return emb
+                lf = l.astype(jnp.float32)
+                mean = jnp.sum(audio * mask, axis=-1) / lf
+                var = (jnp.sum(((audio - mean[:, None]) * mask) ** 2,
+                               axis=-1) / lf)
+                return emb, var
             self._jit_embed_denoised_store[key] = jax.jit(f)
-        return np.asarray(self._jit_embed_denoised_store[key](
+        out = self._jit_embed_denoised_store[key](
             self._ecapa, store.dev, self._put_data(rows),
             self._put_data(starts), self._put_data(lens),
-            jnp.float32(prop_decrease)))[:n_real]
+            jnp.float32(prop_decrease))
+        if with_var:
+            emb, var = out
+            return np.asarray(emb)[:n_real], np.asarray(var)[:n_real]
+        return np.asarray(out)[:n_real]
 
     def segment_frames_store(self, store: AudioStore, rows, starts,
                              window: int) -> np.ndarray:

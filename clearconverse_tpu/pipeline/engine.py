@@ -113,26 +113,36 @@ class TranscriptionEngine:
         per file, optional) routes clips through device gathers."""
         if not self.config.use_speaker_embeddings:
             return [{} for _ in file_items]
-        flats: List[List[Tuple[str, np.ndarray, float]]] = []
+        # Clips extract LAZILY when the file has a store ref: the device
+        # embeds (and now variance-weights) them from the AudioStore, so a
+        # LazyAudio whose download is still in flight stays unread.
+        flats: List[List[Tuple[str, object]]] = []
         crefs: List = []
+        vars_: List[Optional[float]] = []
         for fi, (audio, raw_segments) in enumerate(file_items):
             fref = store_refs[fi] if store_refs else None
             duration = len(audio) / sr
             selected = S.select_profile_segments(
                 raw_segments, self.config.max_embedding_segments)
-            flat: List[Tuple[str, np.ndarray, float]] = []
+            flat: List[Tuple[str, object]] = []
             for spk, spans in selected.items():
                 for (s, e) in spans:
-                    clip = S.extract_segment(audio, s, e, sr)
+                    clip = (S.extract_segment_lazy(audio, s, e, sr) if fref
+                            else S.extract_segment(audio, s, e, sr))
                     if len(clip) > 0.5 * sr:
-                        flat.append((spk, clip, float(np.var(clip))))
+                        flat.append((spk, clip))
                         i0 = int(max(s, 0.0) * sr)
+                        use_ref = (fref is not None
+                                   and i0 < int(min(e, duration) * sr))
                         crefs.append((fref[0], fref[1], i0)
-                                     if fref and i0 < int(min(e, duration) * sr)
-                                     else None)
+                                     if use_ref else None)
+                        # Host np.var only off the store path; device
+                        # variance fills the None entries below.
+                        vars_.append(None if use_ref
+                                     else float(np.var(np.asarray(clip))))
             flats.append(flat)
 
-        clips = [c for flat in flats for _, c, _ in flat]
+        clips = [c for flat in flats for _, c in flat]
         embs: List[Optional[np.ndarray]] = [None] * len(clips)
         if not clips:
             return [{} for _ in file_items]
@@ -148,14 +158,19 @@ class TranscriptionEngine:
                     [crefs[i] for i in store_ids],
                     [len(clips[i]) for i in store_ids], sr,
                     self.tpu.duration_buckets, 64):
-                e = self.models.embed_denoised_store(
+                e, v = self.models.embed_denoised_store(
                     sb.store, sb.rows, sb.starts, sb.lens,
-                    self.config.noise_reduction_amount, sb.bucket)
-                for j, emb in zip(sub, e):
+                    self.config.noise_reduction_amount, sb.bucket,
+                    with_var=True)
+                for j, emb, var in zip(sub, e, v):
                     embs[store_ids[j]] = emb
+                    vars_[store_ids[j]] = float(var)
         store_id_set = set(store_ids)
         host_ids = [i for i in range(len(clips)) if i not in store_id_set]
-        host_clips = [clips[i] for i in host_ids]
+        for i in host_ids:      # store ref present but no device var path
+            if vars_[i] is None:
+                vars_[i] = float(np.var(np.asarray(clips[i])))
+        host_clips = [np.asarray(clips[i], np.float32) for i in host_ids]
         if host_ids and hasattr(self.models, "embed_denoised_batch"):
             for idx, padded, lens in batch_audio(host_clips, sr,
                                                  self.tpu.duration_buckets, 64):
@@ -184,8 +199,9 @@ class TranscriptionEngine:
         for flat in flats:
             profiles: Dict[str, np.ndarray] = {}
             by_spk: Dict[str, List[Tuple[np.ndarray, float]]] = {}
-            for (spk, _, var), emb in zip(flat, embs[pos : pos + len(flat)]):
-                if emb is not None:
+            for (spk, _), emb, var in zip(flat, embs[pos : pos + len(flat)],
+                                          vars_[pos : pos + len(flat)]):
+                if emb is not None and var is not None:
                     by_spk.setdefault(spk, []).append((emb, var))
             pos += len(flat)
             for spk, pairs in by_spk.items():
@@ -556,12 +572,19 @@ class TranscriptionEngine:
         refined.sort(key=lambda x: x[0])
 
         # ---------- phase 1: classify + model scoring (batched) ------
-        seg_audio = [S.extract_segment(audio, s, e, sr) for s, e, _ in refined]
         # Device-resident audio refs (AudioStore): (store, row,
         # start-sample) per segment when the clip is a clean contiguous
         # slice — decode batches then gather windows on device instead
         # of re-uploading them.
         store, srow = pre.get("store"), pre.get("store_row")
+        # With a store, segment clips extract lazily: the decode/embed
+        # batches consume (row, start, len) refs, so an in-flight LazyAudio
+        # download stays unread until a host-only path (outputs, rapid
+        # exchange, fallbacks) actually touches bytes.
+        seg_audio = [(S.extract_segment_lazy(audio, s, e, sr)
+                      if store is not None and srow is not None
+                      else S.extract_segment(audio, s, e, sr))
+                     for s, e, _ in refined]
         duration_all = len(audio) / sr
 
         def seg_ref(s, e):
@@ -832,12 +855,14 @@ class TranscriptionEngine:
         # each window resolves (their start depends on the decoded seek).
         units: List[Dict] = []
         item_units: List[List[int]] = []
+        from clearconverse_tpu.audio.decode import lazy_slice
         for i, it in enumerate(items):
-            audio = np.asarray(it["audio"], np.float32)
-            ref = it.get("store_ref")   # (AudioStore, row, start-sample)
+            audio = it["audio"]   # may be lazy; bytes join only on the
+            ref = it.get("store_ref")   # host-upload fallback paths below
             unit_ids = []
             if long_ok and len(audio) > win:
-                units.append(dict(item=i, audio=audio[:win], text=None,
+                units.append(dict(item=i, audio=lazy_slice(audio, 0, win),
+                                  text=None,
                                   prev_unit=None, long=True, cursor=0,
                                   sref=(ref + (min(win, len(audio)),)
                                         if ref else None)))
@@ -904,10 +929,10 @@ class TranscriptionEngine:
                 if total - cursor <= int(0.1 * sr):
                     return
                 base = items[i].get("store_ref")
+                from clearconverse_tpu.audio.decode import lazy_slice
                 units.append(dict(
                     item=i, text=None, prev_unit=u, long=True, cursor=cursor,
-                    audio=np.asarray(items[i]["audio"],
-                                     np.float32)[cursor:cursor + win],
+                    audio=lazy_slice(items[i]["audio"], cursor, cursor + win),
                     sref=((base[0], base[1], base[2] + cursor,
                            min(win, total - cursor)) if base else None)))
                 nid = len(units) - 1

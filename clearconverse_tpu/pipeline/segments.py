@@ -244,3 +244,18 @@ def extract_segment(audio: np.ndarray, start: float, end: float, sr: int) -> np.
     if i0 >= i1:
         return np.zeros(100, np.float32)
     return np.asarray(audio[..., i0:i1], np.float32).reshape(-1)
+
+
+def extract_segment_lazy(audio, start: float, end: float, sr: int):
+    """extract_segment's exact clamping/quirk semantics WITHOUT reading
+    bytes: returns a decode.LazyClip view (or the 100-zeros quirk array),
+    so ``audio`` may be a LazyAudio whose device download is still in
+    flight. len() of the result equals len(extract_segment(...))."""
+    from clearconverse_tpu.audio.decode import lazy_slice
+    duration = len(audio) / sr
+    start = max(start, 0.0)
+    end = min(end, duration)
+    i0, i1 = int(start * sr), int(end * sr)
+    if i0 >= i1:
+        return np.zeros(100, np.float32)
+    return lazy_slice(audio, i0, i1)

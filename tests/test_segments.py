@@ -166,6 +166,49 @@ def test_extract_segment_clamps():
     assert (extract_segment(audio, 3.0, 2.0, sr) == 0).all()
 
 
+def test_extract_segment_lazy_matches_eager():
+    """The lazy variant (LazyAudio-safe, used on store-backed engine paths)
+    has identical clamping, length, and bytes — including the 100-zeros
+    inverted-range quirk — and does not read bytes until accessed."""
+    from clearconverse_tpu.pipeline.segments import extract_segment_lazy
+
+    sr = 100
+    audio = np.arange(500, dtype=np.float32)
+
+    class Counting:
+        """len() is free; any byte access increments reads."""
+        def __init__(self, a):
+            self.a, self.reads = a, 0
+        def __len__(self):
+            return len(self.a)
+        def __getitem__(self, k):
+            self.reads += 1
+            return self.a[k]
+
+    for s, e in [(-1.0, 2.0), (4.0, 99.0), (1.0, 1.5), (3.0, 2.0)]:
+        src = Counting(audio)
+        lazy = extract_segment_lazy(src, s, e, sr)
+        eager = extract_segment(audio, s, e, sr)
+        assert len(lazy) == len(eager)
+        assert src.reads == 0                       # len cost no bytes
+        np.testing.assert_array_equal(np.asarray(lazy), eager)
+
+
+def test_split_long_short_clip_is_identity():
+    """≤30 s clips return unsliced (keeps LazyClips unread); longer ones
+    split as before."""
+    from clearconverse_tpu.pipeline.batching import split_long
+
+    sr = 10
+    short = np.arange(200, dtype=np.float32)
+    out = split_long(short, sr, 30.0)
+    assert len(out) == 1 and out[0] is short
+    longer = np.arange(650, dtype=np.float32)
+    out = split_long(longer, sr, 30.0)
+    assert [len(c) for c in out] == [300, 300, 50]
+    np.testing.assert_array_equal(np.concatenate(out), longer)
+
+
 # ------------------------------------------------------------- clustering
 
 def test_binarize_hysteresis():
