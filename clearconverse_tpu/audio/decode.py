@@ -310,7 +310,11 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
 
         def _download():
             td = _time.perf_counter()
-            holder["host"] = np.asarray(q_down).astype(np.float32) / 32767.0
+            try:
+                holder["host"] = (np.asarray(q_down).astype(np.float32)
+                                  / 32767.0)
+            except Exception as exc:  # noqa: BLE001 — surface at join time
+                holder["error"] = exc
             if stage_times is not None:
                 stage_times["download_async"] = (
                     stage_times.get("download_async", 0.0)
@@ -326,6 +330,10 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
                 stage_times["download_wait"] = (
                     stage_times.get("download_wait", 0.0)
                     + (_time.perf_counter() - tw))
+            if "error" in holder:   # joiner sees the transfer's failure;
+                # per-file isolation upstream turns it into file→None
+                raise RuntimeError(
+                    f"async gated-audio download failed: {holder['error']}")
             return holder["host"]
 
         for row, i in enumerate(order):
