@@ -20,7 +20,7 @@ import numpy as np
 
 from clearconverse_tpu.audio import denoise as _denoise
 from clearconverse_tpu.audio.resample import resample
-from clearconverse_tpu.audio.wav import read_wav, read_wav_i16
+from clearconverse_tpu.audio.wav import _scan_chunks, read_wav, read_wav_i16
 
 logger = logging.getLogger(__name__)
 
@@ -98,24 +98,18 @@ def load_audio(file_path: str, target_sr: int = TARGET_SR,
     return wave[:n_out], target_sr
 
 
-class LazyAudio:
-    """Float32 [T] file audio whose bytes may still be in flight from the
-    device (load_audio_many(host_async=True) overlaps the gated-batch
-    download with the engine's device-side analysis phases). Length is
-    known immediately; the first BYTE access joins the transfer. Covers
-    the engine's actual access patterns (len / slicing / np.asarray) —
-    not a general ndarray stand-in."""
+class _Lazy1D:
+    """Shared facade for lazily-materialized float32 [T] audio: length is
+    known immediately (free len/shape), bytes appear on first access via
+    the subclass's ``_materialize``. Covers the engine's actual access
+    patterns (len / slicing / np.asarray) — not a general ndarray
+    stand-in; public results materialize to real ndarrays (engine
+    _finalize) before leaving the pipeline."""
 
-    def __init__(self, join, row: int, n: int):
-        self._join = join
-        self._row = row
-        self._n = n
-        self._arr = None
+    _n: int
 
     def _materialize(self) -> np.ndarray:
-        if self._arr is None:
-            self._arr = self._join()[self._row, : self._n]
-        return self._arr
+        raise NotImplementedError
 
     def __len__(self) -> int:
         return self._n
@@ -146,7 +140,29 @@ class LazyAudio:
         return np.array(a) if copy else a
 
 
-class LazyClip:
+class LazyAudio(_Lazy1D):
+    """Float32 [T] file audio whose bytes may still be in flight from the
+    device (load_audio_many(host_async=True) overlaps the gated-batch
+    download with the engine's device-side analysis phases). The first
+    BYTE access joins the transfer. ``stats_flush`` (when provided) folds
+    the download thread's timing span into the caller's stage dict once
+    the thread has finished — only the main thread ever mutates that
+    dict."""
+
+    def __init__(self, join, row: int, n: int, flush=None):
+        self._join = join
+        self._row = row
+        self._n = n
+        self._arr = None
+        self.stats_flush = flush
+
+    def _materialize(self) -> np.ndarray:
+        if self._arr is None:
+            self._arr = self._join()[self._row, : self._n]
+        return self._arr
+
+
+class LazyClip(_Lazy1D):
     """Lazy float32 [T] sub-view over an audio source (LazyAudio or ndarray):
     bounds clamp eagerly — so len() is free — and bytes materialize on
     first access. Lets segment clips flow through the engine's store-backed
@@ -158,40 +174,13 @@ class LazyClip:
         self._src = src
         self._a = min(max(int(a), 0), n)
         self._b = min(max(int(b), self._a), n)
+        self._n = self._b - self._a
         self._arr = None
 
     def _materialize(self) -> np.ndarray:
         if self._arr is None:
             self._arr = np.asarray(self._src[self._a: self._b], np.float32)
         return self._arr
-
-    def __len__(self) -> int:
-        return self._b - self._a
-
-    @property
-    def size(self) -> int:
-        return self._b - self._a
-
-    @property
-    def shape(self):
-        return (self._b - self._a,)
-
-    @property
-    def ndim(self) -> int:
-        return 1
-
-    @property
-    def dtype(self):
-        return np.dtype(np.float32)
-
-    def __getitem__(self, key):
-        return self._materialize()[key]
-
-    def __array__(self, dtype=None, copy=None):
-        a = self._materialize()
-        if dtype is not None and np.dtype(dtype) != a.dtype:
-            return a.astype(dtype)
-        return np.array(a) if copy else a
 
 
 def lazy_slice(audio, a: int, b: int):
@@ -244,13 +233,14 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
             # native int16 grid straight to the device: no f32 round-trip,
             # no peak-prescale requantization (which costs ≤0.5 LSB), and
             # no [T]-sized float temporaries on this one-core host.
-            fast = read_wav_i16(p)
+            scanned = _scan_chunks(p)   # one read+parse serves both paths
+            fast = read_wav_i16(p, scanned=scanned)
             if fast is not None and fast[1] == target_sr:
                 waves.append(fast[0])
                 n_outs.append(len(fast[0]))
                 order.append(i)
                 continue
-            samples, sr = read_wav(p)
+            samples, sr = read_wav(p, scanned=scanned)
             mono = samples.mean(axis=0).astype(np.float32)
             n_out = len(mono)
             if sr != target_sr:
@@ -309,19 +299,32 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
         holder = {}
 
         def _download():
+            # The thread writes ONLY distinct holder keys (never the shared
+            # stage_times dict — a concurrent insert there races any main-
+            # thread iteration over it, e.g. the engine's end-of-run span
+            # aggregation, and can raise "dictionary changed size during
+            # iteration", losing the whole run).
             td = _time.perf_counter()
             try:
                 holder["host"] = (np.asarray(q_down).astype(np.float32)
                                   / 32767.0)
             except Exception as exc:  # noqa: BLE001 — surface at join time
                 holder["error"] = exc
-            if stage_times is not None:
-                stage_times["download_async"] = (
-                    stage_times.get("download_async", 0.0)
-                    + (_time.perf_counter() - td))
+            holder["elapsed"] = _time.perf_counter() - td
 
         th = threading.Thread(target=_download, daemon=True)
         th.start()
+
+        def _flush_stats():
+            """Fold the thread's overlapped-transfer span into stage_times
+            — main thread only, and only once the thread has finished (so
+            holder['elapsed'] is final)."""
+            if (stage_times is None or th.is_alive()
+                    or holder.get("folded") or "elapsed" not in holder):
+                return
+            holder["folded"] = True
+            stage_times["download_async"] = (
+                stage_times.get("download_async", 0.0) + holder["elapsed"])
 
         def _join():
             tw = _time.perf_counter()
@@ -330,6 +333,7 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
                 stage_times["download_wait"] = (
                     stage_times.get("download_wait", 0.0)
                     + (_time.perf_counter() - tw))
+            _flush_stats()
             if "error" in holder:   # joiner sees the transfer's failure;
                 # per-file isolation upstream turns it into file→None
                 raise RuntimeError(
@@ -337,7 +341,8 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
             return holder["host"]
 
         for row, i in enumerate(order):
-            results[i] = LazyAudio(_join, row, n_outs[row])
+            results[i] = LazyAudio(_join, row, n_outs[row],
+                                   flush=_flush_stats)
             row_map[i] = row
         return results, batch, row_map
     host = np.asarray(q_down).astype(np.float32) / 32767.0

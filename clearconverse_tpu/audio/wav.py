@@ -46,24 +46,27 @@ def _scan_chunks(path: str):
     return fmt, payload
 
 
-def read_wav_i16(path: str):
+def read_wav_i16(path: str, scanned=None):
     """Raw fast path: mono 16-bit PCM → (int16 [T] samples, rate), or None
     for any other layout. Callers that move audio to an accelerator as
     int16 (audio.decode.load_audio_many) skip the float round-trip AND the
     peak-prescale requantization — the native 16-bit grid is bit-faithful,
-    re-quantizing through f32 adds ≤0.5 LSB."""
-    fmt, payload = _scan_chunks(path)
+    re-quantizing through f32 adds ≤0.5 LSB. ``scanned`` (a prior
+    _scan_chunks result) skips re-reading + re-parsing the file when the
+    caller probes this fast path before falling back to read_wav."""
+    fmt, payload = scanned if scanned is not None else _scan_chunks(path)
     tag, channels, rate, bits = fmt
     if tag != _PCM or bits != 16 or channels != 1:
         return None
     return np.frombuffer(payload, dtype="<i2"), rate
 
 
-def read_wav(path: str) -> Tuple[np.ndarray, int]:
+def read_wav(path: str, scanned=None) -> Tuple[np.ndarray, int]:
     """Read a WAV file → (float32 samples in [-1, 1] of shape [channels, T],
     sample_rate). Channel-major to match torchaudio.load's convention that the
-    reference pipeline assumes (back/api.py:820-824)."""
-    fmt, payload = _scan_chunks(path)
+    reference pipeline assumes (back/api.py:820-824). ``scanned`` reuses a
+    prior _scan_chunks result (see read_wav_i16)."""
+    fmt, payload = scanned if scanned is not None else _scan_chunks(path)
     tag, channels, rate, bits = fmt
     # C++ fast path (audio/native): PCM unpack + de-interleave in one pass.
     try:

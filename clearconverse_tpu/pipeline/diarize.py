@@ -20,7 +20,7 @@ with (1, 2) speaker bounds.
 from __future__ import annotations
 
 import logging
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -191,45 +191,53 @@ def _clips_from_descs(audio, descs: List[tuple]) -> List[np.ndarray]:
 
 
 def _embed_descs_store(bundle, store, rows: List[int], descs: List[tuple],
-                       sr: int) -> Optional[np.ndarray]:
+                       sr: int):
     """Embed carve descriptors via ON-DEVICE store gathers (no clip upload):
     exclusive-frame clips through bundle.embed_frames_store, contiguous
     slices through bundle.embed_store. Bit-equivalent to embedding the
-    host-assembled clips of _pad_clips over the same gated audio. Returns
-    None when the descriptors don't fit the fixed-frame gather (non-uniform
-    frame lengths from float hop rounding) — caller falls back to host."""
+    host-assembled clips of _pad_clips over the same gated audio.
+
+    Returns ``(embs [N, D], missing_ids)``: frame clips whose frame
+    lengths are non-uniform WITHIN the clip (float hop × sr rounding,
+    e.g. sr=22050) don't fit the fixed-frame gather — their rows are
+    zeros and their indices land in ``missing_ids`` for the caller to
+    host-embed individually, instead of aborting the whole batch back to
+    the per-clip upload path (ADVICE r3). Returns None only when nothing
+    could be embedded on device (caller falls back to host entirely)."""
     pad = int(EMBED_PAD_S * sr)
     frame_ids = [i for i, d in enumerate(descs) if d[0] == "frames"]
     slice_ids = [i for i, d in enumerate(descs) if d[0] == "slice"]
-    fr = None
-    if frame_ids:
-        lens = set()
-        for i in frame_ids:
-            _, fs, fe = descs[i]
-            lens.update(np.unique(fe - fs).tolist())
-        if len(lens) != 1:
-            return None
-        fr = int(lens.pop())
-        if fr <= 0:
-            return None
+    missing: List[int] = []
+    # Group frame clips by their (per-clip uniform) frame length — clips
+    # with mixed lengths inside can't ride the fixed-fr gather.
+    by_fr: Dict[int, List[int]] = {}
+    for i in frame_ids:
+        _, fs, fe = descs[i]
+        lens = np.unique(fe - fs)
+        if len(lens) == 1 and int(lens[0]) > 0:
+            by_fr.setdefault(int(lens[0]), []).append(i)
+        else:
+            missing.append(i)
+    if not by_fr and not slice_ids:
+        return None
     emb_map = {}
     CHUNK = 128
-    if frame_ids:
+    for fr, ids in by_fr.items():
         F = -(-pad // fr)                       # ceil: F*fr >= pad
-        starts = np.zeros((len(frame_ids), F), np.int32)
-        totals = np.ones(len(frame_ids), np.int32)
-        rws = np.asarray([rows[i] for i in frame_ids], np.int32)
-        for k, i in enumerate(frame_ids):
+        starts = np.zeros((len(ids), F), np.int32)
+        totals = np.ones(len(ids), np.int32)
+        rws = np.asarray([rows[i] for i in ids], np.int32)
+        for k, i in enumerate(ids):
             _, fs, _ = descs[i]
             n = min(len(fs), F)
             starts[k, :n] = fs[:n]
             totals[k] = max(min(len(fs) * fr, pad), 1)
-        for lo in range(0, len(frame_ids), CHUNK):
-            hi = min(lo + CHUNK, len(frame_ids))
+        for lo in range(0, len(ids), CHUNK):
+            hi = min(lo + CHUNK, len(ids))
             embs = bundle.embed_frames_store(store, rws[lo:hi],
                                              starts[lo:hi], totals[lo:hi],
                                              fr, pad)
-            for k, i in enumerate(frame_ids[lo:hi]):
+            for k, i in enumerate(ids[lo:hi]):
                 emb_map[i] = embs[k]
     if slice_ids:
         for lo in range(0, len(slice_ids), CHUNK):
@@ -241,7 +249,12 @@ def _embed_descs_store(bundle, store, rows: List[int], descs: List[tuple],
                 pad)
             for k, i in enumerate(ids):
                 emb_map[i] = embs[k]
-    return np.stack([emb_map[i] for i in range(len(descs))])
+    if not emb_map:
+        return None
+    dim = len(next(iter(emb_map.values())))
+    zero = np.zeros(dim, np.float32)
+    return (np.stack([emb_map.get(i, zero) for i in range(len(descs))]),
+            missing)
 
 
 def _pad_clips(emb_clips: List[np.ndarray], sr: int):
@@ -358,8 +371,22 @@ def diarize_many(bundle, audios: List[np.ndarray], sr: int,
                          for _ in c[0]]
             all_descs = [d for c in carved for d in c[3]]
             try:
-                embs = _embed_descs_store(bundle, store, clip_rows,
-                                          all_descs, sr)
+                res = _embed_descs_store(bundle, store, clip_rows,
+                                         all_descs, sr)
+                if res is not None:
+                    embs, missing = res
+                    if missing:
+                        # Host-embed ONLY the clips the fixed-frame gather
+                        # couldn't express (ragged frame lengths) — the
+                        # rest stayed on device.
+                        clip_audio = [a for a, c in zip(audios, carved)
+                                      for _ in c[0]]
+                        ragged = [_clips_from_descs(clip_audio[i],
+                                                    [all_descs[i]])[0]
+                                  for i in missing]
+                        batch, lengths = _pad_clips(ragged, sr)
+                        embs[np.asarray(missing)] = bundle.embed_batch(
+                            batch, lengths)
             except Exception as exc:  # noqa: BLE001 — host fallback
                 logger.error("store-gathered diarize embeds failed: %s", exc)
                 embs = None

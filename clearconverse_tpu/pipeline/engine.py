@@ -230,7 +230,11 @@ class TranscriptionEngine:
                 step = min(step, (seg_end - seg_start) / 4)
             curr = seg_start
             while curr + wsize <= seg_end:
-                windows.append(S.extract_segment(audio, curr, curr + wsize, sr))
+                # Lazy window views: on the store path _embed_many consumes
+                # only refs/lengths, so eager extraction here would join an
+                # in-flight LazyAudio download and copy bytes it never uses.
+                windows.append(
+                    S.extract_segment_lazy(audio, curr, curr + wsize, sr))
                 refs.append((store_ref[0], store_ref[1],
                              int(max(curr, 0.0) * sr)) if store_ref else None)
                 owners.append((si, curr, curr + wsize, step))
@@ -425,6 +429,13 @@ class TranscriptionEngine:
                 try:
                     plans[i] = self._plan_file(p, should_cancel,
                                                preloaded=pre)
+                    # Snapshot the per-file timer NOW: _prepare_file keeps
+                    # appending to the same timer, and without the split
+                    # the plan-phase spans would double-report as
+                    # prepare_files.* children (their wall clock is inside
+                    # plan_files here).
+                    plans[i]["_plan_spans"] = dict(
+                        plans[i]["timer"].as_dict())
                 except ProcessingCancelled:
                     raise
                 except Exception as exc:  # noqa: BLE001 — per-file
@@ -462,12 +473,26 @@ class TranscriptionEngine:
         # Surface the per-file sub-stages (vad, secondary diarization,
         # segment embeddings, separation, ...) summed across files as
         # dotted children of prepare_files in the bench breakdown.
+        # prep["timer"] is the SAME object the plan phase wrote to — report
+        # spans recorded during plan_files as plan_files.* children and
+        # only the post-snapshot delta as prepare_files.*, or the plan
+        # seconds double-count under the wrong parent.
         prep_sub: Dict[str, float] = {}
-        for prep in preps:
+        plan_sub: Dict[str, float] = {}
+        for plan in plans:
+            if plan is not None:
+                for k, v in plan.get("_plan_spans", {}).items():
+                    plan_sub[k] = plan_sub.get(k, 0.0) + v
+        for prep, plan in zip(preps, plans):
             if prep is None:
                 continue
+            snap = plan.get("_plan_spans", {}) if plan is not None else {}
             for k, v in prep["timer"].as_dict().items():
-                prep_sub[k] = prep_sub.get(k, 0.0) + v
+                delta = v - snap.get(k, 0.0)
+                if delta > 0:
+                    prep_sub[k] = prep_sub.get(k, 0.0) + delta
+        for k, v in plan_sub.items():
+            run_timer.spans.append((f"plan_files.{k}", v))
         for k, v in prep_sub.items():
             run_timer.spans.append((f"prepare_files.{k}", v))
         merged: List[Dict] = []
@@ -495,6 +520,17 @@ class TranscriptionEngine:
             for local, it in zip(prep["items"], merged[off : off + n]):
                 local["text"] = it.get("text", "")
             results.append(self._finalize(prep))
+        # Fold the async download thread's span into load_sub if the
+        # transfer finished without anyone joining it (clean store-path
+        # passes never touch host bytes). The flush is main-thread-only
+        # and skips while the thread is still running — load_sub is never
+        # mutated concurrently with the iteration below.
+        for pre in preloads:
+            if pre is not None:
+                flush = getattr(pre.get("audio"), "stats_flush", None)
+                if flush is not None:
+                    flush()   # one flush covers the shared batch download
+                    break
         for k, v in load_sub.items():   # sub-decomposition of load_gate
             run_timer.spans.append((f"load_gate.{k}", v))
         self.last_run_stage_times = run_timer.as_dict()
@@ -808,9 +844,15 @@ class TranscriptionEngine:
 
     def _finalize(self, prep: Dict) -> Dict:
         items, timer = prep["items"], prep["timer"]
+        # AudioSegment.audio is a PUBLIC np.ndarray contract (save_segments
+        # tobytes/astype, pickling): materialize any Lazy facades here, at
+        # the pipeline boundary. The decode already ran, so the shared
+        # gated-batch download this joins was needed regardless; internal
+        # phases kept the lazy overlap win.
         processed = [S.AudioSegment(
             start=it["start"], end=it["end"], speaker_id=it["speaker"],
-            audio=it["audio"], is_overlap=it["is_overlap"],
+            audio=np.asarray(it["audio"], np.float32),
+            is_overlap=it["is_overlap"],
             transcription=it.get("text", ""), confidence=it["confidence"],
             metadata=it["metadata"]) for it in items]
         processed.sort(key=lambda x: x.start)
@@ -929,7 +971,6 @@ class TranscriptionEngine:
                 if total - cursor <= int(0.1 * sr):
                     return
                 base = items[i].get("store_ref")
-                from clearconverse_tpu.audio.decode import lazy_slice
                 units.append(dict(
                     item=i, text=None, prev_unit=u, long=True, cursor=cursor,
                     audio=lazy_slice(items[i]["audio"], cursor, cursor + win),

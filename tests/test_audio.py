@@ -326,3 +326,66 @@ def test_gate_matmul_dft_matches_fft(rng):
     b = np.asarray(spectral_gate(jnp.asarray(x), 16000, 0.5,
                                  jnp.asarray(mask), use_fft=True))
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_load_audio_many_async_stats_flush(tmp_path, rng):
+    """host_async=True: the download thread never mutates the caller's
+    stage_times dict (a concurrent insert races any main-thread iteration
+    over it); its span is folded in by the main thread — via join() on
+    first byte access, or via LazyAudio.stats_flush() once the thread has
+    finished without anyone joining."""
+    import time
+    from clearconverse_tpu.audio.decode import LazyAudio, load_audio_many
+
+    x = np.clip(rng.standard_normal(16000) * 0.2, -0.99, 0.99)
+    p = str(tmp_path / "a.wav")
+    wavmod.write_wav(p, x.astype(np.float32), 16000)
+
+    stage_times = {}
+    out, batch, row_map = load_audio_many(
+        [p], noise_reduction_amount=0.2, return_device=True,
+        stage_times=stage_times, host_async=True)
+    assert isinstance(out[0], LazyAudio)
+    # No byte access yet: flush (waiting for the thread) must be the only
+    # way download_async lands, and it never blocks on a live thread.
+    deadline = time.time() + 10.0
+    while "download_async" not in stage_times and time.time() < deadline:
+        out[0].stats_flush()
+        time.sleep(0.01)
+    assert "download_async" in stage_times
+    assert "download_wait" not in stage_times      # nobody joined
+    before = stage_times["download_async"]
+    out[0].stats_flush()                           # idempotent
+    assert stage_times["download_async"] == before
+    np.asarray(out[0])                             # join works after flush
+    assert "download_wait" in stage_times
+
+
+def test_read_wav_scanned_param_equivalence(tmp_path, rng):
+    """read_wav/read_wav_i16 with a pre-scanned (fmt, payload) equal the
+    path-only calls — load_audio_many scans each file once and feeds both
+    probes (the fast-path probe used to re-read + re-parse every
+    non-conforming file)."""
+    from clearconverse_tpu.audio.wav import (_scan_chunks, read_wav,
+                                             read_wav_i16)
+
+    # stereo file: fast path declines, read_wav must decode from the scan
+    x = np.clip(rng.standard_normal((2, 5000)) * 0.3, -0.99, 0.99)
+    p = str(tmp_path / "st.wav")
+    wavmod.write_wav(p, x.astype(np.float32), 22050)
+    scanned = _scan_chunks(p)
+    assert read_wav_i16(p, scanned=scanned) is None
+    got, sr_got = read_wav(p, scanned=scanned)
+    want, sr_want = read_wav(p)
+    assert sr_got == sr_want
+    np.testing.assert_array_equal(got, want)
+
+    # mono 16-bit file: fast path accepts from the scan
+    y = np.clip(rng.standard_normal(4000) * 0.3, -0.99, 0.99)
+    q = str(tmp_path / "mo.wav")
+    wavmod.write_wav(q, y.astype(np.float32), 16000)
+    fast = read_wav_i16(q, scanned=_scan_chunks(q))
+    ref = read_wav_i16(q)
+    assert fast is not None and ref is not None
+    np.testing.assert_array_equal(fast[0], ref[0])
+    assert fast[1] == ref[1]

@@ -496,3 +496,11 @@ def test_process_files_stage_decomposition(tmp_path):
     for key in stages:
         if "." in key:
             assert key.split(".", 1)[0] in stages
+    # Plan-phase per-file spans (vad/diarization run inside plan_files)
+    # must report as plan_files.* children — NOT as prepare_files.*,
+    # which would double-count their wall clock under the wrong parent
+    # (the per-file timer is shared between the two phases).
+    assert "plan_files.vad" in stages
+    assert "plan_files.diarization" in stages
+    assert "prepare_files.vad" not in stages
+    assert "prepare_files.diarization" not in stages

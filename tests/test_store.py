@@ -200,3 +200,80 @@ def test_engine_store_on_equals_off(bundle, rng, tmp_path):
                  for s in r["segments"]] if r else None for r in res]
 
     assert run(True) == run(False)
+
+
+def test_embed_descs_store_ragged_frames_fall_back_per_clip(bundle, rng):
+    """A clip whose frame lengths vary WITHIN the clip (float hop × sr
+    rounding, e.g. sr=22050) is reported in ``missing`` for per-clip host
+    fallback; uniform clips still ride the device gather (ADVICE r3: one
+    ragged clip must not abort the whole store-gathered batch)."""
+    from clearconverse_tpu.pipeline.diarize import (_clips_from_descs,
+                                                    _embed_descs_store,
+                                                    _pad_clips)
+
+    sr = 16000
+    files = [rng.standard_normal(8 * sr).astype(np.float32) * 0.1]
+    store = _make_store(bundle, files, sr)
+    fr = 270
+    uniform = ("frames",
+               np.asarray([0, 2 * fr, 4 * fr], np.int64),
+               np.asarray([fr, 3 * fr, 5 * fr], np.int64))
+    ragged = ("frames", np.asarray([0, 500], np.int64),
+              np.asarray([270, 771], np.int64))       # lengths 270, 271
+    res = _embed_descs_store(bundle, store, [0, 0], [uniform, ragged], sr)
+    assert res is not None
+    embs, missing = res
+    assert missing == [1]
+    batch, lengths = _pad_clips(_clips_from_descs(files[0], [uniform]), sr)
+    want = bundle.embed_batch(batch, lengths)
+    np.testing.assert_allclose(embs[0], want[0], rtol=1e-5, atol=1e-6)
+
+
+def test_diarize_many_ragged_hop_store_equals_host(bundle):
+    """diarize_many with a frame hop whose hop×sr is NON-integer (frame
+    lengths alternate by one sample) still equals the host path: ragged
+    clips fall back per clip instead of dropping the whole batch to
+    per-clip uploads."""
+    from clearconverse_tpu.pipeline.diarize import diarize_many
+
+    sr = 16000
+    rng = np.random.default_rng(11)
+    files = [rng.standard_normal(12 * sr).astype(np.float32) * 0.1]
+    store = _make_store(bundle, files, sr)
+    fhop = 0.0168755                      # × 16000 = 270.008 samples/frame
+
+    F = int(len(files[0]) / sr / fhop)
+    act = np.zeros((F, 3), np.float32)
+    act[: int(6.0 / fhop), 0] = 0.9       # one long exclusive run → one
+    activities = [(act, fhop)]            # clip spanning a 271-length frame
+
+    kw = dict(min_speakers=1, max_speakers=2, activities=activities,
+              cluster_threshold=0.7)
+    with_store = diarize_many(bundle, files, sr, store=store,
+                              store_rows=[0], **kw)
+    without = diarize_many(bundle, files, sr, **kw)
+    assert with_store == without
+    assert all(segs for segs in without)
+
+
+def test_engine_store_results_audio_is_ndarray(bundle, rng, tmp_path):
+    """AudioSegment.audio is a PUBLIC np.ndarray contract: the store path's
+    lazy clips must materialize at the pipeline boundary (engine._finalize)
+    so consumers can tobytes()/astype()/pickle the result."""
+    from clearconverse_tpu.audio.wav import write_wav
+    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+
+    x = np.clip(rng.standard_normal(6 * 16000) * 0.2, -0.9, 0.9)
+    p = str(tmp_path / "s.wav")
+    write_wav(p, x.astype(np.float32), 16000)
+
+    eng = TranscriptionEngine(
+        Config(noise_reduction_amount=0.2, temperature=0.0),
+        TPUConfig(max_decode_tokens=8, compute_dtype="float32",
+                  diarization_onset=0.35, diarization_offset=0.25),
+        models=bundle)
+    res = eng.process_files([p])
+    assert res[0] is not None and res[0]["segments"]
+    for seg in res[0]["segments"]:
+        assert type(seg.audio) is np.ndarray
+        seg.audio.tobytes()               # ndarray-only surface
