@@ -131,6 +131,7 @@ def bench_engine(n_files: int, repeats: int) -> dict:
                       "pad_to_full_window": tpu.pad_to_full_window,
                       "cross_kv_bits": tpu.cross_kv_bits,
                       "self_kv_bits": tpu.self_kv_bits,
+                      "wire_bits": tpu.wire_bits,
                       "transcription_batch_size": cfg.transcription_batch_size,
                       "random_weights": True}}
 

@@ -194,7 +194,8 @@ def lazy_slice(audio, a: int, b: int):
 def load_audio_many(paths, target_sr: int = TARGET_SR,
                     noise_reduction_amount: float = 0.5,
                     denoise: bool = True, return_device: bool = False,
-                    stage_times=None, host_async: bool = False):
+                    stage_times=None, host_async: bool = False,
+                    wire_bits: int = 16):
     """Batched multi-file load (process_files): per-file decode/resample,
     then ONE fused gate+normalize device call over the padded batch and ONE
     device→host transfer — per-file load_audio pays both per file.
@@ -268,19 +269,34 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
     # crushed/clipped by a fixed /32768 grid. The f32 gated batch stays on
     # device as the AudioStore.
     T = _next_bucket(max(n_outs), target_sr)
-    q_up = np.zeros((len(waves), T), np.int16)
-    for row, w in enumerate(waves):
-        if w.dtype == np.int16:      # native grid: straight copy
-            q_up[row, : len(w)] = w
-            continue
-        peak = max(float(np.max(np.abs(w))), 1e-12) if len(w) else 1e-12
-        scaled = w * (32767.0 / peak)
-        q_up[row, : len(w)] = np.clip(np.round(scaled), -32768,
-                                      32767).astype(np.int16)
+    if wire_bits == 8:
+        # Opt-in mu-law wire (CC_TPU_WIRE_BITS=8): half the upload bytes at
+        # ~38 dB companding SNR — see audio/wire.py. Every row peak-prescales
+        # (the codec's resolution is amplitude-relative; the gate is
+        # scale-invariant and the output is peak-normalized anyway).
+        from clearconverse_tpu.audio.wire import mulaw_encode_np
+        q_up = np.full((len(waves), T), 128, np.uint8)  # code 128 ~ 0.0
+        for row, w in enumerate(waves):
+            x = (w.astype(np.float32) / 32768.0 if w.dtype == np.int16
+                 else np.asarray(w, np.float32))
+            peak = max(float(np.max(np.abs(x))), 1e-12) if len(x) else 1e-12
+            q_up[row, : len(x)] = mulaw_encode_np(x / peak)
+    else:
+        q_up = np.zeros((len(waves), T), np.int16)
+        for row, w in enumerate(waves):
+            if w.dtype == np.int16:      # native grid: straight copy
+                q_up[row, : len(w)] = w
+                continue
+            peak = max(float(np.max(np.abs(w))), 1e-12) if len(w) else 1e-12
+            scaled = w * (32767.0 / peak)
+            q_up[row, : len(w)] = np.clip(np.round(scaled), -32768,
+                                          32767).astype(np.int16)
     t0 = _mark("host_decode", t0)
     # Validity crosses as a [K] int32 vector; the [K, T] f32 mask builds on
     # device (host-built it was 30.7 MB — 2× the audio's own bytes).
-    batch, q_down = _denoise.gate_normalize_i16_jit(
+    gate = (_denoise.gate_normalize_u8_jit if wire_bits == 8
+            else _denoise.gate_normalize_i16_jit)
+    batch, q_down = gate(
         jnp.asarray(q_up), noise_reduction_amount,
         jnp.asarray(n_outs, jnp.int32), sr=target_sr,
         denoise=bool(denoise and noise_reduction_amount > 0))

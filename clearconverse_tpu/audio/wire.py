@@ -1,0 +1,47 @@
+"""8-bit mu-law wire format for host->device audio uploads (opt-in).
+
+The engine's load stage is wire-bound: the tunnel moves ~23 MB/s and the
+int16 batch upload is the single largest stage of a warm engine pass
+(bench stage_seconds.load_gate.upload_gate). mu-law (G.711's companding
+curve, mu=255) halves the bytes at ~38 dB SNR on speech — inaudible for
+ASR/diarization front-ends but NOT bit-identical, so it ships off by
+default (TPUConfig.wire_bits=16) and is enabled per-deployment via
+CC_TPU_WIRE_BITS=8 once a WER check on real checkpoints clears it.
+
+Host side encodes with numpy (vectorized, ~10 ms per 8x60 s batch on the
+one-core host); the device side expands inside the gate program
+(audio/denoise.gate_normalize_u8_jit) with the exact inverse formula —
+elementwise, fuses into the gate's first pass.
+
+The reference has no wire: its audio tensor moves over PCIe implicitly
+(back/api.py:836 `.to(device)`); a lossy-but-configurable transfer format
+is TPU-rebuild-specific engineering for the tunnel-attached topology.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MU = 255.0
+
+
+def mulaw_encode_np(x: np.ndarray) -> np.ndarray:
+    """float in [-1, 1] -> uint8 mu-law code (vectorized host encoder)."""
+    x = np.clip(x, -1.0, 1.0)
+    y = np.sign(x) * np.log1p(MU * np.abs(x)) / np.log1p(MU)
+    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+
+
+def mulaw_decode_np(u: np.ndarray) -> np.ndarray:
+    """uint8 mu-law code -> float32 in [-1, 1] (host mirror of the device
+    expand; test_audio asserts the round-trip SNR)."""
+    y = u.astype(np.float32) / 127.5 - 1.0
+    return np.sign(y) * ((1.0 + MU) ** np.abs(y) - 1.0) / MU
+
+
+def mulaw_expand_jnp(u):
+    """uint8 [B, T] -> float32 in [-1, 1], on device (elementwise; XLA
+    fuses it into whatever consumes the expanded waveform)."""
+    import jax.numpy as jnp
+    y = u.astype(jnp.float32) / 127.5 - 1.0
+    return jnp.sign(y) * ((1.0 + MU) ** jnp.abs(y) - 1.0) / MU

@@ -97,6 +97,11 @@ class TPUConfig:
     # stream with exact per-position scale folding (+1-2% RTFx measured;
     # default stays full precision for parity purity).
     self_kv_bits: int = 16
+    # Host->device audio upload width (16 = int16, 8 = mu-law): the engine
+    # load stage is wire-bound (~23 MB/s tunnel) and mu-law halves its
+    # bytes at ~38 dB companding SNR (audio/wire.py). Off by default —
+    # flip via CC_TPU_WIRE_BITS=8 after a WER check on real checkpoints.
+    wire_bits: int = 16
     # First-party Pallas encoder-attention kernel in its winning regime
     # (TPU, B<=48; models/whisper._use_pallas_attn). False pins the einsum
     # attention everywhere so encoder numerics never depend on batch
@@ -131,6 +136,7 @@ def tpu_config_from_env(env: Optional[dict] = None) -> "TPUConfig":
         ("CC_TPU_MODEL_AXIS", "model_axis", int),
         ("CC_TPU_CROSS_KV_BITS", "cross_kv_bits", int),
         ("CC_TPU_SELF_KV_BITS", "self_kv_bits", int),
+        ("CC_TPU_WIRE_BITS", "wire_bits", int),
         ("CC_TPU_MAX_FALLBACK", "max_fallback_attempts", int),
         ("CC_TPU_BEST_OF", "best_of", int),
         ("CC_TPU_COMPUTE_DTYPE", "compute_dtype", str),

@@ -95,14 +95,21 @@ def build_prompt_batch(prompt_lists, max_prompt_len: int, pad_id: int):
     return toks, lens
 
 
-def _suppress(logits: jnp.ndarray, opts: DecodeOptions, is_first: jnp.ndarray) -> jnp.ndarray:
+def _suppress(logits: jnp.ndarray, opts: DecodeOptions,
+              is_first: bool) -> jnp.ndarray:
+    """``is_first`` is a TRACE-TIME bool: the decode loop body calls with
+    False, so the first-token blank/EOT penalty contributes zero ops to the
+    per-step program. Suppression itself is a jnp.where against a mask
+    built by scattering the STATIC id tuple into a constant — XLA
+    constant-folds it to a literal, so each step pays one fused select
+    over [B, V] instead of a 90-id scatter (scatters serialize on TPU)."""
     if opts.suppress_tokens:
         ids = jnp.asarray(opts.suppress_tokens, jnp.int32)
-        logits = logits.at[..., ids].set(_NEG_INF)
-    if opts.suppress_blank:
-        first_pen = jnp.where(is_first, _NEG_INF, 0.0)
-        logits = logits.at[..., opts.blank_token].add(first_pen)
-        logits = logits.at[..., opts.eot].add(first_pen)
+        mask = jnp.zeros((logits.shape[-1],), jnp.bool_).at[ids].set(True)
+        logits = jnp.where(mask[None, :], _NEG_INF, logits)
+    if opts.suppress_blank and is_first:
+        logits = logits.at[..., opts.blank_token].set(_NEG_INF)
+        logits = logits.at[..., opts.eot].set(_NEG_INF)
     return logits
 
 
@@ -281,7 +288,7 @@ def greedy_decode(
     else:
         no_speech_prob = jnp.zeros((B,), jnp.float32)
 
-    first = _suppress(last_logits, opts, jnp.bool_(True))
+    first = _suppress(last_logits, opts, True)
     none = jnp.full((B,), -1, jnp.int32)
     if opts.timestamps:
         first = _timestamp_rules(first, opts, True, none, none, none,
@@ -312,7 +319,7 @@ def greedy_decode(
         logits, kv = decoder_forward(
             params, prev[:, None], pos, P + step - 1, kv, cross_kv,
             mask, None, dims, cdt)
-        lg = _suppress(logits[:, 0, :], opts, jnp.bool_(False))
+        lg = _suppress(logits[:, 0, :], opts, False)
         if opts.timestamps:
             lg = _timestamp_rules(lg, opts, False, prev, prev2, last_ts, step)
         logp = jax.nn.log_softmax(lg, axis=-1)

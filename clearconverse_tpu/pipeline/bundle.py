@@ -139,6 +139,12 @@ class ModelBundle:
         # task must never pay a first-per-shape jit compile, which takes
         # minutes over the tunnel (VERDICT r2 weak #4).
         self.should_cancel: Optional[Callable[[], bool]] = None
+        # Accumulated wall-clock sub-spans of the transcribe calls
+        # ("decode_dev" = device program incl. result sync; the remainder is
+        # host tokenizer/quality-gate work). The engine snapshots this
+        # around the decode wavefront and surfaces the deltas as
+        # decode_wavefront.* children in bench.py's stage breakdown.
+        self.stage_times: dict = {}
         # Multi-chip serving (SURVEY.md §2.5/§5.8 new design): when
         # TPUConfig.data_axis * model_axis > 1, a device mesh shards every
         # batched program — whisper params megatron-style over ``model``,
@@ -168,6 +174,22 @@ class ModelBundle:
         if d > 1 and rows % d:
             rows = -(-rows // d) * d
         return max(rows, d)
+
+    def _span(self, key: str):
+        """Context manager accumulating a wall-clock span into
+        ``self.stage_times`` (see __init__ note)."""
+        import time
+        from contextlib import contextmanager
+
+        @contextmanager
+        def cm():
+            t0 = time.perf_counter()
+            try:
+                yield
+            finally:
+                self.stage_times[key] = (self.stage_times.get(key, 0.0)
+                                         + time.perf_counter() - t0)
+        return cm()
 
     def _put_data(self, arr):
         """Commit a batch array to the mesh, leading axis over ``data``
@@ -480,23 +502,25 @@ class ModelBundle:
             if temp > 0:
                 self._decode_seed += 1
                 rng = jax.random.PRNGKey(self._decode_seed)
-            if isinstance(audio_rows, StoreBatch):
-                out = greedy_decode_from_store(
-                    params, audio_rows.store.dev,
-                    self._put_data(audio_rows.rows),
-                    self._put_data(audio_rows.starts),
-                    self._put_data(audio_rows.lens),
-                    self._put_data(toks_rows), self._put_data(lens_rows),
-                    dims, opts, max_p, rng, target_len=target,
-                    bucket=audio_rows.bucket)
-            else:
-                out = greedy_decode_from_audio(
-                    params, self._put_data(audio_rows),
-                    self._put_data(toks_rows), self._put_data(lens_rows),
-                    dims, opts, max_p, rng, target_len=target)
-            return (np.asarray(out["tokens"]), np.asarray(out["lengths"]),
-                    np.asarray(out["sum_logprob"]),
-                    np.asarray(out["no_speech_prob"]))
+            with self._span("decode_dev"):
+                if isinstance(audio_rows, StoreBatch):
+                    out = greedy_decode_from_store(
+                        params, audio_rows.store.dev,
+                        self._put_data(audio_rows.rows),
+                        self._put_data(audio_rows.starts),
+                        self._put_data(audio_rows.lens),
+                        self._put_data(toks_rows), self._put_data(lens_rows),
+                        dims, opts, max_p, rng, target_len=target,
+                        bucket=audio_rows.bucket)
+                else:
+                    out = greedy_decode_from_audio(
+                        params, self._put_data(audio_rows),
+                        self._put_data(toks_rows), self._put_data(lens_rows),
+                        dims, opts, max_p, rng, target_len=target)
+                return (np.asarray(out["tokens"]),
+                        np.asarray(out["lengths"]),
+                        np.asarray(out["sum_logprob"]),
+                        np.asarray(out["no_speech_prob"]))
 
         # Whisper's temperature semantics (VERDICT r2 missing #1). The
         # reference passes a SCALAR temperature (0.1, back/api.py:128 via
@@ -689,23 +713,25 @@ class ModelBundle:
             if temp > 0:
                 self._decode_seed += 1
                 rng = jax.random.PRNGKey(self._decode_seed)
-            if isinstance(audio_rows, StoreBatch):
-                out = greedy_decode_from_store(
-                    params, audio_rows.store.dev,
-                    self._put_data(audio_rows.rows),
-                    self._put_data(audio_rows.starts),
-                    self._put_data(audio_rows.lens),
-                    self._put_data(toks_rows), self._put_data(plens_rows),
-                    dims, opts, max_p, rng, target_len=30 * 16000,
-                    bucket=audio_rows.bucket)
-            else:
-                out = greedy_decode_from_audio(
-                    params, audio_rows, self._put_data(toks_rows),
-                    self._put_data(plens_rows), dims, opts, max_p, rng,
-                    target_len=30 * 16000)
-            return (np.asarray(out["tokens"]), np.asarray(out["lengths"]),
-                    np.asarray(out["sum_logprob"]),
-                    np.asarray(out["no_speech_prob"]))
+            with self._span("decode_dev"):
+                if isinstance(audio_rows, StoreBatch):
+                    out = greedy_decode_from_store(
+                        params, audio_rows.store.dev,
+                        self._put_data(audio_rows.rows),
+                        self._put_data(audio_rows.starts),
+                        self._put_data(audio_rows.lens),
+                        self._put_data(toks_rows), self._put_data(plens_rows),
+                        dims, opts, max_p, rng, target_len=30 * 16000,
+                        bucket=audio_rows.bucket)
+                else:
+                    out = greedy_decode_from_audio(
+                        params, audio_rows, self._put_data(toks_rows),
+                        self._put_data(plens_rows), dims, opts, max_p, rng,
+                        target_len=30 * 16000)
+                return (np.asarray(out["tokens"]),
+                        np.asarray(out["lengths"]),
+                        np.asarray(out["sum_logprob"]),
+                        np.asarray(out["no_speech_prob"]))
 
         # Whisper's per-window temperature semantics (its seek loop runs
         # decode_with_fallback for every window): scalar temperature = ONE

@@ -324,7 +324,7 @@ class TranscriptionEngine:
                 hosts, dev_batch, row_map = load_audio_many(
                     file_paths, sr0, self.config.noise_reduction_amount,
                     return_device=True, stage_times=load_sub,
-                    host_async=True)
+                    host_async=True, wire_bits=self.tpu.wire_bits)
             if dev_batch is not None:
                 # Keep the gated audio resident on device: decode and
                 # segmentation batches gather windows from it instead of
@@ -339,7 +339,8 @@ class TranscriptionEngine:
             with run_timer.stage("load_gate"):
                 hosts = load_audio_many(file_paths, sr0,
                                         self.config.noise_reduction_amount,
-                                        stage_times=load_sub)
+                                        stage_times=load_sub,
+                                        wire_bits=self.tpu.wire_bits)
         # (load_sub spans are appended at the END of the run — the async
         # download's timings land in the dict after load_gate closes.)
         # hosts entries stay as returned: np.asarray on a LazyAudio here
@@ -509,8 +510,16 @@ class TranscriptionEngine:
                 merged.append(it)
         if merged:
             sr = next(p["sr"] for p in preps if p is not None)
+            # Sub-decompose the wavefront via the bundle's transcribe spans
+            # (decode_dev = device program incl. sync; remainder = host
+            # tokenizer/quality-gate/seek-parse work).
+            snap_bt = dict(getattr(self.models, "stage_times", {}))
             with run_timer.stage("decode_wavefront"):
                 self._transcribe_wavefront(merged, sr, should_cancel)
+            for k, v in getattr(self.models, "stage_times", {}).items():
+                delta = v - snap_bt.get(k, 0.0)
+                if delta > 0:
+                    run_timer.spans.append((f"decode_wavefront.{k}", delta))
         results: List[Optional[Dict]] = []
         for prep, off in zip(preps, offsets):
             if prep is None:

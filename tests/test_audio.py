@@ -389,3 +389,76 @@ def test_read_wav_scanned_param_equivalence(tmp_path, rng):
     assert fast is not None and ref is not None
     np.testing.assert_array_equal(fast[0], ref[0])
     assert fast[1] == ref[1]
+
+
+def test_mulaw_roundtrip_snr(rng):
+    """mu-law encode->decode keeps >=30 dB SNR on speech-like signals and
+    maps silence to (near-)zero — the 8-bit wire contract (audio/wire.py)."""
+    from clearconverse_tpu.audio.wire import (mulaw_decode_np,
+                                              mulaw_encode_np,
+                                              mulaw_expand_jnp)
+
+    t = np.arange(16000) / 16000.0
+    x = (0.5 * np.sin(2 * np.pi * 220 * t)
+         + 0.2 * np.sin(2 * np.pi * 1330 * t)
+         + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+    x /= np.max(np.abs(x))
+    y = mulaw_decode_np(mulaw_encode_np(x))
+    snr = 10 * np.log10(np.sum(x**2) / np.sum((x - y) ** 2))
+    assert snr > 30.0
+    # device expand == host decode, elementwise over all 256 codes
+    codes = np.arange(256, dtype=np.uint8)
+    np.testing.assert_allclose(np.asarray(mulaw_expand_jnp(jnp.asarray(codes))),
+                               mulaw_decode_np(codes), atol=1e-6)
+    # silence encodes to the mid code and decodes below one 16-bit LSB * 3
+    z = mulaw_decode_np(mulaw_encode_np(np.zeros(4, np.float32)))
+    assert np.max(np.abs(z)) < 1e-4
+
+
+def test_gate_u8_wire_matches_i16(rng):
+    """gate_normalize_u8_jit (mu-law wire) tracks the int16-wire gate
+    program within companding noise on the normalized output."""
+    from clearconverse_tpu.audio.denoise import (gate_normalize_i16_jit,
+                                                 gate_normalize_u8_jit)
+    from clearconverse_tpu.audio.wire import mulaw_encode_np
+
+    B, T, sr = 2, 16000, 16000
+    x = np.clip(rng.standard_normal((B, T)) * 0.2, -0.99, 0.99).astype(np.float32)
+    x[:, 12000:] = 0.0                      # padded tail
+    n_valid = np.full(B, 12000, np.int32)
+    q16 = np.clip(np.round(x * 32767), -32768, 32767).astype(np.int16)
+    peaks = np.max(np.abs(x), axis=1, keepdims=True)
+    q8 = mulaw_encode_np(x / np.maximum(peaks, 1e-12))
+    y16, _ = gate_normalize_i16_jit(jnp.asarray(q16), 0.5,
+                                    jnp.asarray(n_valid), sr=sr)
+    y8, _ = gate_normalize_u8_jit(jnp.asarray(q8), 0.5,
+                                  jnp.asarray(n_valid), sr=sr)
+    y16, y8 = np.asarray(y16), np.asarray(y8)
+    # both peak-normalized; agreement is SNR-grade, not bit-exact
+    err = y16 - y8
+    snr = 10 * np.log10(np.sum(y16**2) / max(np.sum(err**2), 1e-20))
+    assert snr > 25.0
+    # padding stays silent on the wire path too
+    assert np.max(np.abs(y8[:, 12000:])) < 1e-3
+
+
+def test_load_audio_many_wire8_close_to_wire16(tmp_path, rng):
+    """load_audio_many(wire_bits=8) returns audio within companding noise
+    of the default int16 wire, same row map / device batch shape."""
+    from clearconverse_tpu.audio.decode import load_audio_many
+
+    paths = []
+    for i in range(2):
+        x = np.clip(rng.standard_normal(20000) * 0.2, -0.99, 0.99).astype(np.float32)
+        p = str(tmp_path / f"w{i}.wav")
+        wavmod.write_wav(p, x, 16000)
+        paths.append(p)
+    h16, b16, m16 = load_audio_many(paths, return_device=True,
+                                    noise_reduction_amount=0.4)
+    h8, b8, m8 = load_audio_many(paths, return_device=True,
+                                 noise_reduction_amount=0.4, wire_bits=8)
+    assert m16 == m8 and b16.shape == b8.shape
+    for a, b in zip(h16, h8):
+        a, b = np.asarray(a), np.asarray(b)
+        snr = 10 * np.log10(np.sum(a**2) / max(np.sum((a - b) ** 2), 1e-20))
+        assert snr > 25.0
