@@ -344,8 +344,20 @@ def greedy_decode(
 
     lengths = jnp.argmax(tokens == opts.eot, axis=1)
     lengths = jnp.where(jnp.any(tokens == opts.eot, axis=1), lengths, opts.max_tokens)
+    # "packed" carries all four results as ONE [B, max_tokens+3] int32 array
+    # (floats bitcast): each separate device->host fetch pays a ~34 ms
+    # tunnel round-trip, and the engine's decode loop was spending 3 extra
+    # RTTs (~100 ms) per call pulling the four keys individually — measured
+    # 0.245 s vs 0.142 s per B=8 call. Callers that fetch results should
+    # pull "packed" once (pipeline/bundle._unpack_decode).
+    packed = jnp.concatenate(
+        [tokens, lengths[:, None].astype(jnp.int32),
+         jax.lax.bitcast_convert_type(slp.astype(jnp.float32),
+                                      jnp.int32)[:, None],
+         jax.lax.bitcast_convert_type(no_speech_prob.astype(jnp.float32),
+                                      jnp.int32)[:, None]], axis=1)
     return {"tokens": tokens, "lengths": lengths, "sum_logprob": slp,
-            "no_speech_prob": no_speech_prob}
+            "no_speech_prob": no_speech_prob, "packed": packed}
 
 
 @partial(jax.jit, static_argnames=("dims", "sot", "lang_lo", "lang_hi",

@@ -18,6 +18,23 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+def _unpack_decode(out: dict, max_tokens: int):
+    """Fetch a greedy_decode result with ONE device→host transfer via its
+    "packed" [B, max_tokens+3] int32 array (each separate fetch pays a
+    ~34 ms tunnel RTT; pulling the four keys individually cost the decode
+    loop ~100 ms per call — models/decoding.greedy_decode note). Results
+    without "packed" (test stand-ins, alternate decode backends) fall back
+    to per-key fetches."""
+    if "packed" not in out:
+        return (np.asarray(out["tokens"]), np.asarray(out["lengths"]),
+                np.asarray(out["sum_logprob"]),
+                np.asarray(out["no_speech_prob"]))
+    pk = np.asarray(out["packed"])
+    return (pk[:, :max_tokens], pk[:, max_tokens],
+            pk[:, max_tokens + 1].copy().view(np.float32),
+            pk[:, max_tokens + 2].copy().view(np.float32))
+
+
 def _row_bucket(n: int) -> int:
     """Next power-of-two row count: every device-facing batch pads to one of
     a tiny set of shapes so jit programs compile once per (rows, length)
@@ -517,10 +534,7 @@ class ModelBundle:
                         params, self._put_data(audio_rows),
                         self._put_data(toks_rows), self._put_data(lens_rows),
                         dims, opts, max_p, rng, target_len=target)
-                return (np.asarray(out["tokens"]),
-                        np.asarray(out["lengths"]),
-                        np.asarray(out["sum_logprob"]),
-                        np.asarray(out["no_speech_prob"]))
+                return _unpack_decode(out, opts.max_tokens)
 
         # Whisper's temperature semantics (VERDICT r2 missing #1). The
         # reference passes a SCALAR temperature (0.1, back/api.py:128 via
@@ -728,10 +742,7 @@ class ModelBundle:
                         params, audio_rows, self._put_data(toks_rows),
                         self._put_data(plens_rows), dims, opts, max_p, rng,
                         target_len=30 * 16000)
-                return (np.asarray(out["tokens"]),
-                        np.asarray(out["lengths"]),
-                        np.asarray(out["sum_logprob"]),
-                        np.asarray(out["no_speech_prob"]))
+                return _unpack_decode(out, opts.max_tokens)
 
         # Whisper's per-window temperature semantics (its seek loop runs
         # decode_with_fallback for every window): scalar temperature = ONE

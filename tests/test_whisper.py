@@ -300,3 +300,22 @@ def test_int8_self_kv_multitoken_prefill(hf_model, params, mel):
     b = greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
                       jnp.asarray(lens), DIMS, q8, 4)
     np.testing.assert_array_equal(np.asarray(a["tokens"]), np.asarray(b["tokens"]))
+
+
+def test_packed_output_matches_keys(hf_model, params, mel):
+    """The single-transfer "packed" result array carries exactly the four
+    individual outputs (tunnel-RTT optimization; bundle._unpack_decode)."""
+    from clearconverse_tpu.pipeline.bundle import _unpack_decode
+
+    steps = 8
+    opts = DecodeOptions(max_tokens=steps, eot=VOCAB - 1, suppress_blank=False)
+    toks, lens = build_prompt_batch([[1], [1]], 1, pad_id=0)
+    out = greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                        jnp.asarray(lens), DIMS, opts, 1)
+    tk, ln, slp, nsp = _unpack_decode(out, steps)
+    np.testing.assert_array_equal(tk, np.asarray(out["tokens"]))
+    np.testing.assert_array_equal(ln, np.asarray(out["lengths"]))
+    np.testing.assert_array_equal(slp, np.asarray(out["sum_logprob"],
+                                                  np.float32))
+    np.testing.assert_array_equal(nsp, np.asarray(out["no_speech_prob"],
+                                                  np.float32))
