@@ -504,3 +504,44 @@ def test_process_files_stage_decomposition(tmp_path):
     assert "plan_files.diarization" in stages
     assert "prepare_files.vad" not in stages
     assert "prepare_files.diarization" not in stages
+
+
+def test_process_files_wire8_plumbing_and_speakers(tmp_path):
+    """The engine threads TPUConfig.wire_bits into load_audio_many, and the
+    8-bit mu-law wire keeps the pipeline's macro decisions (speaker set,
+    total speech within tolerance) on the fake backend. Exact
+    segment-boundary equality is deliberately NOT asserted: the fake's
+    hard energy thresholds can flip a frame under the ~-38 dB companding
+    noise (observed: one 3.0 s boundary drifting to 3.1 s) — which is
+    precisely why wire_bits=8 ships off-by-default pending a real-
+    checkpoint WER check (docs/PARITY.md #8). The numeric transparency
+    guarantee lives at audio level in test_audio (SNR > 25 dB)."""
+    audio = synth_conversation()
+    p = str(tmp_path / "w.wav")
+    write_wav(p, audio, SR)
+
+    seen_bits = []
+    from clearconverse_tpu.audio import decode as dec_mod
+    real = dec_mod.load_audio_many
+
+    def spy(*a, **kw):
+        seen_bits.append(kw.get("wire_bits"))
+        return real(*a, **kw)
+
+    outs = {}
+    try:
+        dec_mod.load_audio_many = spy
+        for bits in (16, 8):
+            eng = TranscriptionEngine(
+                Config(noise_reduction_amount=0.2),
+                TPUConfig(wire_bits=bits), models=FakeModels())
+            outs[bits] = eng.process_files([p])
+    finally:
+        dec_mod.load_audio_many = real
+    assert seen_bits == [16, 8]
+    r16, r8 = outs[16][0], outs[8][0]
+    assert r16 is not None and r8 is not None
+    spk = lambda r: {s.speaker_id for s in r["segments"]}
+    dur = lambda r: sum(s.end - s.start for s in r["segments"])
+    assert spk(r16) == spk(r8)
+    assert abs(dur(r16) - dur(r8)) <= 0.3 * dur(r16) + 0.5
