@@ -161,6 +161,19 @@ class LazyAudio(_Lazy1D):
             self._arr = self._join()[self._row, : self._n]
         return self._arr
 
+    def wait(self) -> None:
+        """Block until the underlying download thread finishes. The engine
+        calls this at end-of-run: a transfer still in flight when the next
+        request starts uploading contends on the tunnel (concurrent
+        transfers measured 2.3× WORSE than sequential, CLAUDE.md r3) — and
+        by run end the download has had the whole pass to complete, so
+        this is normally a no-op. Transfer errors stay deferred to first
+        byte access (per-file isolation)."""
+        try:
+            self._join()
+        except Exception:  # noqa: BLE001 — surfaced at first byte access
+            pass
+
 
 class LazyClip(_Lazy1D):
     """Lazy float32 [T] sub-view over an audio source (LazyAudio or ndarray):

@@ -536,7 +536,16 @@ class TranscriptionEngine:
         # mutated concurrently with the iteration below.
         for pre in preloads:
             if pre is not None:
-                flush = getattr(pre.get("audio"), "stats_flush", None)
+                a = pre.get("audio")
+                if hasattr(a, "wait"):
+                    # Join the shared batch download before returning: a
+                    # transfer that outlives this run contends with the
+                    # NEXT request's upload (concurrent tunnel transfers
+                    # measured 2.3× worse than sequential) — and by now it
+                    # has had the whole pass to finish, so this is
+                    # normally instant.
+                    a.wait()
+                flush = getattr(a, "stats_flush", None)
                 if flush is not None:
                     flush()   # one flush covers the shared batch download
                     break
