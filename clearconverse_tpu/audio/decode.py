@@ -315,6 +315,14 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
         denoise=bool(denoise and noise_reduction_amount > 0))
     force_sync(q_down)
     t0 = _mark("upload_gate", t0)
+    if wire_bits == 8:
+        # The downlink also rides mu-law u8 (gate_normalize_u8_jit returns
+        # the gated batch re-encoded); decode back to f32 host-side.
+        from clearconverse_tpu.audio.wire import mulaw_decode_np
+        to_host = lambda q: mulaw_decode_np(np.asarray(q))  # noqa: E731
+    else:
+        to_host = lambda q: (np.asarray(q).astype(np.float32)  # noqa: E731
+                             / 32767.0)
     if host_async and return_device:
         # Pull the gated batch back on a worker thread (the device→host
         # copy releases the GIL during transport) and hand out LazyAudio
@@ -335,8 +343,7 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
             # iteration", losing the whole run).
             td = _time.perf_counter()
             try:
-                holder["host"] = (np.asarray(q_down).astype(np.float32)
-                                  / 32767.0)
+                holder["host"] = to_host(q_down)
             except Exception as exc:  # noqa: BLE001 — surface at join time
                 holder["error"] = exc
             holder["elapsed"] = _time.perf_counter() - td
@@ -374,7 +381,7 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
                                    flush=_flush_stats)
             row_map[i] = row
         return results, batch, row_map
-    host = np.asarray(q_down).astype(np.float32) / 32767.0
+    host = to_host(q_down)
     _mark("download", t0)
     for row, i in enumerate(order):
         results[i] = host[row, : n_outs[row]]

@@ -283,23 +283,23 @@ def gate_normalize_i16_jit(q: jnp.ndarray, prop_decrease: jnp.ndarray,
 def gate_normalize_u8_jit(q: jnp.ndarray, prop_decrease: jnp.ndarray,
                           n_valid: jnp.ndarray, sr: int = 16000,
                           denoise: bool = True):
-    """mu-law uint8 in → (f32 gated+normalized, int16 of it) — the 8-bit
-    wire variant of gate_normalize_i16_jit (TPUConfig.wire_bits=8 /
-    CC_TPU_WIRE_BITS=8): HALF the upload bytes through the ~23 MB/s tunnel
-    at ~38 dB companding SNR (see audio/wire.py for the opt-in rationale).
+    """mu-law uint8 in → (f32 gated+normalized, mu-law uint8 of it) — the
+    8-bit wire variant of gate_normalize_i16_jit (TPUConfig.wire_bits=8 /
+    CC_TPU_WIRE_BITS=8): HALF the bytes on BOTH tunnel legs at ~38 dB
+    companding SNR per leg (see audio/wire.py for the opt-in rationale).
     The mu-law expand is elementwise and fuses into the gate's first STFT
-    pass; the downstream store/download legs are identical to the int16
-    path. Rows must be peak-prescaled on host before encoding (the codec's
-    dynamic range is per-sample, not per-row)."""
-    from clearconverse_tpu.audio.wire import mulaw_expand_jnp
+    pass; the downlink re-encodes the gated waveform (it is peak-normalized,
+    so the codec's full range is used). Rows must be peak-prescaled on host
+    before encoding (the codec's dynamic range is per-sample, not
+    per-row)."""
+    from clearconverse_tpu.audio.wire import mulaw_encode_jnp, mulaw_expand_jnp
     x = mulaw_expand_jnp(q) * _valid_mask(q.shape[-1], n_valid)
     if denoise:
         y = peak_normalize(spectral_gate(
             x, sr, prop_decrease, _valid_mask(x.shape[-1], n_valid)))
     else:
         y = peak_normalize(x)
-    q_out = jnp.clip(jnp.round(y * 32767.0), -32768, 32767).astype(jnp.int16)
-    return y, q_out
+    return y, mulaw_encode_jnp(y)
 
 
 def spectral_gate_np(audio: np.ndarray, sr: int = 16000,

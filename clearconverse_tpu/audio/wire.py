@@ -45,3 +45,13 @@ def mulaw_expand_jnp(u):
     import jax.numpy as jnp
     y = u.astype(jnp.float32) / 127.5 - 1.0
     return jnp.sign(y) * ((1.0 + MU) ** jnp.abs(y) - 1.0) / MU
+
+
+def mulaw_encode_jnp(x):
+    """float32 [B, T] in [-1, 1] -> uint8 mu-law, on device — the DOWNLINK
+    leg of the 8-bit wire (the gated batch returns to the host at half the
+    int16 bytes; mulaw_decode_np reverses it there)."""
+    import jax.numpy as jnp
+    x = jnp.clip(x, -1.0, 1.0)
+    y = jnp.sign(x) * jnp.log1p(MU * jnp.abs(x)) / np.log1p(MU)
+    return jnp.clip(jnp.round((y + 1.0) * 127.5), 0, 255).astype(jnp.uint8)

@@ -431,9 +431,16 @@ def test_gate_u8_wire_matches_i16(rng):
     q8 = mulaw_encode_np(x / np.maximum(peaks, 1e-12))
     y16, _ = gate_normalize_i16_jit(jnp.asarray(q16), 0.5,
                                     jnp.asarray(n_valid), sr=sr)
-    y8, _ = gate_normalize_u8_jit(jnp.asarray(q8), 0.5,
-                                  jnp.asarray(n_valid), sr=sr)
+    y8, q8_down = gate_normalize_u8_jit(jnp.asarray(q8), 0.5,
+                                        jnp.asarray(n_valid), sr=sr)
     y16, y8 = np.asarray(y16), np.asarray(y8)
+    # the u8 DOWNLINK round-trips the gated waveform within companding noise
+    from clearconverse_tpu.audio.wire import mulaw_decode_np
+    host8 = mulaw_decode_np(np.asarray(q8_down))
+    derr = y8 - host8
+    dsnr = 10 * np.log10(max(np.sum(y8**2), 1e-20)
+                         / max(np.sum(derr**2), 1e-20))
+    assert dsnr > 30.0
     # both peak-normalized; agreement is SNR-grade, not bit-exact
     err = y16 - y8
     snr = 10 * np.log10(np.sum(y16**2) / max(np.sum(err**2), 1e-20))
