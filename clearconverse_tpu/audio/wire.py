@@ -25,17 +25,25 @@ import numpy as np
 MU = 255.0
 
 
+# Midtread quantizer: code = round(y*127)+128, so y=0 maps to code 128
+# EXACTLY and decodes back to exactly 0.0 (and ±1 to codes 255/1). A
+# midrise mapping has no zero code — a digitally-silent row would decode
+# to a +8.6e-5 DC plateau which peak_normalize then amplifies to
+# near-full-scale garbage (hallucinated "speech" on a silent file).
+_STEPS = 127.0
+
+
 def mulaw_encode_np(x: np.ndarray) -> np.ndarray:
     """float in [-1, 1] -> uint8 mu-law code (vectorized host encoder)."""
     x = np.clip(x, -1.0, 1.0)
     y = np.sign(x) * np.log1p(MU * np.abs(x)) / np.log1p(MU)
-    return np.round((y + 1.0) * 127.5).astype(np.uint8)
+    return np.clip(np.round(y * _STEPS) + 128.0, 0, 255).astype(np.uint8)
 
 
 def mulaw_decode_np(u: np.ndarray) -> np.ndarray:
     """uint8 mu-law code -> float32 in [-1, 1] (host mirror of the device
-    expand; test_audio asserts the round-trip SNR)."""
-    y = u.astype(np.float32) / 127.5 - 1.0
+    expand; test_audio asserts the round-trip SNR and exact-zero code)."""
+    y = np.clip((u.astype(np.float32) - 128.0) / _STEPS, -1.0, 1.0)
     return np.sign(y) * ((1.0 + MU) ** np.abs(y) - 1.0) / MU
 
 
@@ -43,7 +51,7 @@ def mulaw_expand_jnp(u):
     """uint8 [B, T] -> float32 in [-1, 1], on device (elementwise; XLA
     fuses it into whatever consumes the expanded waveform)."""
     import jax.numpy as jnp
-    y = u.astype(jnp.float32) / 127.5 - 1.0
+    y = jnp.clip((u.astype(jnp.float32) - 128.0) / _STEPS, -1.0, 1.0)
     return jnp.sign(y) * ((1.0 + MU) ** jnp.abs(y) - 1.0) / MU
 
 
@@ -54,4 +62,4 @@ def mulaw_encode_jnp(x):
     import jax.numpy as jnp
     x = jnp.clip(x, -1.0, 1.0)
     y = jnp.sign(x) * jnp.log1p(MU * jnp.abs(x)) / np.log1p(MU)
-    return jnp.clip(jnp.round((y + 1.0) * 127.5), 0, 255).astype(jnp.uint8)
+    return jnp.clip(jnp.round(y * _STEPS) + 128.0, 0, 255).astype(jnp.uint8)

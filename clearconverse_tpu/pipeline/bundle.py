@@ -156,12 +156,13 @@ class ModelBundle:
         # task must never pay a first-per-shape jit compile, which takes
         # minutes over the tunnel (VERDICT r2 weak #4).
         self.should_cancel: Optional[Callable[[], bool]] = None
-        # Accumulated wall-clock sub-spans of the transcribe calls
-        # ("decode_dev" = device program incl. result sync; the remainder is
-        # host tokenizer/quality-gate work). The engine snapshots this
-        # around the decode wavefront and surfaces the deltas as
-        # decode_wavefront.* children in bench.py's stage breakdown.
-        self.stage_times: dict = {}
+        # Wall-clock sub-spans of the transcribe calls ("decode_dev" =
+        # device program incl. result sync; the remainder is host
+        # tokenizer/quality-gate work). The engine snapshots
+        # ``stage_times`` around the decode wavefront and surfaces the
+        # deltas as decode_wavefront.* children in bench.py's breakdown.
+        from clearconverse_tpu.utils.tracing import StageTimer
+        self._stage_timer = StageTimer()
         # Multi-chip serving (SURVEY.md §2.5/§5.8 new design): when
         # TPUConfig.data_axis * model_axis > 1, a device mesh shards every
         # batched program — whisper params megatron-style over ``model``,
@@ -192,21 +193,10 @@ class ModelBundle:
             rows = -(-rows // d) * d
         return max(rows, d)
 
-    def _span(self, key: str):
-        """Context manager accumulating a wall-clock span into
-        ``self.stage_times`` (see __init__ note)."""
-        import time
-        from contextlib import contextmanager
-
-        @contextmanager
-        def cm():
-            t0 = time.perf_counter()
-            try:
-                yield
-            finally:
-                self.stage_times[key] = (self.stage_times.get(key, 0.0)
-                                         + time.perf_counter() - t0)
-        return cm()
+    @property
+    def stage_times(self) -> dict:
+        """Accumulated transcribe sub-spans (see __init__ note)."""
+        return self._stage_timer.as_dict()
 
     def _put_data(self, arr):
         """Commit a batch array to the mesh, leading axis over ``data``
@@ -519,7 +509,7 @@ class ModelBundle:
             if temp > 0:
                 self._decode_seed += 1
                 rng = jax.random.PRNGKey(self._decode_seed)
-            with self._span("decode_dev"):
+            with self._stage_timer.stage("decode_dev"):
                 if isinstance(audio_rows, StoreBatch):
                     out = greedy_decode_from_store(
                         params, audio_rows.store.dev,
@@ -727,7 +717,7 @@ class ModelBundle:
             if temp > 0:
                 self._decode_seed += 1
                 rng = jax.random.PRNGKey(self._decode_seed)
-            with self._span("decode_dev"):
+            with self._stage_timer.stage("decode_dev"):
                 if isinstance(audio_rows, StoreBatch):
                     out = greedy_decode_from_store(
                         params, audio_rows.store.dev,

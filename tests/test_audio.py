@@ -469,3 +469,47 @@ def test_load_audio_many_wire8_close_to_wire16(tmp_path, rng):
         a, b = np.asarray(a), np.asarray(b)
         snr = 10 * np.log10(np.sum(a**2) / max(np.sum((a - b) ** 2), 1e-20))
         assert snr > 25.0
+
+
+def test_load_audio_many_wire8_async_lazy(tmp_path, rng):
+    """host_async + wire_bits=8 — the exact configuration the engine store
+    path runs in production: the mu-law downlink decodes on the worker
+    thread, LazyAudio joins on first byte access, and the result matches
+    the synchronous wire8 path exactly."""
+    from clearconverse_tpu.audio.decode import LazyAudio, load_audio_many
+
+    paths = []
+    for i in range(2):
+        x = np.clip(rng.standard_normal(20000) * 0.2, -0.99, 0.99).astype(np.float32)
+        p = str(tmp_path / f"wa{i}.wav")
+        wavmod.write_wav(p, x, 16000)
+        paths.append(p)
+    sync_h, _, _ = load_audio_many(paths, return_device=True,
+                                   noise_reduction_amount=0.4, wire_bits=8)
+    lazy_h, batch, row_map = load_audio_many(
+        paths, return_device=True, noise_reduction_amount=0.4,
+        wire_bits=8, host_async=True)
+    assert all(isinstance(h, LazyAudio) for h in lazy_h)
+    assert row_map == [0, 1] and batch is not None
+    for a, b in zip(sync_h, lazy_h):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_wire8_silent_file_stays_silent(tmp_path):
+    """A digitally-silent file under the 8-bit wire must come back silent:
+    the midtread codec maps 0.0 to code 128 EXACTLY (a midrise mapping
+    decoded silence to a +8.6e-5 DC plateau which peak_normalize amplified
+    to near-full-scale garbage → hallucinated segments)."""
+    from clearconverse_tpu.audio.decode import load_audio_many
+    from clearconverse_tpu.audio.wire import mulaw_decode_np, mulaw_encode_np
+
+    z = np.zeros(4, np.float32)
+    np.testing.assert_array_equal(mulaw_encode_np(z), np.full(4, 128))
+    np.testing.assert_array_equal(mulaw_decode_np(np.full(4, 128, np.uint8)),
+                                  z)
+    p = str(tmp_path / "silent.wav")
+    wavmod.write_wav(p, np.zeros(16000, np.float32), 16000)
+    hosts, batch, _ = load_audio_many([p], return_device=True,
+                                      noise_reduction_amount=0.4, wire_bits=8)
+    assert np.max(np.abs(np.asarray(hosts[0]))) == 0.0
+    assert float(jnp.max(jnp.abs(batch))) == 0.0

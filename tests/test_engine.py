@@ -514,7 +514,7 @@ def test_process_files_wire8_plumbing_and_speakers(tmp_path):
     hard energy thresholds can flip a frame under the ~-38 dB companding
     noise (observed: one 3.0 s boundary drifting to 3.1 s) — which is
     precisely why wire_bits=8 ships off-by-default pending a real-
-    checkpoint WER check (docs/PARITY.md #8). The numeric transparency
+    checkpoint WER check (docs/PARITY.md #9). The numeric transparency
     guarantee lives at audio level in test_audio (SNR > 25 dB)."""
     audio = synth_conversation()
     p = str(tmp_path / "w.wav")
