@@ -391,3 +391,51 @@ def test_grouped_task_execution(tmp_path):
     # Transcription batches were shared (one gen-0 call covers both files).
     first_call_rows = len(fake.transcribe_calls[0])
     assert first_call_rows >= 8  # both files' generation-0 items together
+
+
+def test_task_runner_stress_concurrent_cancels(tmp_path):
+    """Race-handling stress (SURVEY §5.2): many tasks started concurrently
+    with cancels landing mid-flight. Invariants: the dispatcher drains (no
+    deadlock), every task reaches a terminal marker, cancellation never
+    manufactures error.txt, and completed tasks have a transcript +
+    result_store entry. Cancel/completion may genuinely race — both
+    markers together is legal — but a task with NEITHER is a lost task."""
+    import threading
+    import time as _time
+    from clearconverse_tpu.audio.wav import write_wav
+    from clearconverse_tpu.config import Config, TPUConfig
+    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+    from clearconverse_tpu.serve.tasks import TaskRunner
+
+    wav = tmp_path / "s.wav"
+    write_wav(str(wav), synth_conversation(), SR)
+    runner = TaskRunner(str(tmp_path / "out"),
+                        lambda: TranscriptionEngine(
+                            Config(noise_reduction_amount=0.0),
+                            TPUConfig(), models=FakeModels()))
+    N = 10
+    tids = [f"s{i}" for i in range(N)]
+    for t in tids:
+        runner.start(t, str(wav))
+    _time.sleep(0.05)
+    for t in tids[1::2]:            # cancel half, racing the dispatcher
+        runner.cancel(t)
+
+    deadline = _time.time() + 30
+    while (runner.active_tasks or runner._queue) and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert not runner.active_tasks and not runner._queue  # drained, no hang
+
+    for t in tids:
+        tdir = tmp_path / "out" / t
+        cancelled = (tdir / "cancelled.txt").exists()
+        completed = (tdir / "completed.txt").exists()
+        assert cancelled or completed, f"{t} lost (no terminal marker)"
+        assert not (tdir / "error.txt").exists()
+        assert not (tdir / "in_progress.txt").exists()
+        if completed:
+            assert (tdir / "transcript.txt").read_text().startswith("[")
+            assert runner.result_store[t]["status"] == "completed"
+    # The even (never-cancelled) tasks must all have completed.
+    for t in tids[0::2]:
+        assert (tmp_path / "out" / t / "completed.txt").exists()
