@@ -421,10 +421,18 @@ def test_task_runner_stress_concurrent_cancels(tmp_path):
     for t in tids[1::2]:            # cancel half, racing the dispatcher
         runner.cancel(t)
 
+    # Drain = every non-cancelled task's done event fires and the queue
+    # empties. active_tasks entries deliberately LINGER after completion —
+    # the reference keeps active_processes until cleanup/cancel too
+    # (back/api.py:2052 vs :1592).
     deadline = _time.time() + 30
-    while (runner.active_tasks or runner._queue) and _time.time() < deadline:
+    def drained():
+        live = [i for t, i in runner.active_tasks.items()
+                if not i["done"].is_set() and not i["cancel"].is_set()]
+        return not live and not runner._queue
+    while not drained() and _time.time() < deadline:
         _time.sleep(0.05)
-    assert not runner.active_tasks and not runner._queue  # drained, no hang
+    assert drained()                                       # no hang
 
     for t in tids:
         tdir = tmp_path / "out" / t
