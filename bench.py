@@ -136,6 +136,46 @@ def bench_engine(n_files: int, repeats: int) -> dict:
                       "random_weights": True}}
 
 
+def bench_latency(repeats: int = 4) -> dict:
+    """Single-request latency: wall clock from file path to finished
+    transcript for ONE 60 s conversation through a WARM engine — the
+    user-felt number (the engine modes measure batch throughput). Opt-in
+    (--latency): B=1 program shapes pay one-time compiles the default
+    driver bench should not."""
+    import tempfile
+
+    import numpy as np
+
+    from clearconverse_tpu.audio.wav import write_wav
+    from clearconverse_tpu.config import Config, tpu_config_from_env
+    from clearconverse_tpu.pipeline.dev_backend import SR, synth_conversation
+    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+    import dataclasses
+
+    tmp = tempfile.mkdtemp(prefix="cc_lat_")
+    wav = np.tile(synth_conversation(), 5)
+    p = os.path.join(tmp, "one.wav")
+    write_wav(p, wav, SR)
+    cfg = Config(noise_reduction_amount=0.2, temperature=0.0)
+    tpu = dataclasses.replace(tpu_config_from_env(),
+                              diarization_onset=0.35,
+                              diarization_offset=0.25,
+                              max_decode_tokens=64, max_fallback_attempts=1)
+    engine = TranscriptionEngine(cfg, tpu, load_models_immediately=True)
+    engine.process_files([p])                      # cold: compiles
+    laps = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        engine.process_files([p])
+        laps.append(time.perf_counter() - t0)
+    return {"latency_best_s": round(min(laps), 3),
+            "latency_mean_s": round(sum(laps) / len(laps), 3),
+            "audio_seconds": round(len(wav) / SR, 1),
+            "stage_seconds": {k: round(v, 3) for k, v in sorted(
+                getattr(engine, "last_run_stage_times", {}).items(),
+                key=lambda kv: -kv[1])}}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="small.en",
@@ -162,6 +202,9 @@ def main() -> None:
     ap.add_argument("--engine-only", action="store_true",
                     help="skip the hot path (fast iteration on the engine "
                     "stage breakdown)")
+    ap.add_argument("--latency", action="store_true",
+                    help="single-file request latency through a warm "
+                    "engine (opt-in: B=1 shapes pay one-time compiles)")
     args = ap.parse_args()
 
     import jax
@@ -172,6 +215,10 @@ def main() -> None:
     from clearconverse_tpu.utils.jaxcache import enable_persistent_cache
     enable_persistent_cache()
 
+    if args.latency:
+        print(json.dumps({"metric": "engine_latency", "unit": "seconds",
+                          "latency": bench_latency()}))
+        return
     if args.engine_only:
         print(json.dumps(
             {"metric": "engine_only", "unit": "x_realtime_per_chip",
