@@ -168,7 +168,10 @@ class LazyAudio(_Lazy1D):
         transfers measured 2.3× WORSE than sequential, CLAUDE.md r3) — and
         by run end the download has had the whole pass to complete, so
         this is normally a no-op. Transfer errors stay deferred to first
-        byte access (per-file isolation)."""
+        byte access — the engine's per-file _finalize guard turns each
+        affected file into a None result (the download is SHARED, so every
+        store-path file in the run degrades, but the run itself and any
+        host-path files survive)."""
         try:
             self._join()
         except Exception:  # noqa: BLE001 — surfaced at first byte access
@@ -231,6 +234,11 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
             stage_times[key] = stage_times.get(key, 0.0) + (t1 - t0)
         return t1
 
+    if wire_bits not in (8, 16):
+        # Fail loudly: silently falling back to int16 would make a
+        # wire-format A/B "measure" the wrong wire (CC_TPU_WIRE_BITS typo,
+        # or 4 by analogy with CC_TPU_CROSS_KV_BITS — no int4 wire exists).
+        raise ValueError(f"wire_bits must be 8 or 16, got {wire_bits}")
     t0 = _time.perf_counter()
     waves, n_outs, order = [], [], []
     results = [None] * len(paths)

@@ -361,7 +361,8 @@ def greedy_decode(
 
 
 @partial(jax.jit, static_argnames=("dims", "sot", "lang_lo", "lang_hi",
-                                   "target_len", "compute_dtype"))
+                                   "target_len", "compute_dtype",
+                                   "pallas_attn_enabled"))
 def detect_language_from_audio(
     params: Dict[str, Any],
     audio: jnp.ndarray,             # [B, T] 16 kHz waveform
@@ -371,15 +372,20 @@ def detect_language_from_audio(
     lang_hi: int,                   # one past the last language token
     target_len: int = 30 * 16000,
     compute_dtype: Any = jnp.float32,
+    pallas_attn_enabled: bool = True,
 ) -> jnp.ndarray:
     """whisper detect_language: a single decoder forward over ``[sot]``,
     argmax over the language-token logit slice → [B] language-token ids.
     The reference never reaches this (it pins small.en, back/api.py:131);
-    it completes the multilingual registry (VERDICT r2 missing #5)."""
+    it completes the multilingual registry (VERDICT r2 missing #5).
+    ``pallas_attn_enabled`` must mirror the decode path's flag so the
+    detection encoder uses the same attention numerics (the opt-out
+    exists so encoder results never depend on batch composition)."""
     from clearconverse_tpu.audio.mel import log_mel_auto, pad_or_trim
 
     mel = log_mel_auto(pad_or_trim(audio, target_len), dims.n_mels)
-    feats = whisper_encode(params, mel, dims, compute_dtype)
+    feats = whisper_encode(params, mel, dims, compute_dtype,
+                           pallas_attn_enabled=pallas_attn_enabled)
     cross_kv = precompute_cross_kv(params, feats, n_head=dims.n_text_head)
     B = mel.shape[0]
     tokens = jnp.full((B, 1), sot, jnp.int32)

@@ -416,7 +416,14 @@ class ModelBundle:
     def _detect_languages(self, audio, params, dims, tok, target: int):
         """Per-row language codes via whisper detect_language (VERDICT r2
         missing #5) — runs only for multilingual models with
-        TPUConfig.language=None."""
+        TPUConfig.language=None.
+
+        KNOWN COST: this is a separate program with its own encoder
+        forward, so auto-detect pays ~2× encoder FLOPs per batch (the
+        decode program re-encodes — the detected language must come back
+        to the HOST to build prompts, so the passes can't fuse without
+        moving prompt assembly on-device). Deployments that know their
+        language should pin TPUConfig.language instead."""
         import jax.numpy as jnp
         from clearconverse_tpu.models.decoding import detect_language_from_audio
         from clearconverse_tpu.models.tokenizer import WHISPER_LANGUAGES
@@ -426,7 +433,8 @@ class ModelBundle:
         lang_hi = sp.translate                 # one past the last language
         ids = np.asarray(detect_language_from_audio(
             params, jnp.asarray(wav, jnp.float32), dims, sp.sot, lang_lo,
-            lang_hi, target, self._cdt))
+            lang_hi, target, self._cdt,
+            pallas_attn_enabled=self.tpu.pallas_encoder_attn))
         return [WHISPER_LANGUAGES[i - lang_lo] for i in ids]
 
     def _suppress_ids(self, tok, timestamps: bool):
@@ -449,6 +457,124 @@ class ModelBundle:
         import jax.numpy as jnp
         return (jnp.bfloat16 if self.tpu.compute_dtype == "bfloat16"
                 else jnp.float32)
+
+    def _decode_with_fallback(self, decode_rows, audio_all, toks, lens,
+                              temperature, n_real: int, text_of, eot: int):
+        """Whisper's decode_with_fallback semantics, shared by
+        transcribe_batch and transcribe_long_batch (VERDICT r2 missing #1;
+        previously duplicated ~80 lines in each).
+
+        The reference passes a SCALAR temperature (0.1, back/api.py:128
+        via :1294); openai-whisper turns a scalar into a ONE-rung schedule
+        — no fallback ladder — decoded with DecodingOptions(best_of=5):
+        every row draws best_of sampled replicas and the max
+        sum_logprob/length one is kept (MaximumLikelihoodRanker,
+        length_penalty None). A tuple temperature is whisper transcribe's
+        fallback schedule: rows whose text is degenerate (compression
+        ratio > 2.4) or low-confidence (avg logprob < logprob_threshold)
+        retry at the next rung — unless no_speech_prob clears the
+        no-speech threshold (silence is never worth retrying). Retries
+        are ROW-SPARSE: only flagged rows gather into a fresh batch.
+
+        ``decode_rows(audio_rows, toks_rows, lens_rows, temp)`` →
+        (tokens [R, mt], lengths, sum_logprob, no_speech_prob) — the
+        caller supplies its device program (plain or timestamped).
+        ``text_of(tokens_row, n)`` renders the text the quality gate
+        judges (timestamp callers strip ts tokens). Returns
+        (tokens [R, mt], lengths [R], sum_lp [R], nsp [R], avg [R],
+        texts list[n_real]) — nsp is from the FIRST rung (whisper keeps
+        the original no-speech estimate across retries)."""
+        import zlib
+
+        nst, lpt = self.tpu.no_speech_threshold, self.tpu.logprob_threshold
+        n_rows = len(toks)
+        mt = self.tpu.max_decode_tokens
+
+        def avg_logprob(s: float, n: int) -> float:
+            return s / max(n + 1, 1)    # whisper: +1 counts the EOT
+
+        def rank_score(s: float, n: int) -> float:
+            return s / max(n, 1)        # MaximumLikelihoodRanker (no +1)
+
+        def quality_ok(text: str, a: float) -> bool:
+            data = text.encode("utf-8")
+            ratio = (len(data) / len(zlib.compress(data))) if data else 0.0
+            return ratio <= 2.4 and a >= lpt
+
+        if isinstance(temperature, (tuple, list)):
+            ladder = [float(t) for t in temperature] or [0.0]
+        else:
+            ladder = [float(temperature)]
+        ladder = ladder[: max(1, self.tpu.max_fallback_attempts)]
+
+        def decode_selected(row_idx, temp):
+            """Decode original rows ``row_idx``, each replicated best_of
+            times when sampling (temp > 0); keep the best replica per row
+            by rank_score. Returns {row: (tokens, n, sum_lp, nsp)}."""
+            rep = max(1, self.tpu.best_of) if temp > 0 else 1
+            idx = np.repeat(np.asarray(row_idx, np.int64), rep)
+            b = self._rows(len(idx))
+            # Pad rows replicate the last row (kept shapes, ignored).
+            idx = np.concatenate([idx, np.repeat(idx[-1:], b - len(idx))])
+            t_s, l_s, s_s, n_s = decode_rows(audio_all[idx], toks[idx],
+                                             lens[idx], temp)
+            out = {}
+            for fi, row in enumerate(row_idx):
+                best_r = max(range(fi * rep, (fi + 1) * rep),
+                             key=lambda r: rank_score(float(s_s[r]),
+                                                      int(l_s[r])))
+                out[row] = (t_s[best_r], int(l_s[best_r]),
+                            float(s_s[best_r]), float(n_s[best_r]))
+            return out
+
+        if ladder[0] > 0 and self.tpu.best_of > 1:
+            # First (often only) rung samples: best_of replicas per row —
+            # the reference's default-config decode path.
+            sel = decode_selected(list(range(n_real)), ladder[0])
+            final_tokens = np.full((n_rows, mt), eot, np.int32)
+            final_lens = np.zeros((n_rows,), np.int32)
+            sum_lp = np.zeros((n_rows,), np.float32)
+            nsp = np.zeros((n_rows,), np.float32)
+            for row, (tk, n, s, ns) in sel.items():
+                final_tokens[row, : tk.shape[0]] = tk
+                final_lens[row] = n
+                sum_lp[row] = s
+                nsp[row] = ns
+        else:
+            tokens, lengths, sum_lp, nsp = decode_rows(audio_all, toks,
+                                                       lens, ladder[0])
+            final_tokens, final_lens = tokens.copy(), lengths.copy()
+        final_avg = np.array([avg_logprob(float(sum_lp[i]),
+                                          int(final_lens[i]))
+                              for i in range(n_rows)])
+        texts: List[str] = [text_of(final_tokens[i], int(final_lens[i]))
+                            for i in range(n_real)]
+
+        def flag(i: int) -> bool:
+            # whisper decode_with_fallback: no_speech_prob above the
+            # threshold clears needs_fallback UNCONDITIONALLY.
+            if nsp[i] > nst:
+                return False
+            return not quality_ok(texts[i], final_avg[i])
+
+        flagged = [i for i in range(n_real) if flag(i)]
+        for temp in ladder[1:]:
+            if not flagged:
+                break
+            sel = decode_selected(flagged, temp)
+            still: List[int] = []
+            for row, (tk, n, s, _ns) in sel.items():
+                # This rung's result stands (whisper keeps the hottest
+                # decode even when it still fails the gate on the last
+                # rung).
+                final_tokens[row, : tk.shape[0]] = tk
+                final_lens[row] = n
+                final_avg[row] = avg_logprob(s, n)
+                texts[row] = text_of(tk, n)
+                if flag(row):
+                    still.append(row)
+            flagged = still
+        return final_tokens, final_lens, sum_lp, nsp, final_avg, texts
 
     def transcribe_batch(self, audio: np.ndarray, prompts: Sequence[str],
                          temperature: float = 0.0,
@@ -526,108 +652,13 @@ class ModelBundle:
                         dims, opts, max_p, rng, target_len=target)
                 return _unpack_decode(out, opts.max_tokens)
 
-        # Whisper's temperature semantics (VERDICT r2 missing #1). The
-        # reference passes a SCALAR temperature (0.1, back/api.py:128 via
-        # :1294); openai-whisper turns a scalar into a ONE-rung schedule —
-        # no fallback ladder — decoded with DecodingOptions(best_of=5):
-        # every row draws best_of sampled replicas and the max
-        # sum_logprob/length one is kept (MaximumLikelihoodRanker,
-        # length_penalty None). A tuple temperature is whisper transcribe's
-        # fallback schedule: rows whose text is degenerate (compression
-        # ratio > 2.4) or low-confidence (avg logprob < -1.0) retry at the
-        # next rung. Retries are ROW-SPARSE: only flagged rows gather into a
-        # fresh (small) batch.
-        import zlib
-
+        # Whisper's temperature/best_of semantics — shared with
+        # transcribe_long_batch (see _decode_with_fallback).
         nst, lpt = self.tpu.no_speech_threshold, self.tpu.logprob_threshold
-
-        def avg_logprob(sum_lp: float, n_tok: int) -> float:
-            return sum_lp / max(n_tok + 1, 1)  # whisper: +1 counts the EOT
-
-        def rank_score(sum_lp: float, n_tok: int) -> float:
-            # MaximumLikelihoodRanker: sum over length WITHOUT the +1.
-            return sum_lp / max(n_tok, 1)
-
-        def quality_ok(text: str, avg_lp: float) -> bool:
-            data = text.encode("utf-8")
-            ratio = (len(data) / len(zlib.compress(data))) if data else 0.0
-            return ratio <= 2.4 and avg_lp >= lpt
-
-        if isinstance(temperature, (tuple, list)):
-            ladder = [float(t) for t in temperature] or [0.0]
-        else:
-            ladder = [float(temperature)]
-        ladder = ladder[: max(1, self.tpu.max_fallback_attempts)]
-
-        def decode_selected(row_idx, temp):
-            """Decode original rows ``row_idx``, each replicated best_of
-            times when sampling (temp > 0); keep the best replica per row by
-            rank_score. Returns {row: (tokens, n, sum_lp, nsp)}."""
-            rep = max(1, self.tpu.best_of) if temp > 0 else 1
-            idx = np.repeat(np.asarray(row_idx, np.int64), rep)
-            b = self._rows(len(idx))
-            # Pad rows replicate the last row (kept shapes, ignored).
-            idx = np.concatenate([idx, np.repeat(idx[-1:], b - len(idx))])
-            t_s, l_s, s_s, n_s = decode_rows(audio[idx], toks[idx],
-                                             lens[idx], temp)
-            out = {}
-            for fi, row in enumerate(row_idx):
-                best_r = max(range(fi * rep, (fi + 1) * rep),
-                             key=lambda r: rank_score(float(s_s[r]),
-                                                      int(l_s[r])))
-                out[row] = (t_s[best_r], int(l_s[best_r]), float(s_s[best_r]),
-                            float(n_s[best_r]))
-            return out
-
-        n_rows = len(prompts)
-        if ladder[0] > 0 and self.tpu.best_of > 1:
-            # First (often only) rung samples: best_of replicas per row —
-            # the reference's default-config decode path.
-            sel = decode_selected(list(range(n_real)), ladder[0])
-            mt = self.tpu.max_decode_tokens
-            final_tokens = np.full((n_rows, mt), sp.eot, np.int32)
-            final_lengths = np.zeros((n_rows,), np.int32)
-            sum_lp = np.zeros((n_rows,), np.float32)
-            nsp = np.zeros((n_rows,), np.float32)
-            for row, (tk, n, s, ns) in sel.items():
-                final_tokens[row, : tk.shape[0]] = tk
-                final_lengths[row] = n
-                sum_lp[row] = s
-                nsp[row] = ns
-        else:
-            tokens, lengths, sum_lp, nsp = decode_rows(audio, toks, lens,
-                                                       ladder[0])
-            final_tokens, final_lengths = tokens.copy(), lengths.copy()
-        final_avg = np.array([avg_logprob(float(sum_lp[i]),
-                                          int(final_lengths[i]))
-                              for i in range(n_rows)])
-        texts: List[str] = [tok.decode(final_tokens[i, : final_lengths[i]])
-                            for i in range(n_rows)]
-
-        def flag(i: int) -> bool:
-            if quality_ok(texts[i], final_avg[i]):
-                return False
-            # whisper decode_with_fallback: no_speech_prob above the
-            # threshold clears needs_fallback UNCONDITIONALLY — silence is
-            # not worth retrying regardless of logprob.
-            return not nsp[i] > nst
-
-        flagged = [i for i in range(n_real) if flag(i)]
-        for temp in ladder[1:]:
-            if not flagged:
-                break
-            sel = decode_selected(flagged, temp)
-            still: List[int] = []
-            for row, (tk, n, s, _ns) in sel.items():
-                # This rung's result stands (whisper keeps the hottest decode
-                # even when it still fails the quality gate on the last rung).
-                texts[row] = tok.decode(tk[:n])
-                final_tokens[row] = tk
-                final_lengths[row] = n
-                final_avg[row] = avg_logprob(s, n)
-                if flag(row):
-                    still.append(row)
-            flagged = still
+        (final_tokens, final_lengths, _sum_lp, nsp, final_avg,
+         texts) = self._decode_with_fallback(
+            decode_rows, audio, toks, lens, temperature, n_real,
+            text_of=lambda tk, n: tok.decode(tk[:n]), eot=sp.eot)
 
         # Whisper's no-speech gate (transcribe: skip the segment when
         # no_speech_prob exceeds the threshold unless avg logprob clears
@@ -735,91 +766,19 @@ class ModelBundle:
                 return _unpack_decode(out, opts.max_tokens)
 
         # Whisper's per-window temperature semantics (its seek loop runs
-        # decode_with_fallback for every window): scalar temperature = ONE
-        # rung with best_of sampled replicas per row; tuple = fallback
-        # schedule with row-sparse retries — same policy as
-        # transcribe_batch (VERDICT r2 missing #1).
-        import zlib
-
+        # decode_with_fallback for every window) — shared with
+        # transcribe_batch (see _decode_with_fallback). The quality gate
+        # judges the window text WITHOUT timestamp tokens.
         nst, lpt = self.tpu.no_speech_threshold, self.tpu.logprob_threshold
-
-        def avg_logprob(s: float, n: int) -> float:
-            return s / max(n + 1, 1)
-
-        def rank_score(s: float, n: int) -> float:
-            return s / max(n, 1)     # MaximumLikelihoodRanker (no +1)
+        audio_all = audio if is_store else audio_dev
 
         def win_text(tk: np.ndarray, n: int) -> str:
             return tok.decode([t for t in tk[:n].tolist() if t < sp.eot])
 
-        def quality_ok(text: str, a: float) -> bool:
-            data = text.encode("utf-8")
-            ratio = (len(data) / len(zlib.compress(data))) if data else 0.0
-            return ratio <= 2.4 and a >= lpt
-
-        if isinstance(temperature, (tuple, list)):
-            ladder = [float(t) for t in temperature] or [0.0]
-        else:
-            ladder = [float(temperature)]
-        ladder = ladder[: max(1, self.tpu.max_fallback_attempts)]
-        audio_all = audio if is_store else audio_dev
-
-        def decode_selected(row_idx, temp):
-            rep = max(1, self.tpu.best_of) if temp > 0 else 1
-            idx = np.repeat(np.asarray(row_idx, np.int64), rep)
-            b = self._rows(len(idx))
-            idx = np.concatenate([idx, np.repeat(idx[-1:], b - len(idx))])
-            t_s, l_s, s_s, n_s = decode_rows(audio_all[idx], toks[idx],
-                                             plens[idx], temp)
-            out = {}
-            for fi, row in enumerate(row_idx):
-                best_r = max(range(fi * rep, (fi + 1) * rep),
-                             key=lambda r: rank_score(float(s_s[r]),
-                                                      int(l_s[r])))
-                out[row] = (t_s[best_r], int(l_s[best_r]), float(s_s[best_r]),
-                            float(n_s[best_r]))
-            return out
-
-        n_rows = len(prompts)
-        if ladder[0] > 0 and self.tpu.best_of > 1:
-            sel = decode_selected(list(range(n_real)), ladder[0])
-            mt = self.tpu.max_decode_tokens
-            final_tokens = np.full((n_rows, mt), sp.eot, np.int32)
-            final_lens = np.zeros((n_rows,), np.int32)
-            sum_lp = np.zeros((n_rows,), np.float32)
-            nsp = np.zeros((n_rows,), np.float32)
-            for row, (tk, n, s, ns) in sel.items():
-                final_tokens[row, : tk.shape[0]] = tk
-                final_lens[row] = n
-                sum_lp[row] = s
-                nsp[row] = ns
-        else:
-            tokens, out_lens, sum_lp, nsp = decode_rows(audio_all, toks,
-                                                        plens, ladder[0])
-            final_tokens, final_lens = tokens.copy(), out_lens.copy()
-        final_avg = np.array([avg_logprob(float(sum_lp[i]),
-                                          int(final_lens[i]))
-                              for i in range(n_rows)])
-
-        def flag(i: int) -> bool:
-            if nsp[i] > nst:    # whisper: silence never triggers fallback
-                return False
-            return not quality_ok(win_text(final_tokens[i], final_lens[i]),
-                                  final_avg[i])
-
-        flagged = [i for i in range(n_real) if flag(i)]
-        for temp in ladder[1:]:
-            if not flagged:
-                break
-            sel = decode_selected(flagged, temp)
-            still: List[int] = []
-            for row, (tk, n, s, _ns) in sel.items():
-                final_tokens[row] = tk
-                final_lens[row] = n
-                final_avg[row] = avg_logprob(s, n)
-                if flag(row):
-                    still.append(row)
-            flagged = still
+        (final_tokens, final_lens, _sum_lp, nsp, final_avg,
+         _texts) = self._decode_with_fallback(
+            decode_rows, audio_all, toks, plens, temperature, n_real,
+            text_of=win_text, eot=sp.eot)
 
         precision = 0.02
         tsb = sp.timestamp_begin

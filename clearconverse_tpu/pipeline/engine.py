@@ -49,6 +49,16 @@ class TranscriptionEngine:
             from clearconverse_tpu.pipeline.bundle import ModelBundle
             models = ModelBundle(self.config, self.tpu, model_dir)
         self.models = models
+        # One run at a time: process_files installs per-run state on the
+        # shared bundle (the cancel gate) and tracks the in-flight async
+        # download; without serialization two concurrent runs would
+        # overwrite each other's cancel gate (and the device work is
+        # serial anyway — one chip, one program queue). serve/tasks.py
+        # holds its own lock too; this one makes the PUBLIC engine API
+        # safe regardless of caller.
+        import threading
+        self._run_lock = threading.Lock()
+        self._inflight_hosts: List = []
         if load_models_immediately:
             self.models.load_with_progress()
 
@@ -282,13 +292,23 @@ class TranscriptionEngine:
         # compute method probes it before dispatching, so a cancelled task
         # never pays a first-per-shape compile (minutes over the tunnel,
         # VERDICT r2 weak #4). Restored in the finally below.
-        if hasattr(self.models, "should_cancel"):
-            self.models.should_cancel = should_cancel
-        try:
-            return self._process_files_inner(file_paths, should_cancel)
-        finally:
+        with self._run_lock:
             if hasattr(self.models, "should_cancel"):
-                self.models.should_cancel = None
+                self.models.should_cancel = should_cancel
+            try:
+                return self._process_files_inner(file_paths, should_cancel)
+            finally:
+                if hasattr(self.models, "should_cancel"):
+                    self.models.should_cancel = None
+                # Join the run's async gated-audio download even on the
+                # cancel/error path: a transfer that outlives the run
+                # contends with the NEXT request's upload (concurrent
+                # tunnel transfers measured 2.3× worse than sequential).
+                # The normal path already waited — this is then a no-op.
+                for a in self._inflight_hosts:
+                    if hasattr(a, "wait"):
+                        a.wait()
+                self._inflight_hosts = []
 
     def _process_files_inner(self, file_paths: List[str],
                              should_cancel: Optional[Callable[[], bool]] = None
@@ -344,7 +364,9 @@ class TranscriptionEngine:
         # (load_sub spans are appended at the END of the run — the async
         # download's timings land in the dict after load_gate closes.)
         # hosts entries stay as returned: np.asarray on a LazyAudio here
-        # would join the in-flight download immediately.
+        # would join the in-flight download immediately. The wrapper's
+        # finally joins these even when the run aborts mid-way.
+        self._inflight_hosts = [h for h in hosts if h is not None]
         loaded: List[Optional[Tuple]] = [
             (w, sr0) if w is not None else None for w in hosts]
         ok = [i for i, l in enumerate(loaded) if l is not None]
@@ -528,7 +550,18 @@ class TranscriptionEngine:
             n = len(prep["items"])
             for local, it in zip(prep["items"], merged[off : off + n]):
                 local["text"] = it.get("text", "")
-            results.append(self._finalize(prep))
+            try:
+                results.append(self._finalize(prep))
+            except ProcessingCancelled:
+                raise
+            except Exception as exc:  # noqa: BLE001 — per-file isolation:
+                # _finalize is the first host-byte access on clean store
+                # paths, so a failed async download surfaces HERE — that
+                # file degrades to None (api.py:1546 semantics) instead of
+                # erroring the whole group.
+                logger.error("finalize failed for %s: %s",
+                             file_paths[len(results)], exc)
+                results.append(None)
         # Fold the async download thread's span into load_sub if the
         # transfer finished without anyone joining it (clean store-path
         # passes never touch host bytes). The flush is main-thread-only
