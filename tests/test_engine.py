@@ -545,3 +545,58 @@ def test_process_files_wire8_plumbing_and_speakers(tmp_path):
     dur = lambda r: sum(s.end - s.start for s in r["segments"])
     assert spk(r16) == spk(r8)
     assert abs(dur(r16) - dur(r8)) <= 0.3 * dur(r16) + 0.5
+
+
+def test_finalize_failure_isolates_per_file(tmp_path):
+    """A _finalize failure (e.g. the deferred async-download error — the
+    first host-byte access on clean store paths) degrades THAT file to
+    None; other files' results survive (api.py:1546 semantics)."""
+    audio = synth_conversation()
+    paths = []
+    for i in range(2):
+        p = tmp_path / f"f{i}.wav"
+        write_wav(str(p), audio, SR)
+        paths.append(str(p))
+    eng = TranscriptionEngine(Config(noise_reduction_amount=0.0),
+                              TPUConfig(), models=FakeModels())
+    orig = eng._finalize
+    calls = {"n": 0}
+
+    def flaky(prep):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("async gated-audio download failed: boom")
+        return orig(prep)
+
+    eng._finalize = flaky
+    results = eng.process_files(paths)
+    assert results[0] is None
+    assert results[1] is not None and results[1]["segments"]
+
+
+def test_inflight_download_joined_on_cancel(tmp_path):
+    """The async gated-audio download joins even when the run aborts
+    (cancel/error) — an orphaned transfer would contend with the next
+    request's upload (2.3x-worse concurrent tunnel transfers)."""
+    from clearconverse_tpu.pipeline.cancel import ProcessingCancelled
+
+    p = tmp_path / "c.wav"
+    write_wav(str(p), synth_conversation(), SR)
+    eng = TranscriptionEngine(Config(noise_reduction_amount=0.0),
+                              TPUConfig(), models=FakeModels())
+    waited = {"n": 0}
+
+    class FakeLazy:
+        def wait(self):
+            waited["n"] += 1
+
+    def aborting_inner(file_paths, should_cancel=None):
+        eng._inflight_hosts = [FakeLazy()]
+        raise ProcessingCancelled()
+
+    eng._process_files_inner = aborting_inner
+    import pytest as _pytest
+    with _pytest.raises(ProcessingCancelled):
+        eng.process_files([str(p)])
+    assert waited["n"] == 1
+    assert eng._inflight_hosts == []
