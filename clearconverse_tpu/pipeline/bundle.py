@@ -835,8 +835,10 @@ class ModelBundle:
             import jax
             self._jit_embed = jax.jit(
                 lambda p, a, l: ecapa_embed(p, a, l, dims))
-        return np.asarray(self._jit_embed(self._ecapa, self._put_data(audio),
-                                          self._put_data(lengths)))[:n_real]
+        with self._stage_timer.stage("embed_dev"):
+            return np.asarray(self._jit_embed(
+                self._ecapa, self._put_data(audio),
+                self._put_data(lengths)))[:n_real]
 
     def embed_denoised_batch(self, audio: np.ndarray, lengths: np.ndarray,
                              prop_decrease: float,
@@ -867,9 +869,10 @@ class ModelBundle:
                 clean = peak_normalize(spectral_gate(a, sr, pd, mask))
                 return ecapa_embed(p, clean, l, dims)
             self._jit_embed_denoised[sr] = jax.jit(gate_embed)
-        return np.asarray(self._jit_embed_denoised[sr](
-            self._ecapa, self._put_data(audio), self._put_data(lengths),
-            jnp.float32(prop_decrease)))[:n_real]
+        with self._stage_timer.stage("embed_dev"):
+            return np.asarray(self._jit_embed_denoised[sr](
+                self._ecapa, self._put_data(audio), self._put_data(lengths),
+                jnp.float32(prop_decrease)))[:n_real]
 
     def segment_frames(self, audio: np.ndarray) -> np.ndarray:
         """[B, T] window chunks → [B, F, 3] per-frame speaker activities."""
@@ -888,8 +891,9 @@ class ModelBundle:
             import jax
             self._jit_segment = jax.jit(
                 lambda p, a: powerset_to_multilabel(pyannet_forward(p, a, dims)))
-        return np.asarray(self._jit_segment(self._pyannet,
-                                            self._put_data(audio)))[:n_real]
+        with self._stage_timer.stage("segment_dev"):
+            return np.asarray(self._jit_segment(
+                self._pyannet, self._put_data(audio)))[:n_real]
 
     def _store_embed_args(self, rows, starts, lens):
         rows = np.asarray(rows, np.int32)
@@ -919,9 +923,10 @@ class ModelBundle:
                 audio = gather_windows(dev, r, s, l, bucket)
                 return ecapa_embed(p, audio, l, dims)
             self._jit_embed_from_store[bucket] = jax.jit(f)
-        return np.asarray(self._jit_embed_from_store[bucket](
-            self._ecapa, store.dev, self._put_data(rows),
-            self._put_data(starts), self._put_data(lens)))[:n_real]
+        with self._stage_timer.stage("embed_dev"):
+            return np.asarray(self._jit_embed_from_store[bucket](
+                self._ecapa, store.dev, self._put_data(rows),
+                self._put_data(starts), self._put_data(lens)))[:n_real]
 
     def embed_frames_store(self, store: AudioStore, rows, fstarts, totals,
                            frame: int, pad: int) -> np.ndarray:
@@ -960,9 +965,10 @@ class ModelBundle:
                         < tot[:, None]).astype(clips.dtype)
                 return ecapa_embed(p, clips * mask, tot, dims)
             self._jit_embed_from_store[key] = jax.jit(f)
-        return np.asarray(self._jit_embed_from_store[key](
-            self._ecapa, store.dev, self._put_data(rows),
-            self._put_data(fstarts), self._put_data(totals)))[:n_real]
+        with self._stage_timer.stage("embed_dev"):
+            return np.asarray(self._jit_embed_from_store[key](
+                self._ecapa, store.dev, self._put_data(rows),
+                self._put_data(fstarts), self._put_data(totals)))[:n_real]
 
     def embed_denoised_store(self, store: AudioStore, rows, starts, lens,
                              prop_decrease: float, bucket: int,
@@ -998,14 +1004,15 @@ class ModelBundle:
                                axis=-1) / lf)
                 return emb, var
             self._jit_embed_denoised_store[key] = jax.jit(f)
-        out = self._jit_embed_denoised_store[key](
-            self._ecapa, store.dev, self._put_data(rows),
-            self._put_data(starts), self._put_data(lens),
-            jnp.float32(prop_decrease))
-        if with_var:
-            emb, var = out
-            return np.asarray(emb)[:n_real], np.asarray(var)[:n_real]
-        return np.asarray(out)[:n_real]
+        with self._stage_timer.stage("embed_dev"):
+            out = self._jit_embed_denoised_store[key](
+                self._ecapa, store.dev, self._put_data(rows),
+                self._put_data(starts), self._put_data(lens),
+                jnp.float32(prop_decrease))
+            if with_var:
+                emb, var = out
+                return np.asarray(emb)[:n_real], np.asarray(var)[:n_real]
+            return np.asarray(out)[:n_real]
 
     def segment_frames_store(self, store: AudioStore, rows, starts,
                              window: int) -> np.ndarray:
@@ -1034,9 +1041,10 @@ class ModelBundle:
                 audio = gather_windows(dev, r, s, lens, window)
                 return powerset_to_multilabel(pyannet_forward(p, audio, dims))
             self._jit_segment_store[window] = jax.jit(seg)
-        return np.asarray(self._jit_segment_store[window](
-            self._pyannet, store.dev, self._put_data(rows),
-            self._put_data(starts)))[:n_real]
+        with self._stage_timer.stage("segment_dev"):
+            return np.asarray(self._jit_segment_store[window](
+                self._pyannet, store.dev, self._put_data(rows),
+                self._put_data(starts)))[:n_real]
 
     @property
     def frame_hop_seconds(self) -> float:
@@ -1060,5 +1068,6 @@ class ModelBundle:
             import jax
             self._jit_separate = jax.jit(
                 lambda p, a: sepformer_separate(p, a, dims))
-        return np.asarray(self._jit_separate(self._sepformer,
-                                             self._put_data(audio)))[:n_real]
+        with self._stage_timer.stage("separate_dev"):
+            return np.asarray(self._jit_separate(
+                self._sepformer, self._put_data(audio)))[:n_real]

@@ -26,20 +26,38 @@ def binarize(scores: np.ndarray, frame_hop: float, onset: float = 0.5,
     when it falls below ``offset``; then gaps shorter than
     ``min_duration_off`` are filled and regions shorter than
     ``min_duration_on`` dropped (pyannote Binarize semantics).
-    """
+
+    Vectorized (the per-frame Python loop was the diarizer's host hotspot:
+    ~3.5k frames × VAD + 3 slots × files per engine pass); equivalence to
+    the reference loop is asserted in tests. When onset < offset a frame
+    can satisfy BOTH thresholds and the outcome is state-dependent — that
+    (unusual) configuration keeps the exact loop."""
     scores = np.asarray(scores, np.float32)
-    regions: List[Interval] = []
-    active = False
-    start = 0.0
-    for i, s in enumerate(scores):
-        t = i * frame_hop
-        if not active and s > onset:
-            active, start = True, t
-        elif active and s < offset:
-            regions.append((start, t))
-            active = False
-    if active:
-        regions.append((start, len(scores) * frame_hop))
+    if onset < offset:
+        regions = _binarize_loop(scores, frame_hop, onset, offset)
+    else:
+        rises = scores > onset
+        falls = scores < offset
+        mark = np.zeros(len(scores), np.int8)
+        mark[falls] = -1
+        mark[rises] = 1                     # disjoint when onset >= offset
+        ev = np.flatnonzero(mark)
+        regions = []
+        if len(ev):
+            st = mark[ev]
+            # Collapse runs of identical events: only alternation points
+            # change the hysteresis state.
+            keep = np.concatenate(([0], np.flatnonzero(np.diff(st)) + 1))
+            seq, pos = st[keep], ev[keep]
+            if seq[0] == -1:                # falling while already inactive
+                seq, pos = seq[1:], pos[1:]
+            opens = pos[0::2]
+            closes = pos[1::2]
+            regions = [(float(o * frame_hop), float(c * frame_hop))
+                       for o, c in zip(opens, closes)]
+            if len(opens) > len(closes):    # still active at the end
+                regions.append((float(opens[-1] * frame_hop),
+                                len(scores) * frame_hop))
 
     if min_duration_off > 0 and regions:
         filled = [regions[0]]
@@ -52,6 +70,26 @@ def binarize(scores: np.ndarray, frame_hop: float, onset: float = 0.5,
         regions = filled
     if min_duration_on > 0:
         regions = [(s, e) for s, e in regions if e - s >= min_duration_on]
+    return regions
+
+
+def _binarize_loop(scores: np.ndarray, frame_hop: float, onset: float,
+                   offset: float) -> List[Interval]:
+    """Reference per-frame hysteresis (pyannote Binarize): the vectorized
+    ``binarize`` is tested against this, and it serves the state-dependent
+    onset < offset configuration directly."""
+    regions: List[Interval] = []
+    active = False
+    start = 0.0
+    for i, s in enumerate(scores):
+        t = i * frame_hop
+        if not active and s > onset:
+            active, start = True, t
+        elif active and s < offset:
+            regions.append((start, t))
+            active = False
+    if active:
+        regions.append((start, len(scores) * frame_hop))
     return regions
 
 

@@ -155,15 +155,17 @@ def _carve_subsegments(audio: np.ndarray, act, fhop: float, sr: int,
         for s, e in binarize(act[:, slot], fhop, onset, offset,
                              min_duration_on=MIN_SUBSEG_S, min_duration_off=0.1):
             f0, f1 = int(s / fhop), min(int(e / fhop), len(exclusive))
-            fs = [min(int(f * fhop * sr), n) for f in range(f0, f1)
-                  if exclusive[f]]
-            fe = [min(int((f + 1) * fhop * sr), n) for f in range(f0, f1)
-                  if exclusive[f]]
-            total = sum(b - a for a, b in zip(fs, fe))
-            is_clean = bool(fs) and total >= MIN_SUBSEG_S * sr
+            # Vectorized frame→sample mapping (the per-frame comprehension
+            # was part of the diarizer's host hotspot). Operation ORDER
+            # matches the scalar `int(f * fhop * sr)` exactly:
+            # (f · fhop) · sr in float64, truncated.
+            fr = np.flatnonzero(exclusive[f0:f1]).astype(np.int64) + f0
+            fs = np.minimum(((fr * fhop) * sr).astype(np.int64), n)
+            fe = np.minimum((((fr + 1) * fhop) * sr).astype(np.int64), n)
+            total = int((fe - fs).sum())
+            is_clean = len(fr) > 0 and total >= MIN_SUBSEG_S * sr
             if is_clean:
-                descs.append(("frames", np.asarray(fs, np.int64),
-                              np.asarray(fe, np.int64)))
+                descs.append(("frames", fs, fe))
             else:
                 i0, i1 = int(s * sr), min(int(e * sr), n)
                 descs.append(("slice", i0, max(i1, i0)))

@@ -70,6 +70,27 @@ class TranscriptionEngine:
         return self.models.load_with_progress(progress_callback)
 
     # ------------------------------------------------------------ helpers
+    def _phase(self, run_timer, name: str):
+        """run_timer.stage(name) that ALSO attributes the bundle's device
+        sub-spans (embed_dev/segment_dev/separate_dev/decode_dev — wall
+        time of device programs incl. their result sync) recorded during
+        the phase as dotted ``name.*`` children, so bench.py's breakdown
+        separates device time from host logic per stage."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def cm():
+            snap = dict(getattr(self.models, "stage_times", {}))
+            try:
+                with run_timer.stage(name):
+                    yield
+            finally:
+                for k, v in getattr(self.models, "stage_times", {}).items():
+                    delta = v - snap.get(k, 0.0)
+                    if delta > 0:
+                        run_timer.spans.append((f"{name}.{k}", delta))
+        return cm()
+
     def _embed_many(self, clips: List[np.ndarray], sr: int,
                     refs: Optional[List] = None) -> List[Optional[np.ndarray]]:
         """Batched embedding honoring the reference's <0.5 s → None rule.
@@ -378,7 +399,7 @@ class TranscriptionEngine:
             preloads[i] = dict(audio=loaded[i][0], sr=loaded[i][1],
                                store=store, store_row=row_map[i])
         try:
-            with run_timer.stage("segmentation"):
+            with self._phase(run_timer, "segmentation"):
                 acts = file_activities(
                     self.models, [loaded[i][0] for i in ok], loaded[ok[0]][1],
                     store=store,
@@ -404,7 +425,7 @@ class TranscriptionEngine:
                 # One embedding device call for ALL files' subsegments
                 # (clustering stays per file) — the per-file diarize loop
                 # paid one dispatch + upload per file.
-                with run_timer.stage("diarize_cluster"):
+                with self._phase(run_timer, "diarize_cluster"):
                     many = diarize_many(
                         self.models, [preloads[i]["audio"] for i in with_act],
                         preloads[with_act[0]]["sr"],
@@ -425,7 +446,7 @@ class TranscriptionEngine:
                     if preloads[i] and "raw_segments" in preloads[i]]
         if with_raw:
             try:
-                with run_timer.stage("profiles"):
+                with self._phase(run_timer, "profiles"):
                     profs = self._build_profiles_many(
                         [(preloads[i]["audio"], preloads[i]["raw_segments"])
                          for i in with_raw], loaded[with_raw[0]][1],
@@ -470,7 +491,7 @@ class TranscriptionEngine:
                 for si in plan["non_ov_idx"]]
         if jobs:
             try:
-                with run_timer.stage("segment_embeds"):
+                with self._phase(run_timer, "segment_embeds"):
                     embs = self._embed_many(
                         [plans[i]["seg_audio"][si] for i, si in jobs],
                         plans[jobs[0][0]]["sr"],
@@ -487,7 +508,7 @@ class TranscriptionEngine:
                 logger.error("batched segment embeddings failed: %s", exc,
                              exc_info=True)
                 embs_per_file = [None] * len(file_paths)
-        with run_timer.stage("prepare_files"):
+        with self._phase(run_timer, "prepare_files"):
             preps = [self._prepare_file(p, should_cancel, preloaded=pre,
                                         plan=plans[i],
                                         seg_embs=embs_per_file[i])
@@ -532,16 +553,10 @@ class TranscriptionEngine:
                 merged.append(it)
         if merged:
             sr = next(p["sr"] for p in preps if p is not None)
-            # Sub-decompose the wavefront via the bundle's transcribe spans
-            # (decode_dev = device program incl. sync; remainder = host
-            # tokenizer/quality-gate/seek-parse work).
-            snap_bt = dict(getattr(self.models, "stage_times", {}))
-            with run_timer.stage("decode_wavefront"):
+            # decode_dev (device program incl. sync) attributes via
+            # _phase; the remainder is host tokenizer/seek-parse work.
+            with self._phase(run_timer, "decode_wavefront"):
                 self._transcribe_wavefront(merged, sr, should_cancel)
-            for k, v in getattr(self.models, "stage_times", {}).items():
-                delta = v - snap_bt.get(k, 0.0)
-                if delta > 0:
-                    run_timer.spans.append((f"decode_wavefront.{k}", delta))
         results: List[Optional[Dict]] = []
         for prep, off in zip(preps, offsets):
             if prep is None:

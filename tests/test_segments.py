@@ -248,3 +248,40 @@ def test_cluster_speakers_min_constraint(rng):
     embs = np.stack([a + 1e-4 * rng.standard_normal(8) for _ in range(4)])
     labels = ahc_cluster(embs, threshold=0.5, min_clusters=1)
     assert labels.max() + 1 == 1
+
+
+def test_binarize_vectorized_equals_reference_loop():
+    """The vectorized hysteresis must match the per-frame reference loop
+    exactly, across threshold configurations incl. onset == offset and the
+    state-dependent onset < offset fallback."""
+    import numpy as np
+    from clearconverse_tpu.pipeline.clustering import _binarize_loop, binarize
+
+    rng = np.random.default_rng(7)
+    for trial in range(200):
+        n = int(rng.integers(0, 400))
+        scores = rng.random(n).astype(np.float32)
+        onset = float(rng.random())
+        offset = float(rng.random())
+        fhop = float(rng.uniform(0.005, 0.05))
+        # exercise exact-threshold frames too
+        if n and trial % 3 == 0:
+            scores[:: 5] = np.float32(onset)
+        got = binarize(scores, fhop, onset, offset)
+        want = _binarize_loop(scores, fhop, onset, offset)
+        assert got == want, (trial, onset, offset)
+        # and with the min-duration post-passes
+        got2 = binarize(scores, fhop, onset, offset,
+                        min_duration_on=0.05, min_duration_off=0.03)
+        base = _binarize_loop(scores, fhop, onset, offset)
+        if base:
+            filled = [base[0]]
+            for s, e in base[1:]:
+                ps, pe = filled[-1]
+                if s - pe < 0.03:
+                    filled[-1] = (ps, e)
+                else:
+                    filled.append((s, e))
+            base = filled
+        base = [(s, e) for s, e in base if e - s >= 0.05]
+        assert got2 == base
