@@ -118,6 +118,14 @@ def run_sweep(audio_files: Sequence[str],
             engine = engine_factory(cfg)
         else:
             from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+            if shared_models is None and \
+                    os.environ.get("CC_TPU_FAKE_MODELS") == "1":
+                # Dev/demo sweeps (same contract as serve/app.py): the grid
+                # runs on signal-processing stand-ins without checkpoints —
+                # random-init real models find no speakers at default
+                # thresholds, which makes an offline smoke meaningless.
+                from clearconverse_tpu.pipeline.dev_backend import DevModels
+                shared_models = DevModels()
             engine = TranscriptionEngine(cfg, models=shared_models)
             shared_models = engine.models  # load once across the sweep
         for af in audio_files:
