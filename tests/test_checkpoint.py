@@ -63,3 +63,34 @@ def test_orbax_save_restore(tmp_path):
     restored = load_checkpoint(str(tmp_path / "ck"))
     assert int(restored["step"]) == 7
     _trees_equal(params, restored["params"])
+
+
+def test_train_cli_end_to_end(tmp_path, capsys):
+    """The fine-tune CLI (python -m clearconverse_tpu.train) runs whole:
+    (wav, txt) pairs → train steps → reference-compatible whisper-ft
+    overlay export. Tiny model, 2 steps, ~45 s on the CPU backend."""
+    import numpy as np
+
+    from clearconverse_tpu.audio.wav import write_wav
+    from clearconverse_tpu.train.__main__ import main
+
+    pairs = tmp_path / "pairs"
+    pairs.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        write_wav(str(pairs / f"ex{i}.wav"),
+                  (rng.standard_normal(3 * 16000) * 0.1).astype(np.float32),
+                  16000)
+        (pairs / f"ex{i}.txt").write_text("hello world")
+
+    rc = main(["--data_dir", str(pairs), "--model", "tiny",
+               "--steps", "2", "--batch", "2", "--max_tokens", "8",
+               "--export", str(tmp_path / "ft"),
+               "--model_dir", str(tmp_path / "nomodels")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    losses = [float(line.split("loss=")[1].split()[0])
+              for line in out.splitlines() if "loss=" in line]
+    assert len(losses) == 2 and losses[1] < losses[0]
+    overlay = tmp_path / "ft" / "whisper-ft" / "model.safetensors"
+    assert overlay.exists() and overlay.stat().st_size > 1000
