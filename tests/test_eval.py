@@ -142,3 +142,31 @@ def test_der_on_synthetic_diarization():
     out = diarization_error_rate(ref, hyp, collar=0.25)
     assert out["der"] < 0.25, out
     assert out["total"] > 9.0
+
+
+def test_eval_cli_dev_mode(tmp_path, monkeypatch, capsys):
+    """python -m clearconverse_tpu.eval end-to-end with
+    CC_TPU_FAKE_MODELS=1 (same dev-backend contract as serve/app.py):
+    the sweep runs on signal-processing stand-ins, produces real
+    transcripts, and writes the full artifact set."""
+    import numpy as np
+
+    from clearconverse_tpu.audio.wav import write_wav
+    from clearconverse_tpu.eval.__main__ import main
+    from clearconverse_tpu.pipeline.dev_backend import SR, synth_conversation
+
+    wav = tmp_path / "conv.wav"
+    write_wav(str(wav), synth_conversation(), SR)
+    monkeypatch.setenv("CC_TPU_FAKE_MODELS", "1")
+    rc = main(["--audio_file", str(wav), "--yes", "--limit", "2",
+               "--output_dir", str(tmp_path / "out")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "done: 2 runs" in out
+    import json
+    summary = json.loads((tmp_path / "out" / "results_summary.json").read_text())
+    assert len(summary) == 2
+    # dev backend produces real speaker-labelled transcripts
+    assert any("[SPEAKER_" in r["transcript"] for r in summary)
+    for name in ("evaluation.csv", "transcript_comparison.html"):
+        assert (tmp_path / "out" / name).exists()
