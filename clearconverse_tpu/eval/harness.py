@@ -78,6 +78,10 @@ class RunResult:
     rtfx: float
     wer: Optional[float] = None
     der: Optional[float] = None
+    # True when the sweep ran on dev stand-ins (CC_TPU_FAKE_MODELS=1):
+    # metrics from fake models must never be mistaken for real-model
+    # parity numbers, so every artifact row carries the flag.
+    dev_models: bool = False
 
 
 def _segments_from_result(result) -> List[Tuple[float, float, str]]:
@@ -110,6 +114,7 @@ def run_sweep(audio_files: Sequence[str],
     results: List[RunResult] = []
 
     shared_models = None
+    dev_models = False
     for ci, overrides in enumerate(configs):
         cfg = Config()
         for k, v in overrides.items():
@@ -124,8 +129,13 @@ def run_sweep(audio_files: Sequence[str],
                 # runs on signal-processing stand-ins without checkpoints —
                 # random-init real models find no speakers at default
                 # thresholds, which makes an offline smoke meaningless.
+                # LOUDLY marked: dev-mode WER/DER/RTFx are NOT parity
+                # numbers (every summary row also carries dev_models=true).
                 from clearconverse_tpu.pipeline.dev_backend import DevModels
                 shared_models = DevModels()
+                dev_models = True
+                print("WARNING: CC_TPU_FAKE_MODELS=1 — sweeping DEV model "
+                      "stand-ins; metrics do not reflect real checkpoints")
             engine = TranscriptionEngine(cfg, models=shared_models)
             shared_models = engine.models  # load once across the sweep
         for af in audio_files:
@@ -146,7 +156,8 @@ def run_sweep(audio_files: Sequence[str],
             dur = samples.shape[-1] / sr if samples is not None else 0.0
 
             rr = RunResult(af, ci, overrides, transcript, dur, wall,
-                           dur / wall if wall > 0 else 0.0)
+                           dur / wall if wall > 0 else 0.0,
+                           dev_models=dev_models)
             if ground_truth_text and af in ground_truth_text:
                 hyp_text = " ".join(
                     line for line in transcript.split("\n")

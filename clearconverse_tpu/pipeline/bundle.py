@@ -162,7 +162,10 @@ class ModelBundle:
         # ``stage_times`` around the decode wavefront and surfaces the
         # deltas as decode_wavefront.* children in bench.py's breakdown.
         from clearconverse_tpu.utils.tracing import StageTimer
-        self._stage_timer = StageTimer()
+        # totals_only: this timer lives as long as the bundle and records a
+        # span per device call — an append-only span list would grow
+        # unboundedly in a long-running server.
+        self._stage_timer = StageTimer(totals_only=True)
         # Multi-chip serving (SURVEY.md §2.5/§5.8 new design): when
         # TPUConfig.data_axis * model_axis > 1, a device mesh shards every
         # batched program — whisper params megatron-style over ``model``,

@@ -19,6 +19,7 @@ but every model evaluation is gathered into batched device programs:
 
 from __future__ import annotations
 
+import contextlib
 import json
 import logging
 import os
@@ -70,26 +71,25 @@ class TranscriptionEngine:
         return self.models.load_with_progress(progress_callback)
 
     # ------------------------------------------------------------ helpers
+    @contextlib.contextmanager
     def _phase(self, run_timer, name: str):
         """run_timer.stage(name) that ALSO attributes the bundle's device
         sub-spans (embed_dev/segment_dev/separate_dev/decode_dev — wall
         time of device programs incl. their result sync) recorded during
         the phase as dotted ``name.*`` children, so bench.py's breakdown
-        separates device time from host logic per stage."""
-        from contextlib import contextmanager
-
-        @contextmanager
-        def cm():
-            snap = dict(getattr(self.models, "stage_times", {}))
-            try:
-                with run_timer.stage(name):
-                    yield
-            finally:
-                for k, v in getattr(self.models, "stage_times", {}).items():
-                    delta = v - snap.get(k, 0.0)
-                    if delta > 0:
-                        run_timer.spans.append((f"{name}.{k}", delta))
-        return cm()
+        separates device time from host logic per stage. NOT used for
+        phases that already surface their own per-file sub-timers
+        (prepare_files/plan_files) — those timers include the device calls,
+        so adding *_dev siblings would double-attribute the same seconds."""
+        snap = dict(getattr(self.models, "stage_times", {}))
+        try:
+            with run_timer.stage(name):
+                yield
+        finally:
+            for k, v in getattr(self.models, "stage_times", {}).items():
+                delta = v - snap.get(k, 0.0)
+                if delta > 0:
+                    run_timer.spans.append((f"{name}.{k}", delta))
 
     def _embed_many(self, clips: List[np.ndarray], sr: int,
                     refs: Optional[List] = None) -> List[Optional[np.ndarray]]:
@@ -508,7 +508,7 @@ class TranscriptionEngine:
                 logger.error("batched segment embeddings failed: %s", exc,
                              exc_info=True)
                 embs_per_file = [None] * len(file_paths)
-        with self._phase(run_timer, "prepare_files"):
+        with run_timer.stage("prepare_files"):
             preps = [self._prepare_file(p, should_cancel, preloaded=pre,
                                         plan=plans[i],
                                         seg_embs=embs_per_file[i])

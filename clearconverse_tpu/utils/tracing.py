@@ -34,10 +34,16 @@ def force_sync(x) -> None:
 
 
 class StageTimer:
-    """Accumulates labeled spans; nested use via the context manager."""
+    """Accumulates labeled spans; nested use via the context manager.
 
-    def __init__(self):
+    ``totals_only=True`` keeps running per-key totals instead of the
+    append-only span list — for long-lived timers (ModelBundle records a
+    span per device call for the life of the process; a span list would
+    grow unboundedly and make every as_dict() O(all spans ever))."""
+
+    def __init__(self, totals_only: bool = False):
         self.spans: List[Tuple[str, float]] = []
+        self._totals: Optional[Dict[str, float]] = {} if totals_only else None
         self._open: Dict[str, float] = {}
 
     @contextlib.contextmanager
@@ -46,17 +52,25 @@ class StageTimer:
         try:
             yield
         finally:
-            self.spans.append((name, time.perf_counter() - t0))
+            dt = time.perf_counter() - t0
+            if self._totals is not None:
+                self._totals[name] = self._totals.get(name, 0.0) + dt
+            else:
+                self.spans.append((name, dt))
 
     def as_dict(self) -> Dict[str, float]:
+        if self._totals is not None:
+            return dict(self._totals)
         out: Dict[str, float] = {}
         for name, dt in self.spans:
             out[name] = out.get(name, 0.0) + dt
         return out
 
     def summary(self) -> str:
-        total = sum(dt for _, dt in self.spans)
-        parts = [f"{name}={dt:.2f}s" for name, dt in self.spans]
+        items = (self.spans if self._totals is None
+                 else list(self._totals.items()))
+        total = sum(dt for _, dt in items)
+        parts = [f"{name}={dt:.2f}s" for name, dt in items]
         return f"total={total:.2f}s " + " ".join(parts)
 
 
