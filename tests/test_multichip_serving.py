@@ -135,3 +135,22 @@ def test_language_env_override():
     assert tpu_config_from_env({"CC_TPU_LANGUAGE": "de"}).language == "de"
     assert tpu_config_from_env({"CC_TPU_LANGUAGE": "auto"}).language is None
     assert tpu_config_from_env({}).language == "en"
+
+
+@pytest.mark.parametrize("da,ma", [(8, 1), (2, 4), (1, 8)])
+def test_transcribe_batch_other_mesh_shapes(da, ma, rng):
+    """Sharding generality: pure data-parallel (8x1), model-heavy (2x4),
+    and pure tensor-parallel (1x8) meshes all produce the single-device
+    decode exactly — XLA inserts different collectives for each layout."""
+    single = _tiny_bundle(TPUConfig(max_decode_tokens=8,
+                                    compute_dtype="float32"))
+    meshed = _tiny_bundle(TPUConfig(max_decode_tokens=8,
+                                    compute_dtype="float32",
+                                    data_axis=da, model_axis=ma))
+    assert meshed.mesh.shape == {"data": da, "model": ma}
+    audio = rng.standard_normal((3, 8000)).astype(np.float32) * 0.1
+    t_single = single.transcribe_batch(audio, ["", "ctx", ""],
+                                       temperature=0.0)
+    t_meshed = meshed.transcribe_batch(audio, ["", "ctx", ""],
+                                       temperature=0.0)
+    assert t_single == t_meshed
