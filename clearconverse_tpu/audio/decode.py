@@ -295,11 +295,16 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
         # ~38 dB companding SNR — see audio/wire.py. Every row peak-prescales
         # (the codec's resolution is amplitude-relative; the gate is
         # scale-invariant and the output is peak-normalized anyway).
-        from clearconverse_tpu.audio.wire import mulaw_encode_np
+        from clearconverse_tpu.audio.wire import (mulaw_encode_i16_np,
+                                                  mulaw_encode_np)
         q_up = np.full((len(waves), T), 128, np.uint8)  # code 128 ~ 0.0
         for row, w in enumerate(waves):
-            x = (w.astype(np.float32) / 32768.0 if w.dtype == np.int16
-                 else np.asarray(w, np.float32))
+            if w.dtype == np.int16:
+                # LUT encoder: bitwise-equal to the float path below but
+                # one log per VALUE, not per sample (one-core host).
+                q_up[row, : len(w)] = mulaw_encode_i16_np(w)
+                continue
+            x = np.asarray(w, np.float32)
             peak = max(float(np.max(np.abs(x))), 1e-12) if len(x) else 1e-12
             q_up[row, : len(x)] = mulaw_encode_np(x / peak)
     else:

@@ -40,6 +40,22 @@ def mulaw_encode_np(x: np.ndarray) -> np.ndarray:
     return np.clip(np.round(y * _STEPS) + 128.0, 0, 255).astype(np.uint8)
 
 
+def mulaw_encode_i16_np(w: np.ndarray) -> np.ndarray:
+    """int16 waveform → mu-law codes of the PEAK-PRESCALED signal
+    (exactly ``mulaw_encode_np((w/32768) / (max|w|/32768))``), via a
+    65536-entry LUT: one log per distinct sample VALUE instead of one per
+    sample — ~3× cheaper on the one-core host for 60 s files, and bitwise
+    identical because dividing both operands by 2^15 is exact in IEEE
+    (the quotient w/max|w| is the same float either way)."""
+    if len(w) == 0:
+        return np.zeros(0, np.uint8)
+    wi = w.astype(np.int32)
+    m = float(max(int(np.max(np.abs(wi))), 1)) / 32768.0
+    grid = np.arange(-32768, 32768, dtype=np.float32) / np.float32(32768.0)
+    lut = mulaw_encode_np(grid / m)
+    return lut[wi + 32768]
+
+
 def mulaw_decode_np(u: np.ndarray) -> np.ndarray:
     """uint8 mu-law code -> float32 in [-1, 1] (host mirror of the device
     expand; test_audio asserts the round-trip SNR and exact-zero code)."""

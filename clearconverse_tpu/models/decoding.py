@@ -75,6 +75,13 @@ class DecodeOptions:
     # (B<=48 on TPU). False pins the einsum path so encoder numerics do not
     # depend on batch composition (parity-sensitive eval; ADVICE r2).
     pallas_encoder_attn: bool = True
+    # Sampling replicas per source row (whisper best_of, reference default
+    # temperature=0.1 ⇒ best_of=5 via back/api.py:1294). The audio/mel
+    # batch carries UNIQUE rows; prompts/outputs carry rows × replicas
+    # (replicas consecutive per row). The encoder runs once per unique row
+    # and every replica group shares ONE cross-KV stream — the decode
+    # loop's HBM bottleneck — instead of tiling rows on the host.
+    replicas: int = 1
 
     @property
     def int8_cross_kv(self) -> bool:  # back-compat alias
@@ -240,10 +247,20 @@ def greedy_decode(
     """Whole pipeline: encode → prefill → token loop. Returns
     {"tokens": [B, max_tokens], "lengths": [B], "sum_logprob": [B],
     "no_speech_prob": [B]} — ``tokens`` is EOT-padded after each row's end;
-    ``no_speech_prob`` is zeros unless opts.no_speech_token is set."""
+    ``no_speech_prob`` is zeros unless opts.no_speech_token is set.
+
+    With ``opts.replicas = R > 1`` (whisper best_of sampling), ``mel``
+    carries B//R UNIQUE rows while prompts/outputs carry all B = unique×R
+    replica rows (consecutive per row): the encoder and cross-KV compute
+    once per unique row and all R replicas share the cross-KV stream
+    (models/whisper._cross_attention_head_major)."""
     B, P = prompt_tokens.shape
     max_len = max_prompt_len + opts.max_tokens
     cdt = opts.compute_dtype
+    if B % max(opts.replicas, 1) or mel.shape[0] * opts.replicas != B:
+        raise ValueError(
+            f"prompt rows ({B}) must be mel rows ({mel.shape[0]}) x "
+            f"replicas ({opts.replicas})")
 
     audio = whisper_encode(params, mel, dims, cdt,
                            pallas_attn_enabled=opts.pallas_encoder_attn)

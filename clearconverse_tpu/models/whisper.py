@@ -433,10 +433,29 @@ def _cross_attention_head_major(q: jnp.ndarray, ckv: Dict[str, Any],
     The whole dh**-0.5 scaling — and, when quantized, K's per-channel
     dequant scale — folds into the tiny q tensor, so the K/V HBM stream is
     consumed by the einsums directly with no per-step transpose or
-    dequantized materialization (the decode loop's measured bottleneck)."""
+    dequantized materialization (the decode loop's measured bottleneck).
+
+    Replica-grouped decode (DecodeOptions.replicas > 1): when q carries
+    R = B_q // B_kv sampling replicas per source row (replica rows
+    CONSECUTIVE per row, np.repeat order), the replicas fold into the
+    query axis — cross-attention has no structure across queries — so the
+    K/V stream is read ONCE per source row per step instead of once per
+    replica. Cross-KV streaming is the decode loop's HBM bottleneck, so
+    best_of=5 sampling (the reference's default decode config,
+    back/api.py:1294 → whisper DecodingOptions(best_of=5)) pays ~1/5 the
+    dominant stream vs tiling rows on the host."""
     B, Tq, Dm = q.shape
     dh = Dm // n_head
-    qh = jnp.transpose(q.reshape(B, Tq, n_head, dh), (0, 2, 1, 3))
+    kv_b = (ckv["k8t"]["q"] if "k8t" in ckv else ckv["kt"]).shape[0]
+    rep = B // kv_b
+    if rep > 1:
+        assert mask is None, "grouped cross-attention takes no mask"
+        # [B, Tq, D] -> [B_kv, R*Tq, H, dh]: the (R, Tq) axes are adjacent
+        # in row-major order, so one reshape folds replicas into queries.
+        qh = jnp.transpose(q.reshape(kv_b, rep * Tq, n_head, dh),
+                           (0, 2, 1, 3))
+    else:
+        qh = jnp.transpose(q.reshape(B, Tq, n_head, dh), (0, 2, 1, 3))
     if "k8t" in ckv:
         kscale = jnp.swapaxes(ckv["k8t"]["scale"], -1, -2)   # [B,H,1,dh]
         qs = (qh.astype(jnp.float32) * kscale * dh ** -0.5).astype(cdt)

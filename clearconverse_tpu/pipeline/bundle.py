@@ -479,9 +479,13 @@ class ModelBundle:
         no-speech threshold (silence is never worth retrying). Retries
         are ROW-SPARSE: only flagged rows gather into a fresh batch.
 
-        ``decode_rows(audio_rows, toks_rows, lens_rows, temp)`` →
-        (tokens [R, mt], lengths, sum_logprob, no_speech_prob) — the
+        ``decode_rows(audio_rows, toks_rows, lens_rows, temp, replicas)``
+        → (tokens [R, mt], lengths, sum_logprob, no_speech_prob) — the
         caller supplies its device program (plain or timestamped).
+        ``audio_rows`` carries UNIQUE rows; ``toks_rows``/``lens_rows``
+        and the outputs carry rows × replicas (replica-consecutive) —
+        replication happens inside the program so replicas share the
+        encoder forward and cross-KV stream (DecodeOptions.replicas).
         ``text_of(tokens_row, n)`` renders the text the quality gate
         judges (timestamp callers strip ts tokens). Returns
         (tokens [R, mt], lengths [R], sum_lp [R], nsp [R], avg [R],
@@ -511,16 +515,24 @@ class ModelBundle:
         ladder = ladder[: max(1, self.tpu.max_fallback_attempts)]
 
         def decode_selected(row_idx, temp):
-            """Decode original rows ``row_idx``, each replicated best_of
-            times when sampling (temp > 0); keep the best replica per row
-            by rank_score. Returns {row: (tokens, n, sum_lp, nsp)}."""
+            """Decode original rows ``row_idx``, each sampled best_of times
+            when temp > 0; keep the best replica per row by rank_score.
+            Returns {row: (tokens, n, sum_lp, nsp)}.
+
+            The audio batch carries UNIQUE rows only; replication happens
+            INSIDE the decode program (DecodeOptions.replicas), where the
+            encoder runs once per row and all replicas share one cross-KV
+            stream — ~1/best_of the decode loop's dominant HBM traffic vs
+            tiling the rows host-side (measured: the loop is cross-KV
+            streaming-bound, CLAUDE.md perf notes)."""
             rep = max(1, self.tpu.best_of) if temp > 0 else 1
-            idx = np.repeat(np.asarray(row_idx, np.int64), rep)
-            b = self._rows(len(idx))
+            uidx = np.asarray(row_idx, np.int64)
+            b = self._rows(len(uidx))
             # Pad rows replicate the last row (kept shapes, ignored).
-            idx = np.concatenate([idx, np.repeat(idx[-1:], b - len(idx))])
-            t_s, l_s, s_s, n_s = decode_rows(audio_all[idx], toks[idx],
-                                             lens[idx], temp)
+            uidx = np.concatenate([uidx, np.repeat(uidx[-1:], b - len(uidx))])
+            idx = np.repeat(uidx, rep)      # prompt rows, replica-consecutive
+            t_s, l_s, s_s, n_s = decode_rows(audio_all[uidx], toks[idx],
+                                             lens[idx], temp, replicas=rep)
             out = {}
             for fi, row in enumerate(row_idx):
                 best_r = max(range(fi * rep, (fi + 1) * rep),
@@ -623,7 +635,8 @@ class ModelBundle:
         cdt = self._cdt
         suppress = self._suppress_ids(tok, timestamps=False)
 
-        def decode_rows(audio_rows, toks_rows, lens_rows, temp: float):
+        def decode_rows(audio_rows, toks_rows, lens_rows, temp: float,
+                        replicas: int = 1):
             opts = DecodeOptions(
                 max_tokens=self.tpu.max_decode_tokens,
                 temperature=temp, eot=sp.eot,
@@ -633,7 +646,8 @@ class ModelBundle:
                 cross_kv_bits=self.tpu.cross_kv_bits,
                 self_kv_bits=self.tpu.self_kv_bits,
                 pallas_encoder_attn=self.tpu.pallas_encoder_attn,
-                no_speech_token=sp.no_speech, sot_from_end=sot_off)
+                no_speech_token=sp.no_speech, sot_from_end=sot_off,
+                replicas=replicas)
             rng = None
             if temp > 0:
                 self._decode_seed += 1
@@ -737,7 +751,8 @@ class ModelBundle:
         cdt = self._cdt
         suppress = self._suppress_ids(tok, timestamps=True)
 
-        def decode_rows(audio_rows, toks_rows, plens_rows, temp: float):
+        def decode_rows(audio_rows, toks_rows, plens_rows, temp: float,
+                        replicas: int = 1):
             opts = DecodeOptions(
                 max_tokens=self.tpu.max_decode_tokens, temperature=temp,
                 eot=sp.eot, suppress_blank=True, blank_token=220,
@@ -746,7 +761,8 @@ class ModelBundle:
                 self_kv_bits=self.tpu.self_kv_bits,
                 pallas_encoder_attn=self.tpu.pallas_encoder_attn,
                 no_speech_token=sp.no_speech, sot_from_end=sot_off,
-                timestamps=True, timestamp_begin=sp.timestamp_begin)
+                timestamps=True, timestamp_begin=sp.timestamp_begin,
+                replicas=replicas)
             rng = None
             if temp > 0:
                 self._decode_seed += 1

@@ -415,6 +415,32 @@ def test_mulaw_roundtrip_snr(rng):
     assert np.max(np.abs(z)) < 1e-4
 
 
+def test_mulaw_i16_lut_encoder_bitwise_equals_float_path(rng):
+    """mulaw_encode_i16_np (the one-core host's LUT fast path for native
+    int16 rows) must be BITWISE equal to the float formula it replaces:
+    mulaw_encode_np((w/32768) / (max|w|/32768)). Covers the int16 extremes
+    (-32768 overflows a naive int16 abs), a quiet row (peak prescale), and
+    all-zero silence."""
+    from clearconverse_tpu.audio.wire import (mulaw_encode_i16_np,
+                                              mulaw_encode_np)
+
+    cases = [
+        rng.integers(-32768, 32768, 48000).astype(np.int16),
+        np.array([-32768, 32767, 0, 1, -1], np.int16),
+        (rng.integers(-40, 41, 1000)).astype(np.int16),   # quiet row
+        np.zeros(16, np.int16),
+        np.zeros(0, np.int16),
+    ]
+    for w in cases:
+        # The float path exactly as audio/decode.load_audio_many wrote it
+        # before the LUT landed (zero rows: 0/1e-12 == 0/(1/32768) == 0,
+        # so the LUT's max(|w|, 1) clamp encodes identically).
+        x = w.astype(np.float32) / 32768.0
+        peak = max(float(np.max(np.abs(x))), 1e-12) if len(x) else 1e-12
+        ref = mulaw_encode_np(x / peak) if len(x) else np.zeros(0, np.uint8)
+        np.testing.assert_array_equal(mulaw_encode_i16_np(w), ref)
+
+
 def test_gate_u8_wire_matches_i16(rng):
     """gate_normalize_u8_jit (mu-law wire) tracks the int16-wire gate
     program within companding noise on the normalized output."""

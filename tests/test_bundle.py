@@ -159,16 +159,22 @@ def test_transcribe_long_batch_contract(bundle, rng):
 
 class _FakeDecode:
     """Scripted greedy_decode_from_audio stand-in: returns per-call canned
-    outputs and records every call's batch size, temperature, and rng key."""
+    outputs and records every call's batch size, temperature, and rng key.
+
+    Contract mirrored from models/decoding.greedy_decode: ``audio`` carries
+    UNIQUE rows, ``toks`` (and the outputs) carry audio rows ×
+    opts.replicas — best_of replication happens inside the program."""
 
     def __init__(self, script):
         self.script = script          # list of dicts keyed by row index
-        self.calls = []               # (rows, temperature, rng)
+        self.calls = []     # (decode_rows, temperature, rng, audio_rows, rep)
 
     def __call__(self, params, audio, toks, lens, dims, opts, max_p,
                  rng=None, **kw):
-        rows = int(audio.shape[0])
-        self.calls.append((rows, opts.temperature, rng))
+        rows = int(toks.shape[0])
+        assert rows == int(audio.shape[0]) * opts.replicas
+        self.calls.append((rows, opts.temperature, rng,
+                           int(audio.shape[0]), opts.replicas))
         spec = self.script[min(len(self.calls) - 1, len(self.script) - 1)]
         tokens = np.full((rows, opts.max_tokens), opts.eot, np.int32)
         lengths = np.zeros((rows,), np.int32)
@@ -236,6 +242,7 @@ def test_row_sparse_fallback_retry(bundle, rng):
     assert len(fake.calls) == 2
     assert fake.calls[0][0] == 8                  # full batch at base temp
     assert fake.calls[1][0] == 2                  # 1 flagged row x best_of=2
+    assert fake.calls[1][3:] == (1, 2)            # 1 UNIQUE audio row, rep=2
     assert fake.calls[1][1] > 0                   # sampling rung
     assert fake.calls[1][2] is not None           # real rng key
 
@@ -264,8 +271,10 @@ def test_first_rung_best_of_at_scalar_temperature(bundle, rng):
         bundle.tpu = old
     assert len(texts) == 3
     assert len(fake.calls) == 1                  # scalar ⇒ no ladder
-    # 3 rows x best_of=5 = 15, padded to the 16-row bucket.
-    assert fake.calls[0][0] == 16
+    # 3 unique rows pad to the 4-row audio bucket; the program decodes
+    # 4 x best_of=5 = 20 replica rows against the 4 shared cross-KV rows.
+    assert fake.calls[0][0] == 20
+    assert fake.calls[0][3:] == (4, 5)
     assert fake.calls[0][1] == 0.1               # sampling temperature
     assert fake.calls[0][2] is not None          # real rng key
 
@@ -307,6 +316,7 @@ def test_scalar_zero_temperature_single_greedy_decode(bundle, rng):
         bundle.transcribe_batch(audio, ["", ""], temperature=0.0)
     assert len(fake.calls) == 1
     assert fake.calls[0][0] == 2                 # no replication at t=0
+    assert fake.calls[0][4] == 1
     assert fake.calls[0][2] is None              # greedy: no rng
 
 

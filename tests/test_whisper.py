@@ -126,6 +126,48 @@ def test_batched_padded_prompts_equal_unbatched(hf_model, params, mel):
         np.testing.assert_array_equal(out_b[i], out_i[0])
 
 
+def test_replica_grouped_decode_equals_tiled(hf_model, params, mel):
+    """DecodeOptions.replicas (whisper best_of): mel carries UNIQUE rows,
+    prompts/outputs carry rows × replicas, and every replica group shares
+    one encoder forward + cross-KV stream. At temperature 0 the replicas
+    must reproduce the ungrouped decode of the same rows exactly."""
+    import dataclasses
+    steps, rep = 6, 3
+    base = DecodeOptions(max_tokens=steps, eot=VOCAB - 1,
+                         suppress_blank=False)
+    prompts = [[4, 17, 1], [1]]
+    toks, lens = build_prompt_batch(prompts, 3, pad_id=0)
+    ref = greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                        jnp.asarray(lens), DIMS, base, 3)
+    grouped = dataclasses.replace(base, replicas=rep)
+    out = greedy_decode(params, jnp.asarray(mel),
+                        jnp.asarray(np.repeat(toks, rep, axis=0)),
+                        jnp.asarray(np.repeat(lens, rep, axis=0)),
+                        DIMS, grouped, 3)
+    got = np.asarray(out["tokens"]).reshape(2, rep, steps)
+    slp = np.asarray(out["sum_logprob"]).reshape(2, rep)
+    nsp = np.asarray(out["no_speech_prob"]).reshape(2, rep)
+    for r in range(rep):
+        np.testing.assert_array_equal(got[:, r], np.asarray(ref["tokens"]))
+        np.testing.assert_allclose(slp[:, r], np.asarray(ref["sum_logprob"]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            nsp[:, r], np.asarray(ref["no_speech_prob"]), atol=1e-6)
+
+
+def test_replica_shape_mismatch_raises(hf_model, params, mel):
+    """prompt rows must equal mel rows × replicas — a silent row mismatch
+    would pair prompts with the wrong audio."""
+    import dataclasses
+    opts = dataclasses.replace(
+        DecodeOptions(max_tokens=4, eot=VOCAB - 1, suppress_blank=False),
+        replicas=3)
+    toks, lens = build_prompt_batch([[1], [1]], 1, pad_id=0)  # 2 ≠ 2×3
+    with pytest.raises(ValueError, match="replicas"):
+        greedy_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                      jnp.asarray(lens), DIMS, opts, 1)
+
+
 def test_suppression_rules(hf_model, params, mel):
     banned = (3, 7, 11)
     opts = DecodeOptions(max_tokens=6, eot=VOCAB - 1, suppress_blank=False,
