@@ -80,6 +80,13 @@ class TPUConfig:
     # decode of every batch, replicating each row 5x (VERDICT r2 #1);
     # greedy rungs (t == 0) always decode one sample per row.
     best_of: int = 5
+    # Beam width for GREEDY rungs (temperature == 0) — whisper
+    # DecodingOptions(beam_size), which openai-whisper transcribe applies
+    # on t=0 rungs exactly as best_of applies on t>0 rungs. 0/1 = plain
+    # greedy (the reference's default scalar temperature=0.1 never decodes
+    # at t=0, so this ships off). Beams share the encoder forward and the
+    # cross-KV stream per source row (models/decoding.beam_decode).
+    beam_size: int = 0
     # Whisper's silence skip rule (transcribe defaults): a row is emitted
     # empty when no_speech_prob > no_speech_threshold AND its avg logprob
     # fails logprob_threshold (back/api.py:1286-1296 inherits this via
@@ -139,6 +146,7 @@ def tpu_config_from_env(env: Optional[dict] = None) -> "TPUConfig":
         ("CC_TPU_WIRE_BITS", "wire_bits", int),
         ("CC_TPU_MAX_FALLBACK", "max_fallback_attempts", int),
         ("CC_TPU_BEST_OF", "best_of", int),
+        ("CC_TPU_BEAM_SIZE", "beam_size", int),
         ("CC_TPU_COMPUTE_DTYPE", "compute_dtype", str),
         ("CC_TPU_PALLAS_ENC", "pallas_encoder_attn",
          lambda v: v not in ("0", "false", "False")),

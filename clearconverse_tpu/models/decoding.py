@@ -82,6 +82,14 @@ class DecodeOptions:
     # and every replica group shares ONE cross-KV stream — the decode
     # loop's HBM bottleneck — instead of tiling rows on the host.
     replicas: int = 1
+    # Beam search (whisper DecodingOptions(beam_size) — openai-whisper's
+    # transcribe applies beam_size on t == 0 rungs and best_of on t > 0
+    # rungs). True routes greedy_decode_from_audio/store to beam_decode
+    # with ``replicas`` beams per source row; requires temperature == 0
+    # and identical prompts within each replica group (the bundle tiles
+    # them). The reference's default config never reaches this (scalar
+    # temperature=0.1 ⇒ sampling), so it ships off (TPUConfig.beam_size=0).
+    beam: bool = False
 
     @property
     def int8_cross_kv(self) -> bool:  # back-compat alias
@@ -223,37 +231,28 @@ def greedy_decode_from_audio(
     rng: Optional[jax.Array] = None,
     target_len: int = 30 * 16000,
 ) -> Dict[str, jnp.ndarray]:
-    """pad/trim + log-mel + greedy_decode as ONE device program — the
-    separate eager mel stage costs 2 extra dispatches and a device↔host
-    mel round-trip per decode call (material on tunnel-attached chips)."""
+    """pad/trim + log-mel + decode as ONE device program — the separate
+    eager mel stage costs 2 extra dispatches and a device↔host mel
+    round-trip per decode call (material on tunnel-attached chips).
+    ``opts.beam`` routes to beam_decode (whisper beam_size, t=0 rungs);
+    otherwise greedy/sampling via greedy_decode."""
     from clearconverse_tpu.audio.mel import log_mel_auto, pad_or_trim
 
     mel = log_mel_auto(pad_or_trim(audio, target_len), dims.n_mels)
+    if opts.beam and opts.replicas > 1:
+        return beam_decode(params, mel, prompt_tokens, prompt_lens, dims,
+                           opts, max_prompt_len)
     return greedy_decode(params, mel, prompt_tokens, prompt_lens, dims, opts,
                          max_prompt_len, rng)
 
 
-@partial(jax.jit, static_argnames=("dims", "opts", "max_prompt_len"))
-def greedy_decode(
-    params: Dict[str, Any],
-    mel: jnp.ndarray,               # [B, n_mels, T_frames]
-    prompt_tokens: jnp.ndarray,     # [B, P] left-padded int32
-    prompt_lens: jnp.ndarray,       # [B]
-    dims: WhisperDims,
-    opts: DecodeOptions,
-    max_prompt_len: int,
-    rng: Optional[jax.Array] = None,
-) -> Dict[str, jnp.ndarray]:
-    """Whole pipeline: encode → prefill → token loop. Returns
-    {"tokens": [B, max_tokens], "lengths": [B], "sum_logprob": [B],
-    "no_speech_prob": [B]} — ``tokens`` is EOT-padded after each row's end;
-    ``no_speech_prob`` is zeros unless opts.no_speech_token is set.
+def _prefill(params, mel, prompt_tokens, prompt_lens, dims, opts,
+             max_prompt_len):
+    """Shared encode → cross-KV → prompt prefill for greedy_decode and
+    beam_decode. Returns (params [stacked if opts.scan_layers], cross_kv,
+    self_kv, prefill logits [B, P, V], pad [B, 1], max_len).
 
-    With ``opts.replicas = R > 1`` (whisper best_of sampling), ``mel``
-    carries B//R UNIQUE rows while prompts/outputs carry all B = unique×R
-    replica rows (consecutive per row): the encoder and cross-KV compute
-    once per unique row and all R replicas share the cross-KV stream
-    (models/whisper._cross_attention_head_major)."""
+    ``mel`` carries B // opts.replicas unique rows (see DecodeOptions)."""
     B, P = prompt_tokens.shape
     max_len = max_prompt_len + opts.max_tokens
     cdt = opts.compute_dtype
@@ -280,7 +279,6 @@ def greedy_decode(
 
     pad = (P - prompt_lens)[:, None]                      # [B,1]
     slot = jnp.arange(P)[None, :]
-    valid = slot >= pad                                   # real prompt tokens
     positions = jnp.clip(slot - pad, 0, dims.n_text_ctx - 1)
 
     # Prefill mask: query q sees key k iff k <= q (causal) and k is a real
@@ -289,21 +287,69 @@ def greedy_decode(
     qslot = jnp.arange(P)[None, None, :, None]
     causal = kslot <= qslot
     kvalid = (kslot >= pad[:, None, None, :]) & (kslot < P)
-    prefill_mask = jnp.where(causal & kvalid, 0.0, _NEG_INF).astype(jnp.float32)
+    prefill_mask = jnp.where(causal & kvalid, 0.0,
+                             _NEG_INF).astype(jnp.float32)
 
     logits, self_kv = decoder_forward(
         params, prompt_tokens, positions, jnp.int32(0), self_kv, cross_kv,
         prefill_mask, None, dims, cdt)
-    last_logits = logits[:, -1, :]                        # position P-1 = last real token
+    return params, cross_kv, self_kv, logits, pad, max_len
 
-    if opts.no_speech_token >= 0:
-        # Whisper's silence signal: P(no_speech) from the raw logits at the
-        # SOT input slot (openai-whisper DecodingTask._main_loop reads
-        # logits[:, sot_index]); opts.sot_from_end locates the slot.
-        sot_logits = logits[:, P - opts.sot_from_end, :].astype(jnp.float32)
-        no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, opts.no_speech_token]
-    else:
-        no_speech_prob = jnp.zeros((B,), jnp.float32)
+
+def _no_speech_from_prefill(logits, opts, P):
+    """Whisper's silence signal: P(no_speech) from the raw prefill logits
+    at the SOT input slot (openai-whisper DecodingTask._main_loop reads
+    logits[:, sot_index]); opts.sot_from_end locates the slot."""
+    if opts.no_speech_token < 0:
+        return jnp.zeros((logits.shape[0],), jnp.float32)
+    sot_logits = logits[:, P - opts.sot_from_end, :].astype(jnp.float32)
+    return jax.nn.softmax(sot_logits, axis=-1)[:, opts.no_speech_token]
+
+
+def _finalize_decode(tokens, slp, no_speech_prob, opts):
+    """Common result assembly: EOT-derived lengths + the ONE-array
+    "packed" fetch (each separate device→host fetch is a ~34 ms tunnel
+    RTT; see models/decoding greedy_decode note + bundle._unpack_decode)."""
+    lengths = jnp.argmax(tokens == opts.eot, axis=1)
+    lengths = jnp.where(jnp.any(tokens == opts.eot, axis=1), lengths,
+                        opts.max_tokens)
+    packed = jnp.concatenate(
+        [tokens, lengths[:, None].astype(jnp.int32),
+         jax.lax.bitcast_convert_type(slp.astype(jnp.float32),
+                                      jnp.int32)[:, None],
+         jax.lax.bitcast_convert_type(no_speech_prob.astype(jnp.float32),
+                                      jnp.int32)[:, None]], axis=1)
+    return {"tokens": tokens, "lengths": lengths, "sum_logprob": slp,
+            "no_speech_prob": no_speech_prob, "packed": packed}
+
+
+@partial(jax.jit, static_argnames=("dims", "opts", "max_prompt_len"))
+def greedy_decode(
+    params: Dict[str, Any],
+    mel: jnp.ndarray,               # [B, n_mels, T_frames]
+    prompt_tokens: jnp.ndarray,     # [B, P] left-padded int32
+    prompt_lens: jnp.ndarray,       # [B]
+    dims: WhisperDims,
+    opts: DecodeOptions,
+    max_prompt_len: int,
+    rng: Optional[jax.Array] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Whole pipeline: encode → prefill → token loop. Returns
+    {"tokens": [B, max_tokens], "lengths": [B], "sum_logprob": [B],
+    "no_speech_prob": [B]} — ``tokens`` is EOT-padded after each row's end;
+    ``no_speech_prob`` is zeros unless opts.no_speech_token is set.
+
+    With ``opts.replicas = R > 1`` (whisper best_of sampling), ``mel``
+    carries B//R UNIQUE rows while prompts/outputs carry all B = unique×R
+    replica rows (consecutive per row): the encoder and cross-KV compute
+    once per unique row and all R replicas share the cross-KV stream
+    (models/whisper._cross_attention_head_major)."""
+    B, P = prompt_tokens.shape
+    cdt = opts.compute_dtype
+    params, cross_kv, self_kv, logits, pad, max_len = _prefill(
+        params, mel, prompt_tokens, prompt_lens, dims, opts, max_prompt_len)
+    last_logits = logits[:, -1, :]            # position P-1 = last real token
+    no_speech_prob = _no_speech_from_prefill(logits, opts, P)
 
     first = _suppress(last_logits, opts, True)
     none = jnp.full((B,), -1, jnp.int32)
@@ -359,22 +405,131 @@ def greedy_decode(
         cond, body, (jnp.int32(1), tokens0, self_kv, fin0, slp0, tok0,
                      none, last_ts0))
 
-    lengths = jnp.argmax(tokens == opts.eot, axis=1)
-    lengths = jnp.where(jnp.any(tokens == opts.eot, axis=1), lengths, opts.max_tokens)
-    # "packed" carries all four results as ONE [B, max_tokens+3] int32 array
-    # (floats bitcast): each separate device->host fetch pays a ~34 ms
-    # tunnel round-trip, and the engine's decode loop was spending 3 extra
-    # RTTs (~100 ms) per call pulling the four keys individually — measured
-    # 0.245 s vs 0.142 s per B=8 call. Callers that fetch results should
-    # pull "packed" once (pipeline/bundle._unpack_decode).
-    packed = jnp.concatenate(
-        [tokens, lengths[:, None].astype(jnp.int32),
-         jax.lax.bitcast_convert_type(slp.astype(jnp.float32),
-                                      jnp.int32)[:, None],
-         jax.lax.bitcast_convert_type(no_speech_prob.astype(jnp.float32),
-                                      jnp.int32)[:, None]], axis=1)
-    return {"tokens": tokens, "lengths": lengths, "sum_logprob": slp,
-            "no_speech_prob": no_speech_prob, "packed": packed}
+    return _finalize_decode(tokens, slp, no_speech_prob, opts)
+
+
+@partial(jax.jit, static_argnames=("dims", "opts", "max_prompt_len"))
+def beam_decode(
+    params: Dict[str, Any],
+    mel: jnp.ndarray,               # [B // replicas, n_mels, T_frames]
+    prompt_tokens: jnp.ndarray,     # [B, P] left-padded int32
+    prompt_lens: jnp.ndarray,       # [B]
+    dims: WhisperDims,
+    opts: DecodeOptions,
+    max_prompt_len: int,
+) -> Dict[str, jnp.ndarray]:
+    """Batched beam search (whisper DecodingOptions(beam_size); the
+    capability openai-whisper applies on temperature == 0 rungs when the
+    caller sets beam_size — the reference's own default config never does,
+    back/api.py:1294 passes scalar 0.1 ⇒ sampling).
+
+    ``opts.replicas`` = beam width R. Layout matches greedy_decode's
+    replica grouping: mel carries unique rows, prompts/outputs carry
+    rows × R with beams consecutive per row, so all beams of a row share
+    one encoder forward and ONE cross-KV stream (the decode loop's HBM
+    bottleneck). Per step: one decoder forward over all beams, candidate
+    scores = cumulative + token logprob, top-R per row over the R×V
+    candidates, then the self-KV cache / token history / timestamp state
+    gather to the surviving beams' source rows. Finished beams are FROZEN:
+    they propose exactly one candidate (EOT at their final score — the
+    EOT logprob was added when they finished), so they stay in the beam
+    set iff their score still ranks top-R, like openai-whisper's
+    finished-sequence bookkeeping under patience=1.0. Rows within a
+    replica group must share one prompt (the bundle tiles them).
+
+    Returns the greedy_decode dict with all R beams per row, DESCENDING
+    final-score order within each group; the caller picks per-row winners
+    by MaximumLikelihoodRanker score (sum_logprob / length), exactly the
+    best_of selection path in pipeline/bundle._decode_with_fallback."""
+    B, P = prompt_tokens.shape
+    R = opts.replicas
+    G = B // R
+    if opts.temperature > 0:
+        raise ValueError("beam search is temperature-0 only (whisper "
+                         "semantics: best_of handles sampling rungs)")
+    cdt = opts.compute_dtype
+    params, cross_kv, self_kv, logits, pad, max_len = _prefill(
+        params, mel, prompt_tokens, prompt_lens, dims, opts, max_prompt_len)
+    V = logits.shape[-1]
+    no_speech_prob = _no_speech_from_prefill(logits, opts, P)
+
+    first = _suppress(logits[:, -1, :], opts, True)
+    none = jnp.full((B,), -1, jnp.int32)
+    if opts.timestamps:
+        first = _timestamp_rules(first, opts, True, none, none, none,
+                                 jnp.int32(0))
+    logp0 = jax.nn.log_softmax(first.astype(jnp.float32), axis=-1)
+    # Step 0: all beams of a group hold the identical prompt, so their
+    # logits are identical — diversify by taking the group's top-R TOKENS
+    # (openai's first expansion of the single initial sequence).
+    s0, t0 = jax.lax.top_k(logp0.reshape(G, R, V)[:, 0, :], R)   # [G, R]
+    tok0 = t0.reshape(B).astype(jnp.int32)
+    slp0 = s0.reshape(B).astype(jnp.float32)
+    tokens0 = jnp.full((B, opts.max_tokens), opts.eot, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(tok0)
+    fin0 = tok0 == opts.eot
+    last_ts0 = jnp.where(tok0 >= opts.timestamp_begin, tok0, none) \
+        if opts.timestamps else none
+
+    group_base = (jnp.arange(G)[:, None] * R)                    # [G, 1]
+    kv_batch_axis = 1 if opts.scan_layers else 0  # stacked: [L, B, ...]
+
+    def cond(state):
+        step, _, _, finished, _, _, _, _ = state
+        return (step < opts.max_tokens) & ~jnp.all(finished)
+
+    def body(state):
+        step, tokens, kv, finished, slp, prev, prev2, last_ts = state
+        pos = jnp.clip(prompt_lens + step - 1, 0,
+                       dims.n_text_ctx - 1)[:, None]
+        kmask_slot = jnp.arange(max_len)[None, None, None, :]
+        visible = ((kmask_slot >= pad[:, None, None, :])
+                   & (kmask_slot <= (P - 1 + step)))
+        mask = jnp.where(visible, 0.0, _NEG_INF).astype(jnp.float32)
+        logits, kv = decoder_forward(
+            params, prev[:, None], pos, P + step - 1, kv, cross_kv,
+            mask, None, dims, cdt)
+        lg = _suppress(logits[:, 0, :], opts, False)
+        if opts.timestamps:
+            lg = _timestamp_rules(lg, opts, False, prev, prev2, last_ts,
+                                  step)
+        logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+        # Context-full rows force-finish like greedy_decode (whisper caps
+        # prompt+generation at n_text_ctx).
+        done = finished | ((prompt_lens + step) >= dims.n_text_ctx)
+        cand = slp[:, None] + logp                              # [B, V]
+        # Frozen beams propose exactly themselves: EOT at unchanged score.
+        cand = jnp.where(done[:, None], _NEG_INF, cand)
+        cand = cand.at[:, opts.eot].set(
+            jnp.where(done, slp, cand[:, opts.eot]))
+        sc, flat = jax.lax.top_k(cand.reshape(G, R * V), R)     # [G, R]
+        src = (flat // V + group_base).reshape(B)     # winning source rows
+        tok = (flat % V).reshape(B).astype(jnp.int32)
+
+        def take(x):
+            return jnp.take(x, src, axis=0)
+
+        # Reorder every per-beam state to the winners' ancestry — including
+        # the self-KV cache (the forward above already wrote slot P+step-1
+        # for each current beam, so gathering AFTER it carries the chosen
+        # beams' full history). Cross-KV is per-GROUP and needs no gather.
+        kv = jax.tree.map(lambda x: jnp.take(x, src, axis=kv_batch_axis),
+                          kv)
+        tokens = take(tokens).at[:, step].set(tok)
+        done_g = take(done)
+        finished = done_g | (tok == opts.eot)
+        new_prev2 = take(prev)
+        new_last_ts = jnp.where((tok >= opts.timestamp_begin) & ~done_g,
+                                tok, take(last_ts)) \
+            if opts.timestamps else take(last_ts)
+        return (step + 1, tokens, kv, finished, sc.reshape(B), tok,
+                new_prev2, new_last_ts)
+
+    _, tokens, _, _, slp, _, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), tokens0, self_kv, fin0, slp0, tok0,
+                     none, last_ts0))
+
+    return _finalize_decode(tokens, slp, no_speech_prob, opts)
 
 
 @partial(jax.jit, static_argnames=("dims", "sot", "lang_lo", "lang_hi",

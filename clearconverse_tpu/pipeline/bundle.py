@@ -514,6 +514,15 @@ class ModelBundle:
             ladder = [float(temperature)]
         ladder = ladder[: max(1, self.tpu.max_fallback_attempts)]
 
+        def rep_for(temp: float) -> int:
+            """Replicas per row at a rung — whisper transcribe's rule:
+            best_of on sampling rungs (t > 0), beam_size on greedy rungs
+            (t == 0); openai-whisper strips the inapplicable option per
+            rung the same way."""
+            if temp > 0:
+                return max(1, self.tpu.best_of)
+            return max(1, self.tpu.beam_size)
+
         def decode_selected(row_idx, temp):
             """Decode original rows ``row_idx``, each sampled best_of times
             when temp > 0; keep the best replica per row by rank_score.
@@ -524,8 +533,12 @@ class ModelBundle:
             encoder runs once per row and all replicas share one cross-KV
             stream — ~1/best_of the decode loop's dominant HBM traffic vs
             tiling the rows host-side (measured: the loop is cross-KV
-            streaming-bound, CLAUDE.md perf notes)."""
-            rep = max(1, self.tpu.best_of) if temp > 0 else 1
+            streaming-bound, CLAUDE.md perf notes). Greedy rungs with
+            beam_size > 1 decode beam_size beams per row instead
+            (models/decoding.beam_decode) — the winner-picking rule below
+            (max rank_score) IS whisper's MaximumLikelihoodRanker for
+            both paths."""
+            rep = rep_for(temp)
             uidx = np.asarray(row_idx, np.int64)
             b = self._rows(len(uidx))
             # Pad rows replicate the last row (kept shapes, ignored).
@@ -542,9 +555,11 @@ class ModelBundle:
                             float(s_s[best_r]), float(n_s[best_r]))
             return out
 
-        if ladder[0] > 0 and self.tpu.best_of > 1:
-            # First (often only) rung samples: best_of replicas per row —
-            # the reference's default-config decode path.
+        if rep_for(ladder[0]) > 1:
+            # First (often only) rung replicates: best_of samples per row
+            # when it's a sampling rung (the reference's default-config
+            # decode path), beam_size beams when greedy + beam decoding is
+            # enabled.
             sel = decode_selected(list(range(n_real)), ladder[0])
             final_tokens = np.full((n_rows, mt), eot, np.int32)
             final_lens = np.zeros((n_rows,), np.int32)
@@ -647,7 +662,8 @@ class ModelBundle:
                 self_kv_bits=self.tpu.self_kv_bits,
                 pallas_encoder_attn=self.tpu.pallas_encoder_attn,
                 no_speech_token=sp.no_speech, sot_from_end=sot_off,
-                replicas=replicas)
+                replicas=replicas,
+                beam=(temp == 0 and replicas > 1))
             rng = None
             if temp > 0:
                 self._decode_seed += 1
@@ -762,7 +778,8 @@ class ModelBundle:
                 pallas_encoder_attn=self.tpu.pallas_encoder_attn,
                 no_speech_token=sp.no_speech, sot_from_end=sot_off,
                 timestamps=True, timestamp_begin=sp.timestamp_begin,
-                replicas=replicas)
+                replicas=replicas,
+                beam=(temp == 0 and replicas > 1))
             rng = None
             if temp > 0:
                 self._decode_seed += 1

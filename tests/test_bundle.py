@@ -167,14 +167,15 @@ class _FakeDecode:
 
     def __init__(self, script):
         self.script = script          # list of dicts keyed by row index
-        self.calls = []     # (decode_rows, temperature, rng, audio_rows, rep)
+        # (decode_rows, temperature, rng, audio_rows, replicas, beam)
+        self.calls = []
 
     def __call__(self, params, audio, toks, lens, dims, opts, max_p,
                  rng=None, **kw):
         rows = int(toks.shape[0])
         assert rows == int(audio.shape[0]) * opts.replicas
         self.calls.append((rows, opts.temperature, rng,
-                           int(audio.shape[0]), opts.replicas))
+                           int(audio.shape[0]), opts.replicas, opts.beam))
         spec = self.script[min(len(self.calls) - 1, len(self.script) - 1)]
         tokens = np.full((rows, opts.max_tokens), opts.eot, np.int32)
         lengths = np.zeros((rows,), np.int32)
@@ -242,7 +243,7 @@ def test_row_sparse_fallback_retry(bundle, rng):
     assert len(fake.calls) == 2
     assert fake.calls[0][0] == 8                  # full batch at base temp
     assert fake.calls[1][0] == 2                  # 1 flagged row x best_of=2
-    assert fake.calls[1][3:] == (1, 2)            # 1 UNIQUE audio row, rep=2
+    assert fake.calls[1][3:5] == (1, 2)           # 1 UNIQUE audio row, rep=2
     assert fake.calls[1][1] > 0                   # sampling rung
     assert fake.calls[1][2] is not None           # real rng key
 
@@ -274,7 +275,8 @@ def test_first_rung_best_of_at_scalar_temperature(bundle, rng):
     # 3 unique rows pad to the 4-row audio bucket; the program decodes
     # 4 x best_of=5 = 20 replica rows against the 4 shared cross-KV rows.
     assert fake.calls[0][0] == 20
-    assert fake.calls[0][3:] == (4, 5)
+    assert fake.calls[0][3:5] == (4, 5)
+    assert fake.calls[0][5] is False             # sampling rung, not beam
     assert fake.calls[0][1] == 0.1               # sampling temperature
     assert fake.calls[0][2] is not None          # real rng key
 
@@ -302,6 +304,59 @@ def test_best_of_keeps_max_ranker_score_replica(bundle, rng):
         bundle.tpu = old
     tok = bundle._whisper[2]
     assert texts[0] == tok.decode([70, 70])
+
+
+def test_beam_size_routes_beam_decode_on_greedy_rungs(bundle, rng):
+    """TPUConfig.beam_size applies whisper's beam_size-vs-best_of split:
+    t=0 rungs decode beam_size beams per row (opts.beam=True); t>0 retry
+    rungs sample best_of replicas (opts.beam=False)."""
+    import dataclasses
+    from unittest.mock import patch
+    from clearconverse_tpu.models import decoding as dec
+
+    # Rung 0 decode rows: 0..2 = beams of source row 0, 3..5 = beams of
+    # source row 1. ALL of row 1's beams fail the logprob gate → it (and
+    # only it) retries on the sampling rung.
+    bad_then_good = [
+        {"default": {"sum_lp": -0.5}, 3: {"sum_lp": -90.0},
+         4: {"sum_lp": -90.0}, 5: {"sum_lp": -90.0}},
+        {"default": {"sum_lp": -0.3}},
+    ]
+    fake = _FakeDecode(bad_then_good)
+    audio = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+    old = bundle.tpu
+    bundle.tpu = dataclasses.replace(bundle.tpu, beam_size=3, best_of=2,
+                                     max_fallback_attempts=3)
+    try:
+        with patch.object(dec, "greedy_decode_from_audio", fake):
+            texts = bundle.transcribe_batch(audio, ["", ""],
+                                            temperature=(0.0, 0.2))
+    finally:
+        bundle.tpu = old
+    assert len(texts) == 2
+    assert len(fake.calls) == 2
+    # Rung 0 (t=0): beam — 2 unique rows x 3 beams, no rng.
+    assert fake.calls[0][3:] == (2, 3, True)
+    assert fake.calls[0][0] == 6 and fake.calls[0][2] is None
+    # Retry rung (t=0.2): sampling — 1 flagged row x best_of=2, real rng.
+    # (decode rows 3..5 belonged to flagged source row 1.)
+    assert fake.calls[1][3:] == (1, 2, False)
+    assert fake.calls[1][2] is not None
+
+
+def test_transcribe_batch_beam_path(bundle, rng):
+    """End-to-end beam decode (models/decoding.beam_decode) through the
+    real tiny whisper on CPU: beam_size=2 at scalar t=0 returns one text
+    per row through the standard winner-picking path."""
+    import dataclasses
+    audio = rng.standard_normal((2, 8000)).astype(np.float32) * 0.1
+    old = bundle.tpu
+    bundle.tpu = dataclasses.replace(bundle.tpu, beam_size=2)
+    try:
+        texts = bundle.transcribe_batch(audio, ["", "ctx"], temperature=0.0)
+    finally:
+        bundle.tpu = old
+    assert len(texts) == 2 and all(isinstance(t, str) for t in texts)
 
 
 def test_scalar_zero_temperature_single_greedy_decode(bundle, rng):

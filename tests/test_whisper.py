@@ -168,6 +168,65 @@ def test_replica_shape_mismatch_raises(hf_model, params, mel):
                       jnp.asarray(lens), DIMS, opts, 1)
 
 
+def test_beam_decode_matches_python_reference(hf_model, params, mel):
+    """models/decoding.beam_decode vs an independent pure-Python beam
+    search driven by full-prefix decoder_forward calls: same beam sets,
+    same token sequences, same cumulative scores, in the same (descending
+    score) order. Covers candidate scoring, top-R selection over the R×V
+    grid, and the per-step self-KV/ancestry reorder."""
+    import dataclasses
+    from clearconverse_tpu.models.decoding import beam_decode
+
+    steps, rep, sot = 5, 3, 1
+    opts = dataclasses.replace(
+        DecodeOptions(max_tokens=steps, eot=VOCAB - 1, suppress_blank=False),
+        replicas=rep, beam=True)
+    toks, lens = build_prompt_batch([[sot]] * (2 * rep), 1, pad_id=0)
+    out = beam_decode(params, jnp.asarray(mel), jnp.asarray(toks),
+                      jnp.asarray(lens), DIMS, opts, 1)
+    got_tokens = np.asarray(out["tokens"]).reshape(2, rep, steps)
+    got_scores = np.asarray(out["sum_logprob"]).reshape(2, rep)
+
+    def step_logp(cross_kv, prefix):
+        """log-softmax of the next-token logits after ``prefix`` (full
+        teacher-forced forward — no incremental cache, so it cannot share
+        a bug with the loop under test)."""
+        t = len(prefix)
+        kv = init_kv_cache(DIMS, 1, t)
+        pos = jnp.arange(t)[None, :]
+        k = jnp.arange(t)[None, None, None, :]
+        q = jnp.arange(t)[None, None, :, None]
+        mask = jnp.where(k <= q, 0.0, -1e9).astype(jnp.float32)
+        logits, _ = decoder_forward(
+            params, jnp.asarray([prefix], jnp.int32), pos, jnp.int32(0),
+            kv, cross_kv, mask, None, DIMS)
+        lg = np.asarray(logits[0, -1], np.float64)
+        return lg - np.log(np.sum(np.exp(lg - lg.max()))) - lg.max()
+
+    audio = whisper_encode(params, jnp.asarray(mel), DIMS)
+    for g in range(2):
+        cross_kv = precompute_cross_kv(params, audio[g:g + 1])
+        beams = [([sot], 0.0, False)]
+        for _ in range(steps):
+            cands = []
+            for tk, s, fin in beams:
+                if fin:
+                    cands.append((tk, s, True))
+                    continue
+                lp = step_logp(cross_kv, tk)
+                cands.extend((tk + [v], s + lp[v], v == VOCAB - 1)
+                             for v in range(VOCAB))
+            cands.sort(key=lambda c: -c[1])
+            beams = cands[:rep]
+            if all(f for _, _, f in beams):
+                break
+        for r, (tk, s, _fin) in enumerate(beams):
+            gen = tk[1:]                      # strip the [sot] prompt
+            np.testing.assert_array_equal(
+                got_tokens[g, r, : len(gen)], gen)
+            np.testing.assert_allclose(got_scores[g, r], s, atol=1e-3)
+
+
 def test_suppression_rules(hf_model, params, mel):
     banned = (3, 7, 11)
     opts = DecodeOptions(max_tokens=6, eot=VOCAB - 1, suppress_blank=False,
