@@ -252,6 +252,21 @@ def spectral_gate_normalized_jit(audio: jnp.ndarray,
         audio, sr, prop_decrease, _valid_mask(audio.shape[-1], n_valid)))
 
 
+def _gate_norm_core(x: jnp.ndarray, prop_decrease, n_valid, sr: int,
+                    denoise: bool):
+    """Shared gate+normalize+int16-downlink body for every wire format:
+    f32 [K, T] (zeros past each row's n_valid) → (f32 gated+normalized,
+    int16 of it). Wire decoders feed EXACTLY the same x here, so raw-int16
+    and packed uploads produce bit-identical results."""
+    if denoise:
+        y = peak_normalize(spectral_gate(
+            x, sr, prop_decrease, _valid_mask(x.shape[-1], n_valid)))
+    else:
+        y = peak_normalize(x)
+    q_out = jnp.clip(jnp.round(y * 32767.0), -32768, 32767).astype(jnp.int16)
+    return y, q_out
+
+
 @partial(jax.jit, static_argnames=("sr", "denoise"))
 def gate_normalize_i16_jit(q: jnp.ndarray, prop_decrease: jnp.ndarray,
                            n_valid: jnp.ndarray, sr: int = 16000,
@@ -270,13 +285,29 @@ def gate_normalize_i16_jit(q: jnp.ndarray, prop_decrease: jnp.ndarray,
     downloading takes 3.5-7 s in-process — CPU contention with the device
     client threads — so the download stays.)"""
     x = q.astype(jnp.float32) / 32768.0
-    if denoise:
-        y = peak_normalize(spectral_gate(
-            x, sr, prop_decrease, _valid_mask(x.shape[-1], n_valid)))
-    else:
-        y = peak_normalize(x)
-    q_out = jnp.clip(jnp.round(y * 32767.0), -32768, 32767).astype(jnp.int16)
-    return y, q_out
+    return _gate_norm_core(x, prop_decrease, n_valid, sr, denoise)
+
+
+@partial(jax.jit, static_argnames=("sr", "denoise", "width"))
+def gate_normalize_packed_jit(data: jnp.ndarray, x0: jnp.ndarray,
+                              e1: jnp.ndarray, order2: jnp.ndarray,
+                              prop_decrease: jnp.ndarray,
+                              n_valid: jnp.ndarray, sr: int = 16000,
+                              denoise: bool = True, width: int = 12):
+    """Lossless delta-packed wire in → (f32 gated+normalized, int16 of it)
+    — the default wire (TPUConfig.wire_bits=0): 25-45% fewer upload bytes
+    than int16 with a BIT-IDENTICAL result, because the device
+    reconstructs the exact int16 batch (audio/pack.py format: W-bit
+    deltas, groups of 8 samples per W bytes, static-slice unpack) and
+    then re-masks the valid region — the padding taper the packer wrote
+    never reaches the gate, so the input equals the raw-int16 program's
+    input exactly. ``width`` is static (one cached program per width);
+    ``order2`` is traced so both delta orders share a program."""
+    from clearconverse_tpu.audio.pack import unpack_delta_jnp
+    xi = unpack_delta_jnp(data, x0, e1, order2, width)
+    x = (xi.astype(jnp.float32) / 32768.0) * _valid_mask(xi.shape[-1],
+                                                         n_valid)
+    return _gate_norm_core(x, prop_decrease, n_valid, sr, denoise)
 
 
 @partial(jax.jit, static_argnames=("sr", "denoise"))

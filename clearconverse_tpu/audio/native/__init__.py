@@ -75,6 +75,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.mono_mix.restype = ctypes.c_int
         lib.peak_normalize.argtypes = [f32, ctypes.c_int64, ctypes.c_float]
         lib.peak_normalize.restype = ctypes.c_float
+        i16 = ctypes.POINTER(ctypes.c_int16)
+        i32 = ctypes.POINTER(ctypes.c_int32)
+        lib.delta_scan.argtypes = [i16, ctypes.c_int64, ctypes.c_int64,
+                                   i32, i32]
+        lib.delta_scan.restype = ctypes.c_int
+        lib.delta_pack.argtypes = [i16, ctypes.c_int64, ctypes.c_int64,
+                                   ctypes.c_int, ctypes.c_int, u8, i32, i32]
+        lib.delta_pack.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -112,3 +120,40 @@ def encode_s16(planar: np.ndarray) -> Optional[bytes]:
                         channels, frames,
                         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out.tobytes() if rc == 0 else None
+
+
+def delta_scan(q: np.ndarray):
+    """Max |first delta| / |second delta| over an int16 batch [K, T]
+    (slots >= 2, per row) in one C pass — the width probe for the packed
+    wire (audio/pack.py). None if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, np.int16)
+    m1 = ctypes.c_int32(0)
+    m2 = ctypes.c_int32(0)
+    rc = lib.delta_scan(q.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                        q.shape[0], q.shape[1], ctypes.byref(m1),
+                        ctypes.byref(m2))
+    return (int(m1.value), int(m2.value)) if rc == 0 else None
+
+
+def delta_pack(q: np.ndarray, order: int, width: int):
+    """Single-pass delta + bit-pack of an int16 batch [K, T] into the
+    audio/pack.py wire layout → (data [K, T*width//8] uint8, x0 [K] int32,
+    e1 [K] int32); None if the library is unavailable or the shape is
+    unpackable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, np.int16)
+    k, t = q.shape
+    data = np.empty((k, t * width // 8), np.uint8)
+    x0 = np.empty((k,), np.int32)
+    e1 = np.empty((k,), np.int32)
+    rc = lib.delta_pack(
+        q.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)), k, t, order, width,
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        x0.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        e1.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return (data, x0, e1) if rc == 0 else None

@@ -1,12 +1,15 @@
 """8-bit mu-law wire format for host->device audio uploads (opt-in).
 
 The engine's load stage is wire-bound: the tunnel moves ~23 MB/s and the
-int16 batch upload is the single largest stage of a warm engine pass
+audio batch upload is the single largest stage of a warm engine pass
 (bench stage_seconds.load_gate.upload_gate). mu-law (G.711's companding
-curve, mu=255) halves the bytes at ~38 dB SNR on speech — inaudible for
-ASR/diarization front-ends but NOT bit-identical, so it ships off by
-default (TPUConfig.wire_bits=16) and is enabled per-deployment via
-CC_TPU_WIRE_BITS=8 once a WER check on real checkpoints clears it.
+curve, mu=255) halves the bytes vs int16 at ~38 dB SNR on speech —
+inaudible for ASR/diarization front-ends but NOT bit-identical, so it
+ships off by default and is enabled per-deployment via CC_TPU_WIRE_BITS=8
+once a WER check on real checkpoints clears it. (The DEFAULT wire is the
+LOSSLESS delta bit-packing in audio/pack.py — TPUConfig.wire_bits=0 —
+which needs no sign-off; mu-law remains the deeper, lossy lever and also
+compresses the downlink leg.)
 
 Host side encodes with numpy (vectorized, ~10 ms per 8x60 s batch on the
 one-core host); the device side expands inside the gate program

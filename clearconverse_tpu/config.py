@@ -104,11 +104,14 @@ class TPUConfig:
     # stream with exact per-position scale folding (+1-2% RTFx measured;
     # default stays full precision for parity purity).
     self_kv_bits: int = 16
-    # Host->device audio upload width (16 = int16, 8 = mu-law): the engine
-    # load stage is wire-bound (~23 MB/s tunnel) and mu-law halves its
-    # bytes at ~38 dB companding SNR (audio/wire.py). Off by default —
-    # flip via CC_TPU_WIRE_BITS=8 after a WER check on real checkpoints.
-    wire_bits: int = 16
+    # Host->device audio wire format. 0 (default) = LOSSLESS delta
+    # bit-packing (audio/pack.py): 25-45% fewer upload bytes with a
+    # bit-identical device-side batch, so it needs no quality sign-off
+    # (falls back to raw int16 when no delta order fits 15 bits).
+    # 16 = raw int16. 8 = opt-in mu-law (audio/wire.py): HALF the bytes
+    # on BOTH tunnel legs at ~38 dB companding SNR — flip via
+    # CC_TPU_WIRE_BITS=8 after a WER check on real checkpoints.
+    wire_bits: int = 0
     # First-party Pallas encoder-attention kernel in its winning regime
     # (TPU, B<=48; models/whisper._use_pallas_attn). False pins the einsum
     # attention everywhere so encoder numerics never depend on batch

@@ -539,3 +539,150 @@ def test_wire8_silent_file_stays_silent(tmp_path):
                                       noise_reduction_amount=0.4, wire_bits=8)
     assert np.max(np.abs(np.asarray(hosts[0]))) == 0.0
     assert float(jnp.max(jnp.abs(batch))) == 0.0
+
+
+# ------------------------------------------------- lossless packed wire
+
+def test_pack_bits_roundtrip_all_widths(rng):
+    """pack_bits_np/unpack_bits_np are exact inverses for every width the
+    wire supports, including the extremes of each width's value range."""
+    from clearconverse_tpu.audio import pack as packmod
+
+    for w in range(packmod.MIN_WIDTH, packmod.MAX_WIDTH + 1):
+        u = rng.integers(0, 1 << w, size=(3, 64), dtype=np.int64)
+        u[0, :2] = [0, (1 << w) - 1]          # range extremes
+        u = u.astype(np.uint16)
+        data = packmod.pack_bits_np(u, w)
+        assert data.shape == (3, 64 * w // 8) and data.dtype == np.uint8
+        np.testing.assert_array_equal(packmod.unpack_bits_np(data, w),
+                                      u.astype(np.int32))
+
+
+def test_pack_i16_batch_bit_exact_roundtrip(rng):
+    """Host pack → device unpack reproduces the int16 batch bit-for-bit in
+    the valid region — the property that lets the packed wire ship as the
+    default with no quality sign-off. Covers both delta orders, padded
+    rows (taper region), and a loud final sample."""
+    from clearconverse_tpu.audio import pack as packmod
+
+    sr, T = 16000, 16000
+    t = np.arange(T) / sr
+    K = 3
+    q = np.zeros((K, T), np.int16)
+    # row 0: tone + noise (speech-like), full length
+    q[0] = np.round(12000 * np.sin(2 * np.pi * 220 * t)
+                    + rng.standard_normal(T) * 120).astype(np.int16)
+    # row 1: LOUD tone cut off at a PEAK, padded — without the packer's
+    # taper the valid→pad step would need a 16-bit delta (raw fallback)
+    tone = np.round(28000 * np.sin(2 * np.pi * 130 * t)).astype(np.int16)
+    n1 = int(np.argmax(tone[11000:12500])) + 11000 + 1
+    q[1, :n1] = tone[:n1]
+    # row 2: silence
+    n_valid = np.array([T, n1, T], np.int64)
+    pb = packmod.pack_i16_batch(q.copy(), n_valid)
+    assert pb is not None and pb.width <= packmod.MAX_WIDTH
+    # the taper kept the pad transition from dictating the width
+    assert pb.width < packmod._signed_width(int(abs(q[1, n1 - 1])))
+    # fewer wire bytes than raw int16
+    assert pb.data.nbytes < q.nbytes
+
+    host = packmod.unpack_batch_np(pb)
+    dev = np.asarray(packmod.unpack_delta_jnp(
+        jnp.asarray(pb.data), jnp.asarray(pb.x0), jnp.asarray(pb.e1),
+        pb.order == 2, pb.width))
+    np.testing.assert_array_equal(host, dev)
+    for r in range(K):
+        np.testing.assert_array_equal(dev[r, : n_valid[r]],
+                                      q[r, : n_valid[r]].astype(np.int32))
+
+
+def test_pack_order_selection_and_fallback(rng):
+    """Tonal content picks order 2; white noise picks order 1; near-full-
+    scale white noise (deltas need 16+ bits) returns None → the caller
+    falls back to the raw int16 wire."""
+    from clearconverse_tpu.audio import pack as packmod
+
+    T = 16000
+    t = np.arange(T) / 16000
+    tone = np.round(16000 * np.sin(2 * np.pi * 200 * t)).astype(np.int16)
+    pb = packmod.pack_i16_batch(tone[None], np.array([T]))
+    assert pb is not None and pb.order == 2
+
+    noise = np.clip(rng.standard_normal(T) * 900, -32768,
+                    32767).astype(np.int16)
+    pb = packmod.pack_i16_batch(noise[None], np.array([T]),
+                                max_width=packmod.MAX_WIDTH)
+    assert pb is not None and pb.order == 1
+    if pb.width > packmod.AUTO_MAX_WIDTH:
+        # same content under the AUTO threshold → raw int16 fallback
+        assert packmod.pack_i16_batch(noise[None], np.array([T])) is None
+
+    loud = np.clip(rng.standard_normal(T) * 20000, -32768,
+                   32767).astype(np.int16)
+    assert packmod.pack_i16_batch(loud[None], np.array([T]),
+                                  max_width=packmod.MAX_WIDTH) is None
+
+    silent = np.zeros((1, T), np.int16)
+    pb = packmod.pack_i16_batch(silent, np.array([T]))
+    assert pb is not None and pb.width == packmod.MIN_WIDTH
+    np.testing.assert_array_equal(packmod.unpack_batch_np(pb), 0)
+
+
+def test_gate_packed_wire_bit_equals_i16(rng):
+    """gate_normalize_packed_jit output is BIT-IDENTICAL to
+    gate_normalize_i16_jit on the same int16 batch — including rows whose
+    padding the packer tapered (the device re-masks before the gate)."""
+    from clearconverse_tpu.audio import pack as packmod
+    from clearconverse_tpu.audio.denoise import (gate_normalize_i16_jit,
+                                                 gate_normalize_packed_jit)
+
+    B, T, sr = 2, 16000, 16000
+    t = np.arange(T) / sr
+    q = np.zeros((B, T), np.int16)
+    q[0] = np.round(9000 * np.sin(2 * np.pi * 300 * t)
+                    + rng.standard_normal(T) * 150).astype(np.int16)
+    tone = np.round(25000 * np.sin(2 * np.pi * 150 * t)).astype(np.int16)
+    n1 = int(np.argmax(tone[10500:12000])) + 10500 + 1   # cut at a peak:
+    q[1, :n1] = tone[:n1]                                # forces a real taper
+    n_valid = np.array([T, n1], np.int32)
+
+    pb = packmod.pack_i16_batch(q.copy(), n_valid)
+    assert pb is not None
+    for dn in (True, False):
+        y16, q16 = gate_normalize_i16_jit(jnp.asarray(q), 0.5,
+                                          jnp.asarray(n_valid), sr=sr,
+                                          denoise=dn)
+        yp, qp = gate_normalize_packed_jit(
+            jnp.asarray(pb.data), jnp.asarray(pb.x0), jnp.asarray(pb.e1),
+            pb.order == 2, 0.5, jnp.asarray(n_valid), sr=sr, denoise=dn,
+            width=pb.width)
+        np.testing.assert_array_equal(np.asarray(y16), np.asarray(yp))
+        np.testing.assert_array_equal(np.asarray(q16), np.asarray(qp))
+
+
+def test_load_audio_many_packed_wire_equals_i16(tmp_path, rng):
+    """load_audio_many(wire_bits=0) — the default engine wire — returns
+    results IDENTICAL to wire_bits=16 (lossless round-trip end to end),
+    for both packable audio and the raw-int16 fallback."""
+    from clearconverse_tpu.audio.decode import load_audio_many
+
+    t = np.arange(20000) / 16000
+    paths = []
+    # packable: tone + mild noise; fallback: near-full-scale white noise
+    for i, x in enumerate([
+            (0.4 * np.sin(2 * np.pi * 220 * t)
+             + rng.standard_normal(20000) * 0.01).astype(np.float32),
+            np.clip(rng.standard_normal(20000) * 0.6, -0.99,
+                    0.99).astype(np.float32)]):
+        p = str(tmp_path / f"pk{i}.wav")
+        wavmod.write_wav(p, x, 16000)
+        paths.append(p)
+    h16, b16, m16 = load_audio_many(paths, return_device=True,
+                                    noise_reduction_amount=0.4,
+                                    wire_bits=16)
+    h0, b0, m0 = load_audio_many(paths, return_device=True,
+                                 noise_reduction_amount=0.4, wire_bits=0)
+    assert m16 == m0 and b16.shape == b0.shape
+    np.testing.assert_array_equal(np.asarray(b16), np.asarray(b0))
+    for a, b in zip(h16, h0):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

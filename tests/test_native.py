@@ -80,3 +80,37 @@ def test_mono_mix_native(lib):
     lib.mono_mix(x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 2, 2,
                  out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     np.testing.assert_allclose(out, [0.5, 0.5])
+
+
+def test_native_delta_pack_matches_numpy(rng):
+    """The C delta_scan/delta_pack (single-pass, ~20x faster on the
+    one-core host) must produce the EXACT numpy-path bitstream — the
+    device unpack program is compiled against that layout."""
+    from clearconverse_tpu.audio import native
+    from clearconverse_tpu.audio import pack as packmod
+
+    if native.get_lib() is None:
+        import pytest
+        pytest.skip("native wavcodec unavailable")
+
+    t = np.arange(32000) / 16000.0
+    q = np.zeros((3, 32000), np.int16)
+    q[0] = np.round(15000 * np.sin(2 * np.pi * 220 * t)).astype(np.int16)
+    q[1] = np.clip(rng.standard_normal(32000) * 700, -32768,
+                   32767).astype(np.int16)
+    x32 = q.astype(np.int32)
+    d1 = np.diff(x32, axis=1)
+    m1 = int(np.max(np.abs(d1[:, 1:])))
+    m2 = int(np.max(np.abs(np.diff(d1, axis=1))))
+    assert native.delta_scan(q) == (m1, m2)
+
+    for order in (1, 2):
+        width = packmod._signed_width(m1 if order == 1 else m2)
+        data, x0, e1 = native.delta_pack(q, order, width)
+        p = np.zeros(q.shape, np.int32)
+        p[:, 2:] = d1[:, 1:] if order == 1 else np.diff(d1, axis=1)
+        ref = packmod.pack_bits_np((p + (1 << (width - 1))).astype(np.uint16),
+                                   width)
+        np.testing.assert_array_equal(data, ref)
+        np.testing.assert_array_equal(x0, x32[:, 0])
+        np.testing.assert_array_equal(e1, d1[:, 0])
