@@ -323,8 +323,9 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
         # Default lossless wire: delta+bit-pack the int16 batch (audio/
         # pack.py). The device reconstructs it bit-for-bit, so results are
         # IDENTICAL to the raw int16 wire at 25-45% fewer upload bytes
-        # (speech deltas fit 9-13 bits). None = no delta order fits 15
-        # bits (near-full-scale white noise) → raw int16 below.
+        # (speech deltas fit 9-13 bits). None = no delta order fits
+        # AUTO_MAX_WIDTH (13) bits — near-full-scale wideband noise — or
+        # the native packer is unavailable → raw int16 below.
         from clearconverse_tpu.audio.pack import pack_i16_batch
         packed = pack_i16_batch(q_up, n_outs)
     t0 = _mark("host_decode", t0)

@@ -16,9 +16,13 @@ Format (per upload):
     per upload as whichever order needs the narrower width (white noise
     prefers order 1, tonal/voiced content order 2).
   * width ``W`` in [4, 15]: every delta is stored as an unsigned W-bit
-    value (delta + 2^(W-1)). W is the smallest width that covers the
-    batch's max |delta|; if 16+ bits would be needed the caller falls
-    back to the raw int16 wire (audio/decode.load_audio_many).
+    value (delta + 2^(W-1)). W is the smallest width covering the batch's
+    max |delta|, rounded UP to the bucket set WIDTH_BUCKETS — each width
+    is one cached device program, so a handful of buckets instead of ~10
+    raw widths bounds the first-compile surface (30 s - 18 min per shape
+    over the tunnel) at ≤1 extra bit (~8% stream bytes). Above
+    AUTO_MAX_WIDTH (13 by default) the caller falls back to the raw int16
+    wire (audio/decode.load_audio_many).
   * groups of 8 samples pack into exactly W bytes (8*W bits), so the
     byte stream is [K, T*W/8] uint8 with STATIC per-sample byte/shift
     offsets — the device unpack is 8 static slices + shifts/masks, no
@@ -60,6 +64,13 @@ MAX_WIDTH = 15
 # speech deltas fit 9-12 bits; near-full-scale wideband noise (the only
 # content needing 14+) falls back to the raw int16 wire at zero cost.
 AUTO_MAX_WIDTH = 13
+# Every distinct width is a distinct gate_normalize_packed_jit program
+# (width drives the static bit layout of the device unpack), and a first
+# compile per shape costs 30 s - 18 min over the tunnel — so the auto
+# packer rounds the measured width UP to this bucket set. Cost: ≤1 extra
+# bit (~8% of the packed stream, still far below raw int16); gain: 4
+# programs per (K, T) shape instead of ~10, all warmable ahead of time.
+WIDTH_BUCKETS = (8, 10, 12, 13)
 _TAPER = 256          # max taper samples from a row's last value to zero
 
 
@@ -185,7 +196,8 @@ def unpack_delta_jnp(data, x0, e1, order2, width: int):
 
 
 def pack_i16_batch(q: np.ndarray, n_valid,
-                   max_width: int = AUTO_MAX_WIDTH) -> "PackedBatch | None":
+                   max_width: int = AUTO_MAX_WIDTH,
+                   allow_numpy: bool = False) -> "PackedBatch | None":
     """Pack an int16 batch [K, T] (zero-padded past ``n_valid``) for the
     wire, or None when no delta order fits within ``max_width`` bits
     (near-full-scale wideband noise; see AUTO_MAX_WIDTH for why the
@@ -195,19 +207,23 @@ def pack_i16_batch(q: np.ndarray, n_valid,
     the device re-masks), so a loud final sample cannot force the whole
     batch to fall back.
 
-    Both passes (max-|delta| scan, delta+bit-pack) run in the native
-    wavcodec library when available — numpy needs ~0.3-0.9 s of
-    temporaries/strided slicing for an 8×60 s batch on this image's ONE
-    host core, which would eat the wire saving; single-pass C does it in
-    ~30-50 ms (audio/native/wavcodec.cc delta_scan/delta_pack)."""
+    Both passes (max-|delta| scan, delta+bit-pack) MUST run in the native
+    wavcodec library — numpy needs ~0.3-0.9 s of temporaries/strided
+    slicing for an 8×60 s batch on this image's ONE host core, which
+    would eat the ~0.2-0.4 s wire saving and make the default wire a net
+    regression exactly where the C build failed. When the native library
+    is unavailable this returns None (raw int16 wire); ``allow_numpy``
+    keeps the pure-numpy mirror reachable as the tests' oracle."""
     from clearconverse_tpu.audio import native
 
     K, T = q.shape
     if T % 8 or T < 2:
         return None
+    if native.get_lib() is None and not allow_numpy:
+        return None
     q = _taper_padding(q, n_valid)
     scanned = native.delta_scan(q)
-    if scanned is None:                                # numpy fallback
+    if scanned is None:                                # numpy test oracle
         x32 = q.astype(np.int32)
         d1 = np.diff(x32, axis=1)
         scanned = ((int(np.max(np.abs(d1[:, 1:]))) if T > 2 else 0),
@@ -215,6 +231,9 @@ def pack_i16_batch(q: np.ndarray, n_valid,
     m1, m2 = scanned
     w1, w2 = _signed_width(m1), _signed_width(m2)
     order, width = (1, w1) if w1 <= w2 else (2, w2)
+    # Round up to the bucket set: each width is a distinct cached device
+    # program; see WIDTH_BUCKETS.
+    width = next((b for b in WIDTH_BUCKETS if b >= width), width)
     if width > min(max_width, MAX_WIDTH):
         return None
     packed = native.delta_pack(q, order, width)

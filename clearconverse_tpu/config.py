@@ -107,7 +107,8 @@ class TPUConfig:
     # Host->device audio wire format. 0 (default) = LOSSLESS delta
     # bit-packing (audio/pack.py): 25-45% fewer upload bytes with a
     # bit-identical device-side batch, so it needs no quality sign-off
-    # (falls back to raw int16 when no delta order fits 15 bits).
+    # (falls back to raw int16 when no delta order fits 13 bits —
+    # pack.AUTO_MAX_WIDTH — or the native packer is unavailable).
     # 16 = raw int16. 8 = opt-in mu-law (audio/wire.py): HALF the bytes
     # on BOTH tunnel legs at ~38 dB companding SNR — flip via
     # CC_TPU_WIRE_BITS=8 after a WER check on real checkpoints.

@@ -428,18 +428,27 @@ def beam_decode(
     rows × R with beams consecutive per row, so all beams of a row share
     one encoder forward and ONE cross-KV stream (the decode loop's HBM
     bottleneck). Per step: one decoder forward over all beams, candidate
-    scores = cumulative + token logprob, top-R per row over the R×V
-    candidates, then the self-KV cache / token history / timestamp state
-    gather to the surviving beams' source rows. Finished beams are FROZEN:
-    they propose exactly one candidate (EOT at their final score — the
-    EOT logprob was added when they finished), so they stay in the beam
-    set iff their score still ranks top-R, like openai-whisper's
-    finished-sequence bookkeeping under patience=1.0. Rows within a
-    replica group must share one prompt (the bundle tiles them).
+    scores = cumulative + token logprob, the live set becomes the top-R
+    NON-EOT candidates over the R×V grid, then the self-KV cache / token
+    history / timestamp state gather to the surviving beams' source rows.
 
-    Returns the greedy_decode dict with all R beams per row, DESCENDING
-    final-score order within each group; the caller picks per-row winners
-    by MaximumLikelihoodRanker score (sum_logprob / length), exactly the
+    Finished sequences live in a SEPARATE capacity-R store per group,
+    mirroring openai-whisper's BeamSearchDecoder.finished_sequences under
+    patience=1.0: an EOT candidate is saved iff it outranks the R-th live
+    candidate (whisper's sorted update loop breaks once R live beams are
+    collected, so lower-ranked EOTs are dropped — and that rank condition
+    provably implies membership in whisper's per-beam topk(R+1) candidate
+    pool), insertions are score-ordered per step and first-come across
+    steps, and the store never evicts. The loop ends when every group has
+    R finished sequences (or max_tokens/ctx is exhausted), after which
+    remaining slots fill from live beams in descending cumulative-score
+    order with EOT appended at no logprob cost — whisper's finalize().
+    Rows within a replica group must share one prompt (the bundle tiles
+    them).
+
+    Returns the greedy_decode dict with the R finished sequences per row
+    in store (insertion) order; the caller picks per-row winners by
+    MaximumLikelihoodRanker score (sum_logprob / length), exactly the
     best_of selection path in pipeline/bundle._decode_with_fallback."""
     B, P = prompt_tokens.shape
     R = opts.replicas
@@ -448,6 +457,7 @@ def beam_decode(
         raise ValueError("beam search is temperature-0 only (whisper "
                          "semantics: best_of handles sampling rungs)")
     cdt = opts.compute_dtype
+    mt = opts.max_tokens
     params, cross_kv, self_kv, logits, pad, max_len = _prefill(
         params, mel, prompt_tokens, prompt_lens, dims, opts, max_prompt_len)
     V = logits.shape[-1]
@@ -460,26 +470,42 @@ def beam_decode(
                                  jnp.int32(0))
     logp0 = jax.nn.log_softmax(first.astype(jnp.float32), axis=-1)
     # Step 0: all beams of a group hold the identical prompt, so their
-    # logits are identical — diversify by taking the group's top-R TOKENS
-    # (openai's first expansion of the single initial sequence).
-    s0, t0 = jax.lax.top_k(logp0.reshape(G, R, V)[:, 0, :], R)   # [G, R]
+    # logits are identical — whisper's first update dict-dedups the R
+    # identical beams into ONE distribution's topk(R+1) pool. Live = that
+    # pool's top R non-EOT tokens = the full distribution's top R non-EOT;
+    # an EOT outranking the R-th live one seeds the finished store.
+    l0 = logp0.reshape(G, R, V)[:, 0, :]                         # [G, V]
+    eot0 = l0[:, opts.eot]
+    s0, t0 = jax.lax.top_k(l0.at[:, opts.eot].set(-jnp.inf), R)  # [G, R]
     tok0 = t0.reshape(B).astype(jnp.int32)
     slp0 = s0.reshape(B).astype(jnp.float32)
-    tokens0 = jnp.full((B, opts.max_tokens), opts.eot, jnp.int32)
+    tokens0 = jnp.full((B, mt), opts.eot, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(tok0)
-    fin0 = tok0 == opts.eot
     last_ts0 = jnp.where(tok0 >= opts.timestamp_begin, tok0, none) \
         if opts.timestamps else none
+    eot_valid0 = eot0 > s0[:, R - 1]
+    # Finished store: tokens/scores per slot + insertion count. An all-EOT
+    # token row IS the empty sequence (history + implicit EOT at slot 0).
+    fin_tokens0 = jnp.full((G, R, mt), opts.eot, jnp.int32)
+    fin_scores0 = jnp.where(
+        jnp.arange(R)[None, :] == 0,
+        jnp.where(eot_valid0[:, None], eot0[:, None], -jnp.inf),
+        -jnp.inf).astype(jnp.float32)
+    fin_count0 = eot_valid0.astype(jnp.int32)
 
     group_base = (jnp.arange(G)[:, None] * R)                    # [G, 1]
+    g_idx = jnp.arange(G)[:, None]                               # [G, 1]
     kv_batch_axis = 1 if opts.scan_layers else 0  # stacked: [L, B, ...]
+    plen_g = prompt_lens.reshape(G, R)[:, 0]
 
     def cond(state):
-        step, _, _, finished, _, _, _, _ = state
-        return (step < opts.max_tokens) & ~jnp.all(finished)
+        step, fin_count = state[0], state[9]
+        ctx_full_g = (plen_g + step) >= dims.n_text_ctx
+        return (step < mt) & ~jnp.all((fin_count >= R) | ctx_full_g)
 
     def body(state):
-        step, tokens, kv, finished, slp, prev, prev2, last_ts = state
+        (step, tokens, kv, slp, prev, prev2, last_ts,
+         fin_tokens, fin_scores, fin_count) = state
         pos = jnp.clip(prompt_lens + step - 1, 0,
                        dims.n_text_ctx - 1)[:, None]
         kmask_slot = jnp.arange(max_len)[None, None, None, :]
@@ -494,16 +520,37 @@ def beam_decode(
             lg = _timestamp_rules(lg, opts, False, prev, prev2, last_ts,
                                   step)
         logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
-        # Context-full rows force-finish like greedy_decode (whisper caps
-        # prompt+generation at n_text_ctx).
-        done = finished | ((prompt_lens + step) >= dims.n_text_ctx)
-        cand = slp[:, None] + logp                              # [B, V]
-        # Frozen beams propose exactly themselves: EOT at unchanged score.
-        cand = jnp.where(done[:, None], _NEG_INF, cand)
-        cand = cand.at[:, opts.eot].set(
-            jnp.where(done, slp, cand[:, opts.eot]))
-        sc, flat = jax.lax.top_k(cand.reshape(G, R * V), R)     # [G, R]
-        src = (flat // V + group_base).reshape(B)     # winning source rows
+        # Context-full groups freeze in place (whisper's sample loop would
+        # have broken already for its single shared prompt length; per-group
+        # prompt lengths are this rebuild's generalization). Their live
+        # beams fill the finished store at finalize, like a loop break.
+        frozen = (prompt_lens + step) >= dims.n_text_ctx         # [B]
+        active_g = ~((plen_g + step) >= dims.n_text_ctx)         # [G]
+        cand = (slp[:, None] + logp).reshape(G, R, V)
+        eot_sc = cand[:, :, opts.eot]                            # [G, R]
+        live = cand.at[:, :, opts.eot].set(-jnp.inf)
+        sc, flat = jax.lax.top_k(live.reshape(G, R * V), R)      # [G, R]
+        # whisper update(): sorted candidates route EOT→finished /
+        # non-EOT→live and BREAK once R live are saved, so an EOT is saved
+        # iff it outranks the R-th live candidate — capacity permitting,
+        # score-ordered within the step.
+        eot_valid = (eot_sc > sc[:, R - 1:R]) & active_g[:, None]
+        ord_sc, ord_idx = jax.lax.top_k(
+            jnp.where(eot_valid, eot_sc, -jnp.inf), R)           # [G, R]
+        valid = ord_sc > -jnp.inf
+        slots = fin_count[:, None] + jnp.cumsum(
+            valid.astype(jnp.int32), axis=1) - 1
+        slot_w = jnp.where(valid & (slots < R), slots, R)  # R → mode="drop"
+        fin_hist = jnp.take_along_axis(
+            tokens.reshape(G, R, mt), ord_idx[:, :, None], axis=1)
+        fin_tokens = fin_tokens.at[g_idx, slot_w].set(fin_hist, mode="drop")
+        fin_scores = fin_scores.at[g_idx, slot_w].set(ord_sc, mode="drop")
+        fin_count = fin_count + jnp.sum((slot_w < R).astype(jnp.int32),
+                                        axis=1)
+
+        own = jnp.arange(B)
+        src = jnp.where(frozen, own,
+                        (flat // V + group_base).reshape(B))
         tok = (flat % V).reshape(B).astype(jnp.int32)
 
         def take(x):
@@ -515,21 +562,39 @@ def beam_decode(
         # beams' full history). Cross-KV is per-GROUP and needs no gather.
         kv = jax.tree.map(lambda x: jnp.take(x, src, axis=kv_batch_axis),
                           kv)
-        tokens = take(tokens).at[:, step].set(tok)
-        done_g = take(done)
-        finished = done_g | (tok == opts.eot)
-        new_prev2 = take(prev)
-        new_last_ts = jnp.where((tok >= opts.timestamp_begin) & ~done_g,
-                                tok, take(last_ts)) \
-            if opts.timestamps else take(last_ts)
-        return (step + 1, tokens, kv, finished, sc.reshape(B), tok,
-                new_prev2, new_last_ts)
+        tokens = take(tokens)
+        tokens = tokens.at[:, step].set(
+            jnp.where(frozen, tokens[:, step], tok))
+        new_slp = jnp.where(frozen, slp, sc.reshape(B))
+        new_prev = jnp.where(frozen, prev, tok)
+        new_prev2 = jnp.where(frozen, prev2, take(prev))
+        new_last_ts = jnp.where(
+            frozen, last_ts,
+            jnp.where(tok >= opts.timestamp_begin, tok, take(last_ts))) \
+            if opts.timestamps else jnp.where(frozen, last_ts, take(last_ts))
+        return (step + 1, tokens, kv, new_slp, new_prev, new_prev2,
+                new_last_ts, fin_tokens, fin_scores, fin_count)
 
-    _, tokens, _, _, slp, _, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(1), tokens0, self_kv, fin0, slp0, tok0,
-                     none, last_ts0))
+    (_, tokens, _, slp, _, _, _, fin_tokens, fin_scores,
+     fin_count) = jax.lax.while_loop(
+        cond, body, (jnp.int32(1), tokens0, self_kv, slp0, tok0, none,
+                     last_ts0, fin_tokens0, fin_scores0, fin_count0))
 
-    return _finalize_decode(tokens, slp, no_speech_prob, opts)
+    # whisper BeamSearchDecoder.finalize(): groups short of R finished
+    # sequences fill remaining slots from live beams in descending
+    # cumulative-score order, EOT appended at no logprob cost (the token
+    # buffer is EOT-padded, so the append is implicit; a full-length live
+    # row simply has no room — same as whisper's trim-at-eot length).
+    ord_sc, ord_idx = jax.lax.top_k(slp.reshape(G, R), R)
+    slots = fin_count[:, None] + jnp.arange(R)[None, :]
+    slot_w = jnp.where(slots < R, slots, R)
+    live_hist = jnp.take_along_axis(
+        tokens.reshape(G, R, mt), ord_idx[:, :, None], axis=1)
+    fin_tokens = fin_tokens.at[g_idx, slot_w].set(live_hist, mode="drop")
+    fin_scores = fin_scores.at[g_idx, slot_w].set(ord_sc, mode="drop")
+
+    return _finalize_decode(fin_tokens.reshape(B, mt),
+                            fin_scores.reshape(B), no_speech_prob, opts)
 
 
 @partial(jax.jit, static_argnames=("dims", "sot", "lang_lo", "lang_hi",

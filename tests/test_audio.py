@@ -624,8 +624,33 @@ def test_pack_order_selection_and_fallback(rng):
 
     silent = np.zeros((1, T), np.int16)
     pb = packmod.pack_i16_batch(silent, np.array([T]))
-    assert pb is not None and pb.width == packmod.MIN_WIDTH
+    # widths round UP to the bucket set (one cached device program per
+    # width; see pack.WIDTH_BUCKETS) — silence lands on the smallest.
+    assert pb is not None and pb.width == packmod.WIDTH_BUCKETS[0]
     np.testing.assert_array_equal(packmod.unpack_batch_np(pb), 0)
+
+
+def test_pack_width_bucketing_and_native_gate(rng, monkeypatch):
+    """Auto-packed widths come from WIDTH_BUCKETS (bounded compile
+    surface), and without the native packer pack_i16_batch returns None
+    (raw int16 wire) unless allow_numpy — the numpy path costs 0.3-0.9 s
+    per batch on the 1-core host, more than the wire saves."""
+    from clearconverse_tpu.audio import native
+    from clearconverse_tpu.audio import pack as packmod
+
+    T = 16000
+    t = np.arange(T) / 16000
+    q = np.round(12000 * np.sin(2 * np.pi * 220 * t)
+                 + rng.standard_normal(T) * 120).astype(np.int16)[None]
+    pb = packmod.pack_i16_batch(q.copy(), np.array([T]))
+    assert pb is not None and pb.width in packmod.WIDTH_BUCKETS
+    np.testing.assert_array_equal(packmod.unpack_batch_np(pb)[0], q[0])
+
+    monkeypatch.setattr(native, "get_lib", lambda: None)
+    assert packmod.pack_i16_batch(q.copy(), np.array([T])) is None
+    pb2 = packmod.pack_i16_batch(q.copy(), np.array([T]), allow_numpy=True)
+    assert pb2 is not None and pb2.width == pb.width
+    np.testing.assert_array_equal(pb2.data, pb.data)
 
 
 def test_gate_packed_wire_bit_equals_i16(rng):

@@ -169,17 +169,21 @@ def test_replica_shape_mismatch_raises(hf_model, params, mel):
 
 
 def test_beam_decode_matches_python_reference(hf_model, params, mel):
-    """models/decoding.beam_decode vs an independent pure-Python beam
-    search driven by full-prefix decoder_forward calls: same beam sets,
-    same token sequences, same cumulative scores, in the same (descending
-    score) order. Covers candidate scoring, top-R selection over the R×V
-    grid, and the per-step self-KV/ancestry reorder."""
+    """models/decoding.beam_decode vs an independent pure-Python transcript
+    of openai-whisper's BeamSearchDecoder (update() with the per-beam
+    topk(R+1) pool, sorted EOT→finished / non-EOT→live routing with the
+    break once R live beams are saved, the capacity-R first-come
+    finished_sequences store, and finalize()'s live-beam fill): same
+    finished sets, same token sequences, same cumulative scores, in the
+    same store order. Covers candidate scoring, top-R live selection over
+    the R×V grid, the finished-insertion rank rule, and the per-step
+    self-KV/ancestry reorder."""
     import dataclasses
     from clearconverse_tpu.models.decoding import beam_decode
 
-    steps, rep, sot = 5, 3, 1
+    steps, rep, sot, eot = 5, 3, 1, VOCAB - 1
     opts = dataclasses.replace(
-        DecodeOptions(max_tokens=steps, eot=VOCAB - 1, suppress_blank=False),
+        DecodeOptions(max_tokens=steps, eot=eot, suppress_blank=False),
         replicas=rep, beam=True)
     toks, lens = build_prompt_batch([[sot]] * (2 * rep), 1, pad_id=0)
     out = beam_decode(params, jnp.asarray(mel), jnp.asarray(toks),
@@ -206,24 +210,41 @@ def test_beam_decode_matches_python_reference(hf_model, params, mel):
     audio = whisper_encode(params, jnp.asarray(mel), DIMS)
     for g in range(2):
         cross_kv = precompute_cross_kv(params, audio[g:g + 1])
-        beams = [([sot], 0.0, False)]
+        # whisper's first update: all rep beams are the identical prompt —
+        # the dict dedups them to ONE distribution's candidates.
+        beams = [([sot], 0.0)] * rep
+        finished = []                     # insertion-ordered, capacity rep
         for _ in range(steps):
-            cands = []
-            for tk, s, fin in beams:
-                if fin:
-                    cands.append((tk, s, True))
-                    continue
+            # update(): per-beam topk(rep+1) candidates, dict-deduped.
+            scores = {}
+            for tk, s in beams:
                 lp = step_logp(cross_kv, tk)
-                cands.extend((tk + [v], s + lp[v], v == VOCAB - 1)
-                             for v in range(VOCAB))
-            cands.sort(key=lambda c: -c[1])
-            beams = cands[:rep]
-            if all(f for _, _, f in beams):
+                for v in np.argsort(-lp)[: rep + 1]:
+                    scores[tuple(tk) + (int(v),)] = s + lp[v]
+            new_live, new_fin = [], []
+            for seq in sorted(scores, key=scores.get, reverse=True):
+                if seq[-1] == eot:
+                    new_fin.append((list(seq), scores[seq]))
+                else:
+                    new_live.append((list(seq), scores[seq]))
+                    if len(new_live) == rep:
+                        break             # later EOT candidates are DROPPED
+            for tk, s in new_fin:         # score-ordered, first-come store
+                if len(finished) < rep:
+                    finished.append((tk, s))
+            beams = new_live
+            if len(finished) >= rep:      # completed (patience=1.0)
                 break
-        for r, (tk, s, _fin) in enumerate(beams):
-            gen = tk[1:]                      # strip the [sot] prompt
-            np.testing.assert_array_equal(
-                got_tokens[g, r, : len(gen)], gen)
+        # finalize(): fill from live beams by cumulative score, EOT
+        # appended at no logprob cost.
+        for tk, s in sorted(beams, key=lambda b: -b[1]):
+            if len(finished) >= rep:
+                break
+            finished.append((tk + [eot], s))
+        assert len(finished) == rep
+        for r, (tk, s) in enumerate(finished):
+            gen = (tk[1:] + [eot] * steps)[:steps]   # strip [sot], EOT-pad
+            np.testing.assert_array_equal(got_tokens[g, r], gen)
             np.testing.assert_allclose(got_scores[g, r], s, atol=1e-3)
 
 
