@@ -489,8 +489,11 @@ class ModelBundle:
         ``text_of(tokens_row, n)`` renders the text the quality gate
         judges (timestamp callers strip ts tokens). Returns
         (tokens [R, mt], lengths [R], sum_lp [R], nsp [R], avg [R],
-        texts list[n_real]) — nsp is from the FIRST rung (whisper keeps
-        the original no-speech estimate across retries)."""
+        texts list[n_real], final_temp [R]) — nsp is from the FIRST rung
+        (whisper keeps the original no-speech estimate across retries);
+        ``final_temp`` is the rung each row's kept result decoded at
+        (whisper records result.temperature per window — its transcribe
+        loop resets the rolling prompt when it exceeds 0.5)."""
         import zlib
 
         nst, lpt = self.tpu.no_speech_threshold, self.tpu.logprob_threshold
@@ -577,6 +580,7 @@ class ModelBundle:
         final_avg = np.array([avg_logprob(float(sum_lp[i]),
                                           int(final_lens[i]))
                               for i in range(n_rows)])
+        final_temp = np.full((n_rows,), ladder[0], np.float32)
         texts: List[str] = [text_of(final_tokens[i], int(final_lens[i]))
                             for i in range(n_real)]
 
@@ -600,11 +604,13 @@ class ModelBundle:
                 final_tokens[row, : tk.shape[0]] = tk
                 final_lens[row] = n
                 final_avg[row] = avg_logprob(s, n)
+                final_temp[row] = temp
                 texts[row] = text_of(tk, n)
                 if flag(row):
                     still.append(row)
             flagged = still
-        return final_tokens, final_lens, sum_lp, nsp, final_avg, texts
+        return (final_tokens, final_lens, sum_lp, nsp, final_avg, texts,
+                final_temp)
 
     def transcribe_batch(self, audio: np.ndarray, prompts: Sequence[str],
                          temperature: float = 0.0,
@@ -689,7 +695,7 @@ class ModelBundle:
         # transcribe_long_batch (see _decode_with_fallback).
         nst, lpt = self.tpu.no_speech_threshold, self.tpu.logprob_threshold
         (final_tokens, final_lengths, _sum_lp, nsp, final_avg,
-         texts) = self._decode_with_fallback(
+         texts, _ftemp) = self._decode_with_fallback(
             decode_rows, audio, toks, lens, temperature, n_real,
             text_of=lambda tk, n: tok.decode(tk[:n]), eot=sp.eot)
 
@@ -723,15 +729,25 @@ class ModelBundle:
                               lengths: Optional[np.ndarray] = None,
                               temperature: float = 0.0):
         """One ≤30 s WINDOW per row of a longer segment → [(text,
-        advance_seconds)] — whisper transcribe's timestamp-driven seek
-        (reached via back/api.py:1474-1480; VERDICT r1 #8).
+        advance_seconds, reset_context)] — whisper transcribe's
+        timestamp-driven seek (reached via back/api.py:1474-1480; VERDICT
+        r1 #8).
 
         Decodes with timestamp tokens (ApplyTimestampRules inside the jit
         loop). Per row: text up to the last COMPLETE <ts>text<ts> segment and
         the cursor advance = that segment's end timestamp; the dropped tail
         re-decodes in the caller's next window, so no words are lost or
         duplicated at window seams. Rows ending in a lone timestamp (or with
-        no complete pair) keep all text and advance the full window."""
+        no complete pair) keep all text and advance the full window.
+
+        ``reset_context`` per row is whisper transcribe's prompt-reset rule
+        (``if not condition_on_previous_text or result.temperature > 0.5:
+        prompt_reset_since = len(all_tokens)``): True tells the caller the
+        NEXT window's rolling prompt must start fresh — either the config
+        disables conditioning entirely (the reference threads
+        config.condition_on_previous_text straight through,
+        back/api.py:1478) or this window's kept result decoded at a
+        fallback rung hotter than 0.5 (hallucination-loop protection)."""
         self._ensure()
         import jax
         import jax.numpy as jnp
@@ -812,18 +828,20 @@ class ModelBundle:
             return tok.decode([t for t in tk[:n].tolist() if t < sp.eot])
 
         (final_tokens, final_lens, _sum_lp, nsp, final_avg,
-         _texts) = self._decode_with_fallback(
+         _texts, final_temp) = self._decode_with_fallback(
             decode_rows, audio_all, toks, plens, temperature, n_real,
             text_of=win_text, eot=sp.eot)
 
         precision = 0.02
         tsb = sp.timestamp_begin
+        cond_prev = bool(self.config.condition_on_previous_text)
         results = []
         for i in range(n_real):
+            reset = (not cond_prev) or float(final_temp[i]) > 0.5
             seq = final_tokens[i, : final_lens[i]].tolist()
             win = float(window_s[i])
             if nsp[i] > nst and final_avg[i] <= lpt:
-                results.append(("", win))           # silent window: skip it
+                results.append(("", win, reset))    # silent window: skip it
                 continue
             is_ts = [t >= tsb for t in seq]
             single_ending = len(seq) >= 2 and not is_ts[-2] and is_ts[-1] \
@@ -846,7 +864,7 @@ class ModelBundle:
                 kept = seq
                 advance = win
             text = tok.decode([t for t in kept if t < sp.eot])
-            results.append((text, float(min(advance, win))))
+            results.append((text, float(min(advance, win)), reset))
         return results
 
     def embed_batch(self, audio: np.ndarray,

@@ -1006,10 +1006,38 @@ class TranscriptionEngine:
             if not ready:  # deps point backwards; cannot happen
                 ready = list(remaining)
 
-            def unit_prompt(unit):
+            def unit_prompt(u):
+                unit = units[u]
                 it = items[unit["item"]]
                 if unit["prev_unit"] is not None:
-                    return f"{(units[unit['prev_unit']]['text'] or '').strip()} "
+                    # whisper transcribe's ROLLING prompt: all text decoded
+                    # since the last prompt reset — not just the previous
+                    # window (decode_options["prompt"] =
+                    # all_tokens[prompt_reset_since:]); the initial context
+                    # survives until the first reset, and the tokenizer
+                    # keeps only the prompt TAIL (build_prompt_batch),
+                    # matching whisper's n_text_ctx//2-1 trim. Resets:
+                    # condition_on_previous_text=False resets after every
+                    # window (the reference threads the config flag through,
+                    # back/api.py:1478); a window whose kept result decoded
+                    # at a fallback rung > 0.5 resets once (reset_after,
+                    # from transcribe_long_batch's reset_context).
+                    if not self.config.condition_on_previous_text:
+                        return ""
+                    ids = item_units[unit["item"]]
+                    prior = ids[: ids.index(u)]
+                    start = 0
+                    for j, p in enumerate(prior):
+                        if units[p].get("reset_after"):
+                            start = j + 1
+                    init = ""
+                    if start == 0:
+                        init = (it["prompt"] if it["prompt"] is not None
+                                else f"{item_text(it['depends_on'])} ")
+                    body = " ".join((units[p]["text"] or "").strip()
+                                    for p in prior[start:]).strip()
+                    parts = [p for p in (init.strip(), body) if p]
+                    return f"{' '.join(parts)} " if parts else ""
                 if it["prompt"] is not None:
                     return it["prompt"]
                 return f"{item_text(it['depends_on'])} "
@@ -1054,7 +1082,7 @@ class TranscriptionEngine:
             l_store = [u for u in longs if units[u]["sref"]]
 
             clips = [units[u]["audio"] for u in s_host]
-            prompts = [unit_prompt(units[u]) for u in s_host]
+            prompts = [unit_prompt(u) for u in s_host]
             for idx, padded, lens in batch_audio(
                     clips, sr, self.tpu.duration_buckets,
                     self.config.transcription_batch_size):
@@ -1068,13 +1096,13 @@ class TranscriptionEngine:
             for sub, sb in store_groups(s_store):
                 check_cancel(should_cancel)
                 texts = self.models.transcribe_batch(
-                    sb, [unit_prompt(units[u]) for u in sub],
+                    sb, [unit_prompt(u) for u in sub],
                     temperature=self.config.temperature)
                 for u, t in zip(sub, texts):
                     units[u]["text"] = t
 
             lclips = [units[u]["audio"] for u in l_host]
-            lprompts = [unit_prompt(units[u]) for u in l_host]
+            lprompts = [unit_prompt(u) for u in l_host]
             for idx, padded, lens in batch_audio(
                     lclips, sr, self.tpu.duration_buckets,
                     self.config.transcription_batch_size):
@@ -1083,17 +1111,22 @@ class TranscriptionEngine:
                     padded, [lprompts[j] for j in idx], lens,
                     temperature=self.config.temperature)
                 for row, j in enumerate(idx):
-                    text, advance_s = results[row]
+                    # reset_context is whisper's prompt-reset signal (test
+                    # fakes may return bare (text, advance) pairs).
+                    text, advance_s, *rest = results[row]
                     units[l_host[j]]["text"] = text
+                    units[l_host[j]]["reset_after"] = bool(rest and rest[0])
                     spawn_next_window(l_host[j], advance_s)
 
             for sub, sb in store_groups(l_store, fixed_bucket=win):
                 check_cancel(should_cancel)
                 results = self.models.transcribe_long_batch(
-                    sb, [unit_prompt(units[u]) for u in sub],
+                    sb, [unit_prompt(u) for u in sub],
                     temperature=self.config.temperature)
-                for u, (text, advance_s) in zip(sub, results):
+                for u, res in zip(sub, results):
+                    text, advance_s, *rest = res
                     units[u]["text"] = text
+                    units[u]["reset_after"] = bool(rest and rest[0])
                     spawn_next_window(u, advance_s)
             remaining -= set(ready)
 

@@ -146,15 +146,17 @@ def test_embed_denoised_batch_matches_separate_programs(bundle, rng):
 
 
 def test_transcribe_long_batch_contract(bundle, rng):
-    """Timestamp-seek window decode: (text, advance) per row with
-    1 <= advance <= window seconds."""
+    """Timestamp-seek window decode: (text, advance, reset_context) per
+    row with 1 <= advance <= window seconds; greedy scalar temperature
+    never triggers whisper's prompt reset."""
     audio = rng.standard_normal((2, 12 * 16000)).astype(np.float32) * 0.1
     lens = np.asarray([12 * 16000, 6 * 16000])
     out = bundle.transcribe_long_batch(audio, ["", "ctx"], lens)
     assert len(out) == 2
-    for (text, advance), win in zip(out, (12.0, 6.0)):
+    for (text, advance, reset), win in zip(out, (12.0, 6.0)):
         assert isinstance(text, str)
         assert 1.0 <= advance <= win + 1e-6
+        assert reset is False
 
 
 class _FakeDecode:
@@ -246,6 +248,58 @@ def test_row_sparse_fallback_retry(bundle, rng):
     assert fake.calls[1][3:5] == (1, 2)           # 1 UNIQUE audio row, rep=2
     assert fake.calls[1][1] > 0                   # sampling rung
     assert fake.calls[1][2] is not None           # real rng key
+
+
+def test_long_batch_reset_context_semantics(bundle, rng):
+    """whisper transcribe's prompt-reset rule surfaces as
+    transcribe_long_batch's reset_context: True when the kept result
+    decoded at a fallback rung > 0.5, or when
+    config.condition_on_previous_text is False (back/api.py:1478 threads
+    the flag straight into whisper.transcribe)."""
+    import dataclasses
+    from unittest.mock import patch
+    from clearconverse_tpu.models import decoding as dec
+
+    audio = rng.standard_normal((1, 12 * 16000)).astype(np.float32) * 0.1
+    lens = np.asarray([12 * 16000])
+
+    # Rung 0 fails the quality gate; the retry at 0.7 (> 0.5) is kept.
+    fake = _FakeDecode([{"default": {"sum_lp": -90.0}},
+                        {"default": {"sum_lp": -0.3}}])
+    old = bundle.tpu
+    bundle.tpu = dataclasses.replace(bundle.tpu, max_fallback_attempts=3)
+    try:
+        with patch.object(dec, "greedy_decode_from_audio", fake):
+            out = bundle.transcribe_long_batch(audio, [""], lens,
+                                               temperature=(0.0, 0.7))
+    finally:
+        bundle.tpu = old
+    assert len(fake.calls) == 2 and out[0][2] is True
+
+    # A ladder that never exceeds 0.5 does not reset.
+    fake = _FakeDecode([{"default": {"sum_lp": -90.0}},
+                        {"default": {"sum_lp": -0.3}}])
+    bundle.tpu = dataclasses.replace(bundle.tpu, max_fallback_attempts=3)
+    try:
+        with patch.object(dec, "greedy_decode_from_audio", fake):
+            out = bundle.transcribe_long_batch(audio, [""], lens,
+                                               temperature=(0.0, 0.2))
+    finally:
+        bundle.tpu = old
+    assert len(fake.calls) == 2 and out[0][2] is False
+
+    # condition_on_previous_text=False resets after every window.
+    fake = _FakeDecode([{"default": {"sum_lp": -0.3}}])
+    old_cfg = bundle.config
+    bundle.config = dataclasses.replace(bundle.config,
+                                        condition_on_previous_text=False)
+    try:
+        with patch.object(dec, "greedy_decode_from_audio", fake):
+            out = bundle.transcribe_long_batch(audio, [""], lens,
+                                               temperature=0.0)
+    finally:
+        bundle.config = old_cfg
+    assert out[0][2] is True
 
 
 def test_first_rung_best_of_at_scalar_temperature(bundle, rng):

@@ -139,6 +139,73 @@ def test_wavefront_timestamp_seek_no_boundary_loss():
     assert items[0]["text"] == "[0+20] [20+20] [40+20] [60+15]"
 
 
+def _rolling_prompt_models(total, sr, reset_at=None):
+    """transcribe_long_batch fake recording each window's prompt; window
+    texts are w1..wN, 20 s complete-segment advance, and the ``reset_at``-th
+    window reports reset_context=True (whisper's temp>0.5 signal)."""
+
+    class PromptModels(FakeModels):
+        def __init__(self):
+            super().__init__()
+            self.prompts = []
+
+        def transcribe_long_batch(self, audio, prompts, lengths=None,
+                                  temperature=0.0):
+            out = []
+            for row in range(len(prompts)):
+                self.prompts.append(prompts[row])
+                n = int(lengths[row]) if lengths is not None \
+                    else audio.shape[1]
+                cursor_s = round(float(audio[row][0]) * total / sr, 3)
+                advance = 20.0 if cursor_s + n / sr < total / sr else n / sr
+                k = len(self.prompts)
+                out.append((f"w{k}", advance, k == reset_at))
+            return out
+
+    return PromptModels()
+
+
+def test_wavefront_rolling_prompt_accumulates_and_resets():
+    """whisper transcribe's rolling prompt (prompt =
+    all_tokens[prompt_reset_since:]): each window's prompt carries the
+    initial context plus ALL text decoded since the last reset — not just
+    the previous window — and a window whose result reports reset_context
+    (final rung > 0.5) makes the NEXT window start from an empty prompt."""
+    sr = 16000
+    total = 75 * sr
+    models = _rolling_prompt_models(total, sr, reset_at=2)
+    eng = TranscriptionEngine(Config(noise_reduction_amount=0.0,
+                                     temperature=0.0),
+                              TPUConfig(), models=models)
+    audio = (np.arange(total, dtype=np.float32) / total)
+    items = [dict(audio=audio, prompt="init ", depends_on=None,
+                  start=0.0, end=75.0, speaker="SPEAKER_A")]
+    eng._transcribe_wavefront(items, sr)
+    # w2 sees init+w1; w2 resets → w3 starts empty; w4 sees only w3.
+    assert models.prompts == ["init ", "init w1 ", "", "w3 "]
+    assert items[0]["text"] == "w1 w2 w3 w4"
+
+
+def test_wavefront_condition_on_previous_text_false_resets_every_window():
+    """The reference threads config.condition_on_previous_text into
+    whisper.transcribe (back/api.py:1478); False makes whisper reset the
+    prompt after EVERY window (prompt_reset_since = len(all_tokens)), so
+    successor windows decode with no context at all — including the
+    initial prompt, which the reset point moves past."""
+    sr = 16000
+    total = 75 * sr
+    models = _rolling_prompt_models(total, sr)
+    eng = TranscriptionEngine(Config(noise_reduction_amount=0.0,
+                                     temperature=0.0,
+                                     condition_on_previous_text=False),
+                              TPUConfig(), models=models)
+    audio = (np.arange(total, dtype=np.float32) / total)
+    items = [dict(audio=audio, prompt="init ", depends_on=None,
+                  start=0.0, end=75.0, speaker="SPEAKER_A")]
+    eng._transcribe_wavefront(items, sr)
+    assert models.prompts == ["init ", "", "", ""]
+
+
 def test_wavefront_long_fallback_without_timestamp_backend():
     """Backends without transcribe_long_batch (e.g. plain fakes) keep the
     fixed 30 s chunk-chaining path."""
@@ -320,7 +387,9 @@ def test_load_models_progress_parity(engine):
 
 
 def test_wavefront_splits_long_segments(engine):
-    """>30 s clips chunk into 30 s units chained on each other's text."""
+    """>30 s clips chunk into 30 s units chained on the ROLLING transcript
+    (whisper's prompt = all_tokens[prompt_reset_since:]): each later
+    chunk's prompt is the initial context plus every prior chunk's text."""
     fake = engine.models
     fake.echo_prompt = True
     fake.transcribe_calls.clear()
@@ -333,12 +402,12 @@ def test_wavefront_splits_long_segments(engine):
     text = items[0]["text"]
     assert text.startswith("[P0]low296")     # chunk 1: static prompt
     assert text.endswith("low98")            # chunk 3: final 10 s
-    # Three generations, one chunk each; each later chunk's prompt is the
-    # previous chunk's full transcript.
     assert len(fake.transcribe_calls) == 3
     chunk1_text = "[P0]low296"
-    assert fake.transcribe_calls[1][0].strip() == chunk1_text
-    assert fake.transcribe_calls[2][0].strip().startswith("[" + chunk1_text)
+    assert fake.transcribe_calls[1][0].strip() == f"P0 {chunk1_text}"
+    chunk2_text = f"[P0 {chunk1_text} ]low296"   # echo keeps the raw prompt
+    assert fake.transcribe_calls[2][0].strip() == \
+        f"P0 {chunk1_text} {chunk2_text}"
 
 
 def test_rapid_exchange_and_secondary_paths(tmp_path):

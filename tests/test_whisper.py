@@ -248,6 +248,72 @@ def test_beam_decode_matches_python_reference(hf_model, params, mel):
             np.testing.assert_allclose(got_scores[g, r], s, atol=1e-3)
 
 
+def test_beam_decode_context_full_freezes_and_fills(hf_model, params, mel):
+    """A group whose prompt nearly exhausts n_text_ctx stops extending at
+    the context boundary (whisper's sample loop break) and its live beams
+    fill the finished store at finalize with a free EOT — mirrored by a
+    Python whisper-BeamSearchDecoder transcript run for exactly the
+    context-budget number of update steps."""
+    import dataclasses
+    from clearconverse_tpu.models.decoding import beam_decode
+
+    steps, rep, sot, eot = 8, 2, 1, VOCAB - 1
+    plen = DIMS.n_text_ctx - 3                 # budget: 3 generated slots
+    opts = dataclasses.replace(
+        DecodeOptions(max_tokens=steps, eot=eot, suppress_blank=False),
+        replicas=rep, beam=True)
+    prompt = [sot] + [(7 * i) % (VOCAB - 2) + 1 for i in range(plen - 1)]
+    toks, lens = build_prompt_batch([prompt] * rep, plen, pad_id=0)
+    out = beam_decode(params, jnp.asarray(mel[:1]), jnp.asarray(toks),
+                      jnp.asarray(lens), DIMS, opts, plen)
+    got_tokens = np.asarray(out["tokens"]).reshape(rep, steps)
+    got_scores = np.asarray(out["sum_logprob"]).reshape(rep)
+
+    def step_logp(cross_kv, prefix):
+        t = len(prefix)
+        kv = init_kv_cache(DIMS, 1, t)
+        pos = jnp.arange(t)[None, :]
+        k = jnp.arange(t)[None, None, None, :]
+        q = jnp.arange(t)[None, None, :, None]
+        mask = jnp.where(k <= q, 0.0, -1e9).astype(jnp.float32)
+        logits, _ = decoder_forward(
+            params, jnp.asarray([prefix], jnp.int32), pos, jnp.int32(0),
+            kv, cross_kv, mask, None, DIMS)
+        lg = np.asarray(logits[0, -1], np.float64)
+        return lg - np.log(np.sum(np.exp(lg - lg.max()))) - lg.max()
+
+    audio = whisper_encode(params, jnp.asarray(mel[:1]), DIMS)
+    cross_kv = precompute_cross_kv(params, audio)
+    beams = [(list(prompt), 0.0)] * rep
+    finished = []
+    for _ in range(DIMS.n_text_ctx - plen):    # context budget, not steps
+        scores = {}
+        for tk, s in beams:
+            lp = step_logp(cross_kv, tk)
+            for v in np.argsort(-lp)[: rep + 1]:
+                scores[tuple(tk) + (int(v),)] = s + lp[v]
+        new_live = []
+        for seq in sorted(scores, key=scores.get, reverse=True):
+            if seq[-1] == eot:
+                if len(finished) < rep:
+                    finished.append((list(seq), scores[seq]))
+            else:
+                new_live.append((list(seq), scores[seq]))
+                if len(new_live) == rep:
+                    break
+        beams = new_live
+        if len(finished) >= rep:
+            break
+    for tk, s in sorted(beams, key=lambda b: -b[1]):
+        if len(finished) >= rep:
+            break
+        finished.append((tk + [eot], s))
+    for r, (tk, s) in enumerate(finished):
+        gen = (tk[plen:] + [eot] * steps)[:steps]
+        np.testing.assert_array_equal(got_tokens[r], gen)
+        np.testing.assert_allclose(got_scores[r], s, atol=1e-3)
+
+
 def test_suppression_rules(hf_model, params, mel):
     banned = (3, 7, 11)
     opts = DecodeOptions(max_tokens=6, eot=VOCAB - 1, suppress_blank=False,
