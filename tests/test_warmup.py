@@ -1,0 +1,71 @@
+"""serve/warmup — compile-cache warmup CLI.
+
+The warmup's value is only realizable on the tunnel-attached TPU (where a
+first compile per shape costs minutes); these tests pin the parts that
+must be exactly right for the warmed programs to BE the serving programs:
+the width-targeted triangle files must pack at their intended width (a
+one-bit miss warms the wrong gate program), and the drive plan must cover
+every (files, duration, width) combination through the real engine/loader
+code paths.
+"""
+
+import numpy as np
+
+from clearconverse_tpu.audio.pack import WIDTH_BUCKETS, pack_i16_batch
+from clearconverse_tpu.pipeline.dev_backend import SR
+from clearconverse_tpu.serve.warmup import (
+    main, run_warmup, triangle_for_width, warmup_conversation)
+
+
+def test_triangle_targets_each_width_bucket():
+    """Each width bucket's triangle file delta-packs at EXACTLY that width
+    after the write_wav(round(x*32767)) round-trip."""
+    for w in WIDTH_BUCKETS:
+        x = triangle_for_width(w, 1, SR)
+        q = np.clip(np.round(x * 32767.0), -32768, 32767).astype(np.int16)
+        pb = pack_i16_batch(q[None], np.array([len(q)]), allow_numpy=True)
+        assert pb is not None and (pb.width, pb.order) == (w, 1), \
+            (w, pb and (pb.width, pb.order))
+
+
+def test_warmup_conversation_shapes():
+    """Short durations tile the dev layout; >=24 s gains the continuous
+    low stretch that exercises the larger decode buckets."""
+    short = warmup_conversation(5, SR)
+    assert short.shape == (5 * SR,) and short.dtype == np.float32
+    long = warmup_conversation(60, SR)
+    assert long.shape == (60 * SR,)
+    # the mid-file stretch is continuous low-band energy (no gaps)
+    mid = long[15 * SR: 40 * SR]
+    assert float(np.min(np.abs(mid).reshape(25, SR).max(axis=1))) > 0.1
+
+
+def test_run_warmup_drives_every_combination():
+    """Dev-mode end-to-end: one engine pass per (files, duration) plus one
+    packed-wire gate drive per (files, duration, width bucket), all
+    through the real process_files / load_audio_many code paths."""
+    from clearconverse_tpu.config import Config
+    from clearconverse_tpu.pipeline.dev_backend import DevModels
+    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+
+    def factory():
+        return TranscriptionEngine(Config(noise_reduction_amount=0.0),
+                                   models=DevModels())
+
+    lines = []
+    entries = run_warmup(durations=(5,), file_counts=(1,), widths=True,
+                         engine_factory=factory, log=lines.append)
+    labels = [e["drive"] for e in entries]
+    assert labels[0] == "engine files=1 duration=5s"
+    assert len(entries) == 1 + len(WIDTH_BUCKETS)
+    for w in WIDTH_BUCKETS:
+        assert f"packed-wire gate files=1 duration=5s width={w}" in labels
+    assert len(lines) == len(entries)
+
+
+def test_main_smoke(monkeypatch, capsys):
+    """CLI arg parsing end to end (dev backend; --no-widths)."""
+    monkeypatch.setenv("CC_TPU_FAKE_MODELS", "1")
+    assert main(["--durations", "5", "--files", "1", "--no-widths"]) == 0
+    out = capsys.readouterr().out
+    assert "warmup done: 1 drives" in out
