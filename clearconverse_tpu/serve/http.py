@@ -31,6 +31,9 @@ _WS_MAGIC = "258EAFA5-E914-47DA-95CA-C5AB0DC85B11"
 # (back/api.py:1761) so the route handler produces the parity error message
 # instead of a bare 413 (VERDICT r1: 64 MB was far above the product cap).
 MAX_BODY = 26 * 1024 * 1024 + 64 * 1024
+# Total request-header bytes cap (uvicorn/h11 default is 64 KB-class; a
+# client streaming unbounded header lines must not grow server memory).
+MAX_HEADER_BYTES = 64 * 1024
 
 
 class HTTPException(Exception):
@@ -300,10 +303,19 @@ class App:
                 except ValueError:
                     return
                 headers: Dict[str, str] = {}
+                hbytes = 0
                 while True:
                     hl = await reader.readline()
                     if hl in (b"\r\n", b"\n", b""):
                         break
+                    hbytes += len(hl)
+                    if hbytes > MAX_HEADER_BYTES:
+                        # Unbounded header streaming would otherwise grow
+                        # memory without limit (431 per RFC 6585).
+                        await self._write_response(writer, json_response(
+                            {"detail": "headers too large"}, 431),
+                            keep=False)
+                        return
                     k, _, v = hl.decode("latin-1").partition(":")
                     headers[k.strip().lower()] = v.strip()
 
@@ -312,13 +324,32 @@ class App:
                     return
 
                 if "chunked" in headers.get("transfer-encoding", "").lower():
-                    body = await self._read_chunked(reader)
+                    try:
+                        body = await self._read_chunked(reader)
+                    except ValueError:
+                        # Malformed chunk-size line: answer 400 instead of
+                        # killing the connection with an unhandled error.
+                        await self._write_response(writer, json_response(
+                            {"detail": "malformed chunked body"}, 400),
+                            keep=False)
+                        return
                     if body is None:
                         await self._write_response(writer, json_response(
                             {"detail": "body too large"}, 413), "HTTP/1.1")
                         return
                 else:
-                    length = int(headers.get("content-length", "0"))
+                    try:
+                        length = int(headers.get("content-length", "0"))
+                        if length < 0:
+                            raise ValueError(length)
+                    except ValueError:
+                        # Malformed/negative Content-Length previously
+                        # escaped as an unhandled ValueError (dead
+                        # connection, no response).
+                        await self._write_response(writer, json_response(
+                            {"detail": "malformed content-length"}, 400),
+                            keep=False)
+                        return
                     if length > MAX_BODY:
                         await self._write_response(writer, json_response(
                             {"detail": "body too large"}, 413), "HTTP/1.1")
@@ -341,7 +372,8 @@ class App:
                             ) -> Optional[bytes]:
         """RFC 7230 §4.1 chunked request body; None when over MAX_BODY
         (previously a chunked client would hang against the content-length
-        path — VERDICT r1)."""
+        path — VERDICT r1). Raises ValueError on a malformed chunk-size
+        line (caller answers 400)."""
         parts: List[bytes] = []
         total = 0
         while True:
@@ -393,6 +425,7 @@ class App:
                               keep: bool = True) -> None:
         reason = {200: "OK", 202: "Accepted", 400: "Bad Request",
                   404: "Not Found", 413: "Payload Too Large",
+                  431: "Request Header Fields Too Large",
                   500: "Internal Server Error"}.get(resp.status, "Status")
         head = [f"HTTP/1.1 {resp.status} {reason}",
                 f"Content-Type: {resp.content_type}",

@@ -191,6 +191,68 @@ def test_chunked_body_over_cap_rejected():
     asyncio.run(run())
 
 
+def _drive_raw(raw: bytes) -> bytes:
+    """Feed raw bytes to App._handle on a fresh app with one POST route;
+    return everything written back."""
+    app = App()
+
+    @app.post("/x")
+    async def x(req):
+        return {"n": len(req.body)}
+
+    class _W:
+        data = b""
+
+        def write(self, b):
+            self.data += b
+
+        async def drain(self):
+            pass
+
+        def close(self):
+            pass
+
+    async def run():
+        reader = asyncio.StreamReader()
+        writer = _W()
+        reader.feed_data(raw)
+        reader.feed_eof()
+        await app._handle(reader, writer)
+        return writer.data
+
+    return asyncio.run(run())
+
+
+def test_malformed_content_length_gets_400():
+    """A non-numeric or negative Content-Length must answer 400 — it
+    previously escaped _handle as an unhandled ValueError, killing the
+    connection with no response at all."""
+    for bad in (b"abc", b"-5", b"1e3"):
+        out = _drive_raw(b"POST /x HTTP/1.1\r\nContent-Length: " + bad
+                         + b"\r\n\r\n")
+        assert b"400" in out.split(b"\r\n")[0], (bad, out[:60])
+        assert b"malformed content-length" in out
+
+
+def test_malformed_chunk_size_gets_400():
+    """A garbage chunk-size line must answer 400, not die mid-read."""
+    out = _drive_raw(b"POST /x HTTP/1.1\r\nTransfer-Encoding: chunked\r\n"
+                     b"\r\nzz\r\nhello\r\n0\r\n\r\n")
+    assert b"400" in out.split(b"\r\n")[0]
+    assert b"malformed chunked body" in out
+
+
+def test_unbounded_headers_get_431():
+    """Header bytes past MAX_HEADER_BYTES answer 431 instead of growing
+    server memory without limit."""
+    from clearconverse_tpu.serve import http as hmod
+    filler = b"x-pad: " + b"a" * 1000 + b"\r\n"
+    n = hmod.MAX_HEADER_BYTES // len(filler) + 2
+    out = _drive_raw(b"POST /x HTTP/1.1\r\n" + filler * n
+                     + b"Content-Length: 0\r\n\r\n")
+    assert b"431" in out.split(b"\r\n")[0]
+
+
 # --------------------------------------------------------------- websocket
 
 class _Writer:
