@@ -34,6 +34,9 @@ MAX_BODY = 26 * 1024 * 1024 + 64 * 1024
 # Total request-header bytes cap (uvicorn/h11 default is 64 KB-class; a
 # client streaming unbounded header lines must not grow server memory).
 MAX_HEADER_BYTES = 64 * 1024
+# Per-frame cap on RECEIVED WebSocket frames: the progress sockets only
+# ever receive small client texts; anything larger is a hostile frame.
+MAX_WS_FRAME = 1024 * 1024
 
 
 class HTTPException(Exception):
@@ -199,7 +202,11 @@ class WebSocket:
                 self.closed = True
                 return None
             if opcode == 0x9:          # ping → pong
-                self._w.write(bytes([0x8A, len(payload)]) + payload)
+                # Control-frame payloads are capped at 125 bytes (RFC 6455
+                # §5.5); echoing more would set the mask bit in the length
+                # byte and emit a malformed server frame.
+                pong = payload[:125]
+                self._w.write(bytes([0x8A, len(pong)]) + pong)
                 await self._w.drain()
                 continue
             if opcode in (0x1, 0x2):
@@ -218,6 +225,18 @@ class WebSocket:
             n = struct.unpack(">H", await self._r.readexactly(2))[0]
         elif n == 127:
             n = struct.unpack(">Q", await self._r.readexactly(8))[0]
+        if n > MAX_WS_FRAME:
+            # A client frame claiming up to 2^63 bytes would otherwise
+            # buffer into memory without bound (the progress sockets only
+            # ever receive tiny texts). Fail the connection (RFC 6455
+            # 1009 Message Too Big).
+            try:
+                self._w.write(bytes([0x88, 2]) + struct.pack(">H", 1009))
+                await self._w.drain()
+            except ConnectionError:
+                pass
+            self.closed = True
+            return None
         mask = await self._r.readexactly(4) if masked else b"\x00" * 4
         data = await self._r.readexactly(n)
         if masked:

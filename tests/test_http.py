@@ -253,6 +253,55 @@ def test_unbounded_headers_get_431():
     assert b"431" in out.split(b"\r\n")[0]
 
 
+def test_ws_oversized_frame_fails_connection():
+    """A client frame claiming > MAX_WS_FRAME bytes closes with 1009
+    instead of buffering it into memory."""
+    import struct as _struct
+    from clearconverse_tpu.serve import http as hmod
+    from clearconverse_tpu.serve.http import WebSocket
+
+    async def run():
+        reader = asyncio.StreamReader()
+        writer = _Writer()
+        ws = WebSocket(reader, writer, {})
+        # masked text frame, 64-bit length far over the cap
+        reader.feed_data(bytes([0x81, 0x80 | 127])
+                         + _struct.pack(">Q", hmod.MAX_WS_FRAME + 1)
+                         + b"\x00\x00\x00\x00")
+        reader.feed_eof()
+        assert await ws.receive_text() is None
+        assert ws.closed
+        assert writer.data[:2] == bytes([0x88, 2])        # close frame
+        assert _struct.unpack(">H", writer.data[2:4])[0] == 1009
+
+    asyncio.run(run())
+
+
+def test_ws_oversized_ping_pong_clamped():
+    """Pong payloads clamp to the RFC 6455 125-byte control-frame cap —
+    echoing more would set the mask bit in the length byte."""
+    from clearconverse_tpu.serve.http import WebSocket
+
+    async def run():
+        reader = asyncio.StreamReader()
+        writer = _Writer()
+        ws = WebSocket(reader, writer, {})
+        payload = b"p" * 200
+        mask = b"\x01\x02\x03\x04"
+        reader.feed_data(bytes([0x89, 0x80 | 126]) + (200).to_bytes(2, "big")
+                         + mask + _mask(payload, mask))
+        # follow with a real text frame so receive_text returns
+        text = b"hi"
+        reader.feed_data(bytes([0x81, 0x80 | len(text)]) + mask
+                         + _mask(text, mask))
+        reader.feed_eof()
+        assert await ws.receive_text() == "hi"
+        assert writer.data[0] == 0x8A and writer.data[1] == 125
+        assert writer.data[2:127] == b"p" * 125
+
+    asyncio.run(run())
+
+
 # --------------------------------------------------------------- websocket
 
 class _Writer:
