@@ -98,7 +98,59 @@ def triangle_for_width(width: int, duration_s: int, sr: int) -> np.ndarray:
     return tri.astype(np.float32) / 32767.0
 
 
+def warm_decode_shapes(engine, drive: Callable[[str, Callable], None],
+                       durations=(5, 10, 30)) -> None:
+    """Deterministically compile the decode programs for EVERY row bucket.
+
+    The engine pads decode batches to power-of-two row buckets
+    (pipeline/bundle._row_bucket), and which buckets a request hits is
+    DATA-DEPENDENT on the >30 s path: successor-window spawn counts follow
+    the decoded timestamps, which vary per request at temperature > 0
+    (sampling). An engine pass therefore warms only the buckets its
+    particular decode happened to produce — a live server can still hit a
+    minutes-long tunnel compile on an unlucky request shape (measured: the
+    engine bench's t=0.1 mode kept finding fresh row buckets two runs
+    after its cold pass). This stage drives transcribe_long_batch at every
+    row bucket × {empty, context-sized} prompt, and transcribe_batch at
+    the bucket extremes for each duration bucket, all through the
+    deployment's own config (so replicas/rungs match production)."""
+    from clearconverse_tpu.pipeline.bundle import ModelBundle
+    from clearconverse_tpu.pipeline.dev_backend import SR
+
+    bundle = getattr(engine, "models", None)
+    if not isinstance(bundle, ModelBundle):
+        return
+    temp = engine.config.temperature
+    cap = max(int(engine.config.transcription_batch_size), 1)
+    row_buckets = []
+    r = 1
+    while r <= cap:
+        row_buckets.append(r)
+        r *= 2
+    rng = np.random.default_rng(0)
+    # Prompt lengths land in the prompt buckets (bundle._prompt_batch:
+    # 4/16/64/256): empty → 4, ~300 tokens (trimmed to ctx//2-1) → the top
+    # bucket a rolling long-file prompt reaches in steady state.
+    prompts = {"none": "", "full-context": "speaker context " * 100}
+    for n in row_buckets:
+        audio = rng.standard_normal((n, 30 * SR)).astype(np.float32) * 0.1
+        lens = np.full(n, 30 * SR)
+        for pname, prompt in prompts.items():
+            drive(f"decode long-window rows={n} prompt={pname}",
+                  lambda a=audio, p=prompt, ln=lens, k=n:
+                  bundle.transcribe_long_batch(a, [p] * k, ln,
+                                               temperature=temp))
+    for n in (row_buckets[0], row_buckets[-1]):
+        for dur in durations:
+            audio = rng.standard_normal((n, int(dur) * SR)) \
+                .astype(np.float32) * 0.1
+            drive(f"decode short rows={n} duration={dur}s",
+                  lambda a=audio, k=n:
+                  bundle.transcribe_batch(a, [""] * k, temperature=temp))
+
+
 def run_warmup(durations=(30, 60), file_counts=(1, 8), widths: bool = True,
+               decode_shapes: bool = True,
                engine_factory: Optional[Callable] = None,
                log: Callable[[str], None] = print) -> List[dict]:
     """Drive every standard program shape; returns one entry per drive
@@ -145,6 +197,9 @@ def run_warmup(durations=(30, 60), file_counts=(1, 8), widths: bool = True,
             drive(f"engine files={k} duration={dur}s",
                   lambda paths=paths: engine_pass(paths))
 
+    if decode_shapes:
+        warm_decode_shapes(engine, drive)
+
     tpu = getattr(engine, "tpu", None)
     if widths and tpu is not None and tpu.wire_bits == 0:
         from clearconverse_tpu.audio.decode import load_audio_many
@@ -180,13 +235,18 @@ def main(argv=None) -> int:
                     "(gate/upload programs are shape-specific in K)")
     ap.add_argument("--no-widths", action="store_true",
                     help="skip the packed-wire width-bucket gate variants")
+    ap.add_argument("--no-decode-shapes", action="store_true",
+                    help="skip the per-row-bucket decode program warms "
+                    "(the stage that prevents data-dependent compiles on "
+                    "the >30 s path)")
     args = ap.parse_args(argv)
     durations = tuple(int(s) for s in args.durations.split(",") if s)
     files = tuple(int(s) for s in args.files.split(",") if s)
     t0 = time.perf_counter()
     print(f"warming {len(durations) * len(files)} engine shapes "
           f"(durations={durations}, files={files}) ...")
-    entries = run_warmup(durations, files, widths=not args.no_widths)
+    entries = run_warmup(durations, files, widths=not args.no_widths,
+                         decode_shapes=not args.no_decode_shapes)
     print(f"warmup done: {len(entries)} drives in "
           f"{time.perf_counter() - t0:.0f}s; re-run to verify warm "
           f"timings (seconds, not minutes).")

@@ -63,6 +63,65 @@ def test_run_warmup_drives_every_combination():
     assert len(lines) == len(entries)
 
 
+def test_warm_decode_shapes_covers_every_row_bucket():
+    """The decode-shape stage drives transcribe_long_batch at every
+    power-of-two row bucket (× prompt buckets) and transcribe_batch at the
+    bucket extremes — through a real ModelBundle with the deployment
+    config, so the warmed programs ARE the serving programs."""
+    import jax
+    from clearconverse_tpu.config import Config, TPUConfig
+    from clearconverse_tpu.models.tokenizer import ByteFallbackTokenizer
+    from clearconverse_tpu.models.whisper import (WhisperDims,
+                                                  init_whisper_params)
+    from clearconverse_tpu.pipeline.bundle import ModelBundle
+    from clearconverse_tpu.serve.warmup import warm_decode_shapes
+
+    dims = WhisperDims(n_mels=80, n_vocab=51864, n_audio_ctx=1500,
+                       n_audio_state=64, n_audio_head=2, n_audio_layer=1,
+                       n_text_ctx=448, n_text_state=64, n_text_head=2,
+                       n_text_layer=1)
+    bundle = ModelBundle(Config(transcription_batch_size=2),
+                         TPUConfig(max_decode_tokens=4,
+                                   compute_dtype="float32"))
+    bundle._whisper = (init_whisper_params(jax.random.PRNGKey(0), dims),
+                      dims, ByteFallbackTokenizer(english=True))
+    bundle._loaded = True
+
+    class _Eng:
+        models = bundle
+        config = bundle.config
+
+    drives = []
+
+    def drive(label, fn):
+        fn()
+        drives.append(label)
+
+    warm_decode_shapes(_Eng(), drive, durations=(5,))
+    assert drives == [
+        "decode long-window rows=1 prompt=none",
+        "decode long-window rows=1 prompt=full-context",
+        "decode long-window rows=2 prompt=none",
+        "decode long-window rows=2 prompt=full-context",
+        "decode short rows=1 duration=5s",
+        "decode short rows=2 duration=5s",
+    ]
+
+
+def test_warm_decode_shapes_noop_without_real_bundle():
+    """Dev backends (no jit programs) skip the stage cleanly."""
+    from clearconverse_tpu.config import Config
+    from clearconverse_tpu.pipeline.dev_backend import DevModels
+    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+    from clearconverse_tpu.serve.warmup import warm_decode_shapes
+
+    eng = TranscriptionEngine(Config(noise_reduction_amount=0.0),
+                              models=DevModels())
+    calls = []
+    warm_decode_shapes(eng, lambda label, fn: calls.append(label))
+    assert calls == []
+
+
 def test_main_smoke(monkeypatch, capsys):
     """CLI arg parsing end to end (dev backend; --no-widths)."""
     monkeypatch.setenv("CC_TPU_FAKE_MODELS", "1")
