@@ -84,6 +84,16 @@ def bench_engine(n_files: int, repeats: int,
     engine = TranscriptionEngine(cfg, tpu, load_models_immediately=True)
 
     results = engine.process_files(paths)            # cold: compiles
+    for _ in range(2 if temperature > 0 else 0):
+        # Sampling rungs make the long-path decode SHAPES data-dependent
+        # (successor-window spawn counts follow sampled timestamps →
+        # varying row/prompt buckets), and each first-per-process dispatch
+        # pays executable install — minutes under congestion even on cache
+        # hits. One cold pass cannot cover a stochastic shape set; two
+        # more make the timed passes measure the converged steady state a
+        # long-lived server reaches (measured: pass 0/1 compiled fresh
+        # shapes, passes 2+ ran 0.6 s decode vs 30-40 s).
+        engine.process_files(paths)
     # Per-pass timing, report the BEST pass as the headline: the engine
     # path is host<->device-transfer-bound and the tunnel's throughput
     # swings ~3x between congestion windows (measured 35-90x for identical

@@ -491,6 +491,42 @@ def create_app(output_dir: str = "processed_audio",
             asyncio.create_task(cleanup_old_files())
         app.on_startup.append(_startup)
 
+    if os.environ.get("CC_TPU_STARTUP_WARM") == "1":
+        # Opt-in: load models AND pre-dispatch every decode row-bucket
+        # program IN THIS PROCESS at startup. Executable installation is
+        # per-process on the tunnel platform (minutes under congestion
+        # even on compile-cache hits — CLAUDE.md), so the offline warmup
+        # CLI alone cannot spare the server's own first requests; only an
+        # in-process warm can. Runs on a daemon thread (JAX is already
+        # initialized on the main thread by main()); requests arriving
+        # mid-warm just proceed — the load/dispatch paths are guarded.
+        async def _warm_startup():
+            import threading
+
+            def _warm():
+                try:
+                    eng = runner.engine()
+                    if (hasattr(eng, "models_are_loaded")
+                            and not eng.models_are_loaded()):
+                        eng.load_models_with_progress()
+                    from clearconverse_tpu.serve.warmup import (
+                        warm_decode_shapes)
+                    n = [0]
+
+                    def drive(label, fn):
+                        fn()
+                        n[0] += 1
+                        logger.info("startup warm: %s", label)
+
+                    warm_decode_shapes(eng, drive)
+                    logger.info("startup warm done: %d decode shapes", n[0])
+                except Exception as exc:  # noqa: BLE001 — warm is advisory
+                    logger.error("startup warm failed: %s", exc)
+
+            threading.Thread(target=_warm, daemon=True,
+                             name="cc-startup-warm").start()
+        app.on_startup.append(_warm_startup)
+
     @app.get("/health")
     async def health(req: Request):
         return {"status": "ok"}

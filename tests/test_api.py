@@ -447,3 +447,40 @@ def test_task_runner_stress_concurrent_cancels(tmp_path):
     # The even (never-cancelled) tasks must all have completed.
     for t in tids[0::2]:
         assert (tmp_path / "out" / t / "completed.txt").exists()
+
+
+def test_startup_warm_hook(monkeypatch, tmp_path):
+    """CC_TPU_STARTUP_WARM=1 registers a startup hook that loads models and
+    drives warm_decode_shapes IN-PROCESS (executable install is per-process
+    on the tunnel platform, so only an in-process warm spares the server's
+    own first requests)."""
+    import asyncio
+
+    import clearconverse_tpu.serve.warmup as wmod
+
+    called = threading.Event()
+    seen = {}
+
+    def fake_warm(engine, drive):
+        seen["engine"] = engine
+        drive("decode long-window rows=1 prompt=none", lambda: None)
+        called.set()
+
+    monkeypatch.setattr(wmod, "warm_decode_shapes", fake_warm)
+    monkeypatch.setenv("CC_TPU_STARTUP_WARM", "1")
+
+    def engine_factory():
+        return TranscriptionEngine(Config(noise_reduction_amount=0.0),
+                                   TPUConfig(), models=FakeModels())
+
+    app = create_app(str(tmp_path / "o"), str(tmp_path / "u"),
+                     engine_factory, start_cleanup=False)
+
+    async def run():
+        for cb in app.on_startup:
+            await cb()
+
+    asyncio.run(run())
+    assert called.wait(10)
+    assert isinstance(seen["engine"], TranscriptionEngine)
+    assert seen["engine"].models_are_loaded()
