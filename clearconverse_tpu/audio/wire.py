@@ -54,11 +54,11 @@ def mulaw_encode_i16_np(w: np.ndarray) -> np.ndarray:
         return np.zeros(0, np.uint8)
     wi = w.astype(np.int32)
     m = float(max(int(np.max(np.abs(wi))), 1)) / 32768.0
-    x = wi.astype(np.float32) / np.float32(32768.0)
     if len(w) <= 65536:
         # Building the 64k LUT costs 64k logs — more than encoding the row
         # directly for anything shorter than ~4 s at 16 kHz. Both paths are
         # bitwise identical (same per-value float computation).
+        x = wi.astype(np.float32) / np.float32(32768.0)
         return mulaw_encode_np(x / m)
     grid = np.arange(-32768, 32768, dtype=np.float32) / np.float32(32768.0)
     lut = mulaw_encode_np(grid / m)

@@ -841,7 +841,11 @@ class ModelBundle:
             seq = final_tokens[i, : final_lens[i]].tolist()
             win = float(window_s[i])
             if nsp[i] > nst and final_avg[i] <= lpt:
-                results.append(("", win, reset))    # silent window: skip it
+                # Silent window: whisper's seek loop `continue`s on the
+                # skip branch BEFORE its prompt-reset statement, so a
+                # skipped window never resets the rolling prompt — even
+                # when its (discarded) decode ran at a hot rung.
+                results.append(("", win, False))
                 continue
             is_ts = [t >= tsb for t in seq]
             single_ending = len(seq) >= 2 and not is_ts[-2] and is_ts[-1] \

@@ -48,23 +48,10 @@ def create_app(output_dir: str = "processed_audio",
     temp_uploads.mkdir(parents=True, exist_ok=True)
 
     if engine_factory is None:
-        def engine_factory():
-            from clearconverse_tpu.config import Config, load_environment
-            from clearconverse_tpu.pipeline.engine import TranscriptionEngine
-            env = load_environment()
-            if os.environ.get("CC_TPU_FAKE_MODELS") == "1":
-                # Dev/demo mode: signal-processing model stand-ins — the full
-                # pipeline runs without trained checkpoints (no real ASR).
-                from clearconverse_tpu.pipeline.dev_backend import DevModels
-                return TranscriptionEngine(
-                    Config(auth_token=env["hf_auth_token"],
-                           noise_reduction_amount=0.0),
-                    models=DevModels())
-            from clearconverse_tpu.config import tpu_config_from_env
-            return TranscriptionEngine(
-                Config(auth_token=env["hf_auth_token"]),
-                tpu_config=tpu_config_from_env(),
-                model_dir=env["model_cache_dir"])
+        # Shared with the warmup CLI so the warmed program set IS the
+        # served one (serve/factory.py).
+        from clearconverse_tpu.serve.factory import default_engine_factory
+        engine_factory = default_engine_factory
 
     runner = TaskRunner(str(out_dir), engine_factory)
     app.state = runner  # exposed for tests
@@ -498,23 +485,30 @@ def create_app(output_dir: str = "processed_audio",
         # even on compile-cache hits — CLAUDE.md), so the offline warmup
         # CLI alone cannot spare the server's own first requests; only an
         # in-process warm can. Runs on a daemon thread (JAX is already
-        # initialized on the main thread by main()); requests arriving
-        # mid-warm just proceed — the load/dispatch paths are guarded.
+        # initialized on the main thread by main()). Every engine touch
+        # holds runner._engine_lock — the same lock the task dispatcher
+        # serializes engine runs with — so (a) the lazy runner.engine()
+        # construction cannot race into two engines/double model loads,
+        # and (b) warm dispatches never overlap a real request's tunnel
+        # traffic (concurrent transfers are 2.3x worse); user tasks
+        # interleave between drives.
         async def _warm_startup():
             import threading
 
             def _warm():
                 try:
-                    eng = runner.engine()
-                    if (hasattr(eng, "models_are_loaded")
-                            and not eng.models_are_loaded()):
-                        eng.load_models_with_progress()
+                    with runner._engine_lock:
+                        eng = runner.engine()
+                        if (hasattr(eng, "models_are_loaded")
+                                and not eng.models_are_loaded()):
+                            eng.load_models_with_progress()
                     from clearconverse_tpu.serve.warmup import (
                         warm_decode_shapes)
                     n = [0]
 
                     def drive(label, fn):
-                        fn()
+                        with runner._engine_lock:
+                            fn()
                         n[0] += 1
                         logger.info("startup warm: %s", label)
 

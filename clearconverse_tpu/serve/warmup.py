@@ -41,25 +41,14 @@ import numpy as np
 
 
 def _default_engine():
-    """The serve app's engine factory (serve/app.py:50-67), duplicated
-    byte-for-byte in behavior so the warmed programs are exactly the ones
-    serving will dispatch — including the CC_TPU_FAKE_MODELS dev branch
-    (where warmup is a no-op smoke: the dev backend compiles nothing)."""
-    from clearconverse_tpu.config import Config, load_environment
-    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+    """The serve app's engine factory — the SAME function create_app
+    defaults to (serve/factory.py), so the warmed programs are exactly
+    the ones serving will dispatch — including the CC_TPU_FAKE_MODELS
+    dev branch (where warmup is a no-op smoke: the dev backend compiles
+    nothing)."""
+    from clearconverse_tpu.serve.factory import default_engine_factory
 
-    env = load_environment()
-    if os.environ.get("CC_TPU_FAKE_MODELS") == "1":
-        from clearconverse_tpu.pipeline.dev_backend import DevModels
-        return TranscriptionEngine(
-            Config(auth_token=env["hf_auth_token"],
-                   noise_reduction_amount=0.0),
-            models=DevModels())
-    from clearconverse_tpu.config import tpu_config_from_env
-    return TranscriptionEngine(
-        Config(auth_token=env["hf_auth_token"]),
-        tpu_config=tpu_config_from_env(),
-        model_dir=env["model_cache_dir"])
+    return default_engine_factory()
 
 
 def warmup_conversation(duration_s: int, sr: int) -> np.ndarray:
@@ -99,7 +88,7 @@ def triangle_for_width(width: int, duration_s: int, sr: int) -> np.ndarray:
 
 
 def warm_decode_shapes(engine, drive: Callable[[str, Callable], None],
-                       durations=(5, 10, 30)) -> None:
+                       durations=(5.0, 10.0, 30.0)) -> None:
     """Deterministically compile the decode programs for EVERY row bucket.
 
     The engine pads decode batches to power-of-two row buckets
@@ -114,24 +103,32 @@ def warm_decode_shapes(engine, drive: Callable[[str, Callable], None],
     row bucket × {empty, context-sized} prompt, and transcribe_batch at
     the bucket extremes for each duration bucket, all through the
     deployment's own config (so replicas/rungs match production)."""
-    from clearconverse_tpu.pipeline.bundle import ModelBundle
+    from clearconverse_tpu.pipeline.bundle import ModelBundle, _row_bucket
     from clearconverse_tpu.pipeline.dev_backend import SR
 
     bundle = getattr(engine, "models", None)
     if not isinstance(bundle, ModelBundle):
         return
     temp = engine.config.temperature
-    cap = max(int(engine.config.transcription_batch_size), 1)
+    cap = _row_bucket(max(int(engine.config.transcription_batch_size), 1))
     row_buckets = []
     r = 1
     while r <= cap:
         row_buckets.append(r)
         r *= 2
+    cfg_durs = getattr(getattr(engine, "tpu", None), "duration_buckets",
+                       None)
+    durations = tuple(cfg_durs) if cfg_durs else tuple(durations)
     rng = np.random.default_rng(0)
-    # Prompt lengths land in the prompt buckets (bundle._prompt_batch:
-    # 4/16/64/256): empty → 4, ~300 tokens (trimmed to ctx//2-1) → the top
-    # bucket a rolling long-file prompt reaches in steady state.
-    prompts = {"none": "", "full-context": "speaker context " * 100}
+    # Prompt lengths land in EVERY prompt bucket (bundle._prompt_batch
+    # buckets max_prompt_len into 4/16/64/256): empty → 4, then texts
+    # sized so both the real GPT-2 BPE (~2 tokens/word) and the
+    # byte-fallback tokenizer (1 token/byte) land in 16 / 64 / 256 —
+    # window 2+ of a long file typically carries one-to-few windows of
+    # rolling text (16/64) and converges to the trimmed ctx//2-1 top
+    # bucket.
+    prompts = {"p4": "", "p16": "ctx " * 3, "p64": "ctx " * 9,
+               "p256": "ctx " * 100}
     for n in row_buckets:
         audio = rng.standard_normal((n, 30 * SR)).astype(np.float32) * 0.1
         lens = np.full(n, 30 * SR)

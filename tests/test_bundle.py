@@ -288,6 +288,15 @@ def test_long_batch_reset_context_semantics(bundle, rng):
         bundle.tpu = old
     assert len(fake.calls) == 2 and out[0][2] is False
 
+    # A SILENT (skipped) window never resets even at a hot rung: whisper's
+    # seek loop `continue`s on the skip branch before its prompt-reset
+    # statement.
+    fake = _FakeDecode([{"default": {"nsp": 0.95, "sum_lp": -40.0}}])
+    with patch.object(dec, "greedy_decode_from_audio", fake):
+        out = bundle.transcribe_long_batch(audio, [""], lens,
+                                           temperature=0.7)
+    assert out[0][0] == "" and out[0][2] is False
+
     # condition_on_previous_text=False resets after every window.
     fake = _FakeDecode([{"default": {"sum_lp": -0.3}}])
     old_cfg = bundle.config

@@ -98,14 +98,24 @@ def test_warm_decode_shapes_covers_every_row_bucket():
         drives.append(label)
 
     warm_decode_shapes(_Eng(), drive, durations=(5,))
-    assert drives == [
-        "decode long-window rows=1 prompt=none",
-        "decode long-window rows=1 prompt=full-context",
-        "decode long-window rows=2 prompt=none",
-        "decode long-window rows=2 prompt=full-context",
-        "decode short rows=1 duration=5s",
-        "decode short rows=2 duration=5s",
-    ]
+    buckets = ["p4", "p16", "p64", "p256"]
+    assert drives == (
+        [f"decode long-window rows={n} prompt={p}"
+         for n in (1, 2) for p in buckets]
+        + ["decode short rows=1 duration=5s",
+           "decode short rows=2 duration=5s"])
+
+    # The prompt ladder must actually LAND in every prompt-length bucket
+    # (4/16/64/256) — under the byte-fallback tokenizer here, and sized so
+    # the real GPT-2 BPE lands the same (a missed bucket = a first-request
+    # compile the warm claimed to prevent).
+    tok = bundle._whisper[2]
+    got = []
+    for p in ["", "ctx " * 3, "ctx " * 9, "ctx " * 100]:
+        _, _, max_p, _ = bundle._prompt_batch([p], tok, dims,
+                                              timestamps=True)
+        got.append(max_p)
+    assert got == [4, 16, 64, 256]
 
 
 def test_warm_decode_shapes_noop_without_real_bundle():
