@@ -389,6 +389,17 @@ class ModelBundle:
         (transcribe.py's initial_prompt handling), terminated by the SOT
         sequence — bare [sot] for .en models, [sot, <|lang|>, <|transcribe|>]
         for multilingual ones — plus notimestamps outside timestamp mode.
+
+        A prompt entry may also be a TUPLE ``(init_text, token_ids)``:
+        whisper's seek loop chains windows at the TOKEN level
+        (``all_tokens`` accumulates each window's kept segment tokens —
+        timestamp tokens included — and the next window's prompt is
+        ``all_tokens[prompt_reset_since:]``, ids not text), so the engine
+        passes decoded ids straight back instead of a detokenize→
+        re-tokenize round trip that can shift BPE merge boundaries and
+        strips timestamp context. The tuple is encode(" "+init_text) ++
+        token_ids, tail-trimmed to the same ctx_keep.
+
         ``languages`` (per-row ISO codes, from detection) overrides the
         pinned TPUConfig.language on multilingual models. Prompt lengths
         bucket into a tiny static set (max_prompt_len is a static jit arg;
@@ -407,10 +418,21 @@ class ModelBundle:
         if not timestamps:
             tails = [t + [sp.no_timestamps] for t in tails]
             tail_len += 1
-        prompt_lists = [
-            (([sp.sot_prev] + tok.encode(" " + p.strip())[-ctx_keep:])
-             if p.strip() else []) + tails[i]
-            for i, p in enumerate(prompts)]
+
+        def ctx_ids(p):
+            if isinstance(p, tuple):
+                init, ids = p
+                full = (tok.encode(" " + init.strip()) if init.strip()
+                        else []) + [int(t) for t in ids]
+                return full
+            return tok.encode(" " + p.strip()) if p.strip() else []
+
+        prompt_lists = []
+        for i, p in enumerate(prompts):
+            ids = ctx_ids(p)
+            prompt_lists.append(
+                (([sp.sot_prev] + ids[-ctx_keep:]) if ids else [])
+                + tails[i])
         need = max(len(p) for p in prompt_lists)
         max_p = next(b for b in (4, 16, 64, 256) if b >= min(need, 256))
         toks, lens = build_prompt_batch(prompt_lists, max_p, pad_id=sp.eot)
@@ -729,9 +751,15 @@ class ModelBundle:
                               lengths: Optional[np.ndarray] = None,
                               temperature: float = 0.0):
         """One ≤30 s WINDOW per row of a longer segment → [(text,
-        advance_seconds, reset_context)] — whisper transcribe's
-        timestamp-driven seek (reached via back/api.py:1474-1480; VERDICT
-        r1 #8).
+        advance_seconds, reset_context, ctx_tokens)] — whisper
+        transcribe's timestamp-driven seek (reached via
+        back/api.py:1474-1480; VERDICT r1 #8).
+
+        ``ctx_tokens`` is the window's contribution to whisper's
+        ``all_tokens`` — the KEPT token ids, timestamp tokens included
+        (whisper extends all_tokens with each segment's raw ids); the
+        caller chains the next window's prompt from these ids, not from
+        re-tokenized text. A skipped (silent) window contributes [].
 
         Decodes with timestamp tokens (ApplyTimestampRules inside the jit
         loop). Per row: text up to the last COMPLETE <ts>text<ts> segment and
@@ -844,8 +872,9 @@ class ModelBundle:
                 # Silent window: whisper's seek loop `continue`s on the
                 # skip branch BEFORE its prompt-reset statement, so a
                 # skipped window never resets the rolling prompt — even
-                # when its (discarded) decode ran at a hot rung.
-                results.append(("", win, False))
+                # when its (discarded) decode ran at a hot rung — and
+                # contributes no tokens to the rolling context.
+                results.append(("", win, False, []))
                 continue
             is_ts = [t >= tsb for t in seq]
             single_ending = len(seq) >= 2 and not is_ts[-2] and is_ts[-1] \
@@ -868,7 +897,8 @@ class ModelBundle:
                 kept = seq
                 advance = win
             text = tok.decode([t for t in kept if t < sp.eot])
-            results.append((text, float(min(advance, win)), reset))
+            results.append((text, float(min(advance, win)), reset,
+                            [int(t) for t in kept]))
         return results
 
     def embed_batch(self, audio: np.ndarray,

@@ -1034,8 +1034,24 @@ class TranscriptionEngine:
                     if start == 0:
                         init = (it["prompt"] if it["prompt"] is not None
                                 else f"{item_text(it['depends_on'])} ")
+                    window = prior[start:]
+                    if window and all(units[p].get("ctx_tokens") is not None
+                                      for p in window):
+                        # TOKEN-level chaining (whisper: all_tokens
+                        # accumulates each window's kept segment ids,
+                        # timestamp tokens included, and the next prompt
+                        # is those ids — not re-tokenized text, which can
+                        # shift BPE merge boundaries). The bundle encodes
+                        # init and appends the ids (_prompt_batch tuple
+                        # form).
+                        toks: List[int] = []
+                        for p in window:
+                            toks.extend(units[p]["ctx_tokens"])
+                        if toks or init.strip():
+                            return (init, toks)
+                        return ""
                     body = " ".join((units[p]["text"] or "").strip()
-                                    for p in prior[start:]).strip()
+                                    for p in window).strip()
                     parts = [p for p in (init.strip(), body) if p]
                     return f"{' '.join(parts)} " if parts else ""
                 if it["prompt"] is not None:
@@ -1111,11 +1127,14 @@ class TranscriptionEngine:
                     padded, [lprompts[j] for j in idx], lens,
                     temperature=self.config.temperature)
                 for row, j in enumerate(idx):
-                    # reset_context is whisper's prompt-reset signal (test
-                    # fakes may return bare (text, advance) pairs).
+                    # rest = (reset_context, ctx_tokens) from the real
+                    # bundle; test fakes may return bare (text, advance)
+                    # pairs — those chain at the text level.
                     text, advance_s, *rest = results[row]
                     units[l_host[j]]["text"] = text
                     units[l_host[j]]["reset_after"] = bool(rest and rest[0])
+                    units[l_host[j]]["ctx_tokens"] = \
+                        rest[1] if len(rest) > 1 else None
                     spawn_next_window(l_host[j], advance_s)
 
             for sub, sb in store_groups(l_store, fixed_bucket=win):
@@ -1127,6 +1146,7 @@ class TranscriptionEngine:
                     text, advance_s, *rest = res
                     units[u]["text"] = text
                     units[u]["reset_after"] = bool(rest and rest[0])
+                    units[u]["ctx_tokens"] = rest[1] if len(rest) > 1 else None
                     spawn_next_window(u, advance_s)
             remaining -= set(ready)
 

@@ -146,17 +146,24 @@ def test_embed_denoised_batch_matches_separate_programs(bundle, rng):
 
 
 def test_transcribe_long_batch_contract(bundle, rng):
-    """Timestamp-seek window decode: (text, advance, reset_context) per
-    row with 1 <= advance <= window seconds; greedy scalar temperature
-    never triggers whisper's prompt reset."""
+    """Timestamp-seek window decode: (text, advance, reset_context,
+    ctx_tokens) per row with 1 <= advance <= window seconds; greedy
+    scalar temperature never triggers whisper's prompt reset, and
+    ctx_tokens carries the kept ids (timestamp tokens included) for
+    whisper's token-level all_tokens chaining."""
+    sp = bundle._whisper[2].specials
     audio = rng.standard_normal((2, 12 * 16000)).astype(np.float32) * 0.1
     lens = np.asarray([12 * 16000, 6 * 16000])
     out = bundle.transcribe_long_batch(audio, ["", "ctx"], lens)
     assert len(out) == 2
-    for (text, advance, reset), win in zip(out, (12.0, 6.0)):
+    for (text, advance, reset, ctx), win in zip(out, (12.0, 6.0)):
         assert isinstance(text, str)
         assert 1.0 <= advance <= win + 1e-6
         assert reset is False
+        assert isinstance(ctx, list) and all(isinstance(t, int) for t in ctx)
+        # the kept ids decode (sans timestamp/special ids) to the text
+        assert bundle._whisper[2].decode(
+            [t for t in ctx if t < sp.eot]) == text
 
 
 class _FakeDecode:
@@ -248,6 +255,32 @@ def test_row_sparse_fallback_retry(bundle, rng):
     assert fake.calls[1][3:5] == (1, 2)           # 1 UNIQUE audio row, rep=2
     assert fake.calls[1][1] > 0                   # sampling rung
     assert fake.calls[1][2] is not None           # real rng key
+
+
+def test_prompt_batch_token_tuple_form(bundle):
+    """_prompt_batch((init_text, token_ids)) = [sot_prev] +
+    (encode(" "+init) ++ ids)[-ctx_keep:] + SOT tail — whisper's
+    token-level rolling prompt, ids passed through verbatim (timestamp
+    tokens included), no detokenize/re-tokenize round trip."""
+    params, dims, tok = bundle._whisper
+    sp = tok.specials
+    ids = [11, 22, sp.timestamp_begin + 5, 33]
+    toks, lens, max_p, _ = bundle._prompt_batch(
+        [("hi", ids), ("", ids), ("hi", []), ""], tok, dims,
+        timestamps=True)
+    enc = tok.encode(" hi")
+    rows = [toks[i, -int(lens[i]):].tolist() for i in range(4)]
+    assert rows[0] == [sp.sot_prev] + enc + ids + [sp.sot]
+    assert rows[1] == [sp.sot_prev] + ids + [sp.sot]
+    assert rows[2] == [sp.sot_prev] + enc + [sp.sot]
+    assert rows[3] == [sp.sot]
+    # tail trim: a long id context keeps only the LAST ctx_keep ids
+    long_ids = list(range(1000, 1000 + dims.n_text_ctx))
+    toks2, lens2, _, _ = bundle._prompt_batch(
+        [("", long_ids)], tok, dims, timestamps=True)
+    keep = dims.n_text_ctx // 2 - 1
+    assert toks2[0, -int(lens2[0]):].tolist() == \
+        [sp.sot_prev] + long_ids[-keep:] + [sp.sot]
 
 
 def test_long_batch_reset_context_semantics(bundle, rng):

@@ -139,10 +139,12 @@ def test_wavefront_timestamp_seek_no_boundary_loss():
     assert items[0]["text"] == "[0+20] [20+20] [40+20] [60+15]"
 
 
-def _rolling_prompt_models(total, sr, reset_at=None):
+def _rolling_prompt_models(total, sr, reset_at=None, with_tokens=False):
     """transcribe_long_batch fake recording each window's prompt; window
     texts are w1..wN, 20 s complete-segment advance, and the ``reset_at``-th
-    window reports reset_context=True (whisper's temp>0.5 signal)."""
+    window reports reset_context=True (whisper's temp>0.5 signal).
+    ``with_tokens`` adds the bundle's 4th element (kept token ids
+    [100+k, 200+k]) so the engine chains at the token level."""
 
     class PromptModels(FakeModels):
         def __init__(self):
@@ -159,7 +161,10 @@ def _rolling_prompt_models(total, sr, reset_at=None):
                 cursor_s = round(float(audio[row][0]) * total / sr, 3)
                 advance = 20.0 if cursor_s + n / sr < total / sr else n / sr
                 k = len(self.prompts)
-                out.append((f"w{k}", advance, k == reset_at))
+                res = (f"w{k}", advance, k == reset_at)
+                if with_tokens:
+                    res += ([100 + k, 200 + k],)
+                out.append(res)
             return out
 
     return PromptModels()
@@ -183,6 +188,31 @@ def test_wavefront_rolling_prompt_accumulates_and_resets():
     eng._transcribe_wavefront(items, sr)
     # w2 sees init+w1; w2 resets → w3 starts empty; w4 sees only w3.
     assert models.prompts == ["init ", "init w1 ", "", "w3 "]
+    assert items[0]["text"] == "w1 w2 w3 w4"
+
+
+def test_wavefront_token_level_rolling_prompt():
+    """When the backend reports kept token ids (the real bundle's 4th
+    result element), successor windows chain at the TOKEN level — prompt
+    = (init_text, accumulated ids) exactly as whisper extends all_tokens
+    — instead of re-tokenizing decoded text; resets drop both the ids
+    and the initial context."""
+    sr = 16000
+    total = 75 * sr
+    models = _rolling_prompt_models(total, sr, reset_at=2, with_tokens=True)
+    eng = TranscriptionEngine(Config(noise_reduction_amount=0.0,
+                                     temperature=0.0),
+                              TPUConfig(), models=models)
+    audio = (np.arange(total, dtype=np.float32) / total)
+    items = [dict(audio=audio, prompt="init ", depends_on=None,
+                  start=0.0, end=75.0, speaker="SPEAKER_A")]
+    eng._transcribe_wavefront(items, sr)
+    assert models.prompts == [
+        "init ",
+        ("init ", [101, 201]),          # init context + window-1 ids
+        "",                             # window 2 reset → fresh prompt
+        ("", [103, 203]),               # only window-3 ids since reset
+    ]
     assert items[0]["text"] == "w1 w2 w3 w4"
 
 
