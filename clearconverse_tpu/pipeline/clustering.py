@@ -119,35 +119,57 @@ def ahc_cluster(embeddings: np.ndarray, threshold: float = 0.7,
     np.fill_diagonal(dist, np.inf)
 
     members: List[List[int]] = [[i] for i in range(n)]
-    active = list(range(n))
-    # Average-linkage distance between current clusters.
+    # Average-linkage distance between current clusters; dead rows/cols
+    # pin to +inf instead of re-slicing an active submatrix every merge
+    # (the np.ix_ rebuild + Python inner update was O(n^3) with Python-
+    # loop constants — a multi-second host stall at ~1500 subsegments on
+    # the one-core host). Cached per-row minima make each merge O(n)
+    # vectorized work plus re-scans only for rows whose cached nearest
+    # neighbour was invalidated.
     cd = dist.copy()
+    alive = np.ones(n, bool)
+    sizes = np.ones(n, np.int64)
+    row_min = cd.min(axis=1)
+    row_arg = cd.argmin(axis=1)
+    n_active = n
 
-    def n_active() -> int:
-        return len(active)
-
-    while n_active() > max(min_clusters, 1):
-        sub = cd[np.ix_(active, active)]
-        k = np.argmin(sub)
-        i_loc, j_loc = divmod(int(k), len(active))
-        d = sub[i_loc, j_loc]
-        over_cap = max_clusters is not None and n_active() > max_clusters
+    while n_active > max(min_clusters, 1):
+        i = int(np.argmin(row_min))
+        d = float(row_min[i])
+        j = int(row_arg[i])
+        over_cap = max_clusters is not None and n_active > max_clusters
         if d > threshold and not over_cap:
             break
-        a, b = active[i_loc], active[j_loc]
-        if a > b:
-            a, b = b, a
-        # Average linkage update: weighted mean of distances.
-        na, nb = len(members[a]), len(members[b])
-        for c in active:
-            if c in (a, b):
-                continue
-            cd[a, c] = cd[c, a] = (na * cd[a, c] + nb * cd[b, c]) / (na + nb)
+        a, b = (i, j) if i < j else (j, i)
+        # Average linkage (Lance-Williams) update, vectorized over all
+        # columns: +inf entries (self/dead/b) stay +inf under the
+        # positive-weighted mean.
+        na, nb = sizes[a], sizes[b]
+        new = (na * cd[a] + nb * cd[b]) / (na + nb)
+        new[a] = np.inf
+        cd[a] = new
+        cd[:, a] = new
+        cd[b, :] = np.inf
+        cd[:, b] = np.inf
         members[a].extend(members[b])
-        active.remove(b)
+        sizes[a] += sizes[b]
+        alive[b] = False
+        n_active -= 1
+        # Refresh cached minima: column a changed for every row, column b
+        # died; rows whose cached nearest was a or b re-scan.
+        row_min[b] = np.inf
+        row_arg[b] = b
+        better = cd[:, a] < row_min
+        row_min[better] = cd[better, a]
+        row_arg[better] = a
+        stale = alive & ((row_arg == b) | ((row_arg == a) & ~better))
+        stale[a] = True
+        for r in np.flatnonzero(stale):
+            row_min[r] = cd[r].min()
+            row_arg[r] = int(cd[r].argmin())
 
     labels = np.zeros(n, np.int32)
-    order = sorted(active, key=lambda c: min(members[c]))
+    order = sorted(np.flatnonzero(alive), key=lambda c: min(members[c]))
     for new_id, c in enumerate(order):
         for idx in members[c]:
             labels[idx] = new_id

@@ -38,9 +38,17 @@ MIN_SUBSEG_S = 0.4     # minimum carveable subsegment
 EMBED_PAD_S = 3.0      # subsegments padded/trimmed to this for embedding
 
 
+def _window_starts(n_samples: int, sr: int) -> List[int]:
+    """Sliding-window start samples — the ONE place the window layout
+    lives (file_activities' store path and _window_chunks both consume
+    it; a second copy once drifted per-file probs slicing)."""
+    hop = int(HOP_S * sr)
+    return list(range(0, max(n_samples - hop, 1), hop))
+
+
 def _window_chunks(audio: np.ndarray, sr: int) -> np.ndarray:
-    win, hop = int(WINDOW_S * sr), int(HOP_S * sr)
-    starts = list(range(0, max(len(audio) - hop, 1), hop))
+    win = int(WINDOW_S * sr)
+    starts = _window_starts(len(audio), sr)
     chunks = np.zeros((len(starts), win), np.float32)
     for i, s in enumerate(starts):
         seg = audio[s : s + win]
@@ -51,14 +59,19 @@ def _window_chunks(audio: np.ndarray, sr: int) -> np.ndarray:
 def _stitch(probs: np.ndarray, n_samples: int, sr: int,
             fhop: float) -> np.ndarray:
     """Mean-stitch per-window frame scores [W, Fw, S] → file-level
-    [F, S], trimming frames past the true audio end."""
-    frames_per_hop = int(round(HOP_S / fhop))
+    [F, S], trimming frames past the true audio end.
+
+    Each window's frame offset is rounded PER WINDOW
+    (round(i·HOP_S/fhop)), not via a shared integer frames-per-hop: at
+    the production frame hop (270/16000 s) HOP_S/fhop = 296.296, and a
+    rounded-once 296 would drift the placement 5 ms per window —
+    cumulative (~0.6 s of timestamp error on a 10-minute file)."""
     Fw = probs.shape[1]
-    total_frames = (len(probs) - 1) * frames_per_hop + Fw
+    los = [int(round(i * HOP_S / fhop)) for i in range(len(probs))]
+    total_frames = (los[-1] if los else 0) + Fw
     acc = np.zeros((total_frames, probs.shape[2]), np.float64)
     cnt = np.zeros((total_frames, 1), np.float64)
-    for i in range(len(probs)):
-        lo = i * frames_per_hop
+    for i, lo in enumerate(los):
         acc[lo : lo + Fw] += probs[i]
         cnt[lo : lo + Fw] += 1.0
     valid = int(n_samples / sr / fhop)
@@ -92,7 +105,7 @@ def file_activities(bundle, audios: List[np.ndarray], sr: int,
     re-uploading ~2x the audio as 50%-overlap chunks."""
     if not audios:
         return []
-    win, hop = int(WINDOW_S * sr), int(HOP_S * sr)
+    win = int(WINDOW_S * sr)
     use_store = (store is not None and store_rows is not None
                  and all(r is not None for r in store_rows)
                  and hasattr(bundle, "segment_frames_store"))
@@ -100,7 +113,7 @@ def file_activities(bundle, audios: List[np.ndarray], sr: int,
     if use_store:
         rows, starts = [], []
         for audio, r in zip(audios, store_rows):
-            file_starts = list(range(0, max(len(audio) - hop, 1), hop))
+            file_starts = _window_starts(len(audio), sr)
             counts.append(len(file_starts))
             rows.extend([r] * len(file_starts))
             starts.extend(file_starts)
@@ -151,10 +164,19 @@ def _carve_subsegments(audio: np.ndarray, act, fhop: float, sr: int,
     n = len(audio)
     for slot in range(act.shape[1]):
         others = [o for o in range(act.shape[1]) if o != slot]
-        exclusive = (act[:, slot] > onset) & np.all(act[:, others] <= 0.5, axis=1)
+        # "Exclusively active" = no OTHER slot above the same speech onset
+        # the binarization uses — a hard-coded 0.5 here would let
+        # overlapped frames into the clean clips whenever the deployment
+        # lowers diarization_onset.
+        exclusive = (act[:, slot] > onset) & np.all(act[:, others] <= onset,
+                                                    axis=1)
         for s, e in binarize(act[:, slot], fhop, onset, offset,
                              min_duration_on=MIN_SUBSEG_S, min_duration_off=0.1):
-            f0, f1 = int(s / fhop), min(int(e / fhop), len(exclusive))
+            # binarize returns frame-aligned times (frame · fhop); round —
+            # plain int() truncates to frame-1 for ~14% of indices at the
+            # production hop (e.g. 125·fhop/fhop = 124.99999999999999).
+            f0 = int(round(s / fhop))
+            f1 = min(int(round(e / fhop)), len(exclusive))
             # Vectorized frame→sample mapping (the per-frame comprehension
             # was part of the diarizer's host hotspot). Operation ORDER
             # matches the scalar `int(f * fhop * sr)` exactly:

@@ -128,7 +128,12 @@ def select_profile_segments(
     min_duration: float = 0.75,
 ) -> Dict[str, List[Tuple[float, float]]]:
     """Per speaker: half the budget to the longest segments, the other half
-    to an even temporal stride over the remainder."""
+    to an even temporal stride over the remainder.
+
+    REPRODUCED QUIRK (back/api.py:918): ``max_embedding_segments <= 1``
+    makes ``half`` zero and ``len(rest) // half`` raise ZeroDivisionError —
+    the reference crashes identically on that (pathological) config value,
+    and the default (100) never reaches it. SURVEY §7 list."""
     by_speaker: Dict[str, List[Tuple[float, float, float]]] = defaultdict(list)
     for start, end, spk in segments:
         if (end - start) >= min_duration:
@@ -154,7 +159,14 @@ def merge_window_labels(
 ) -> List[LabeledSegment]:
     """Merge per-window speaker labels into spans (the tail of
     _resegment_overlap): permissive gap merge, fragment suppression, boundary
-    adjustment with previous-span borrowing."""
+    adjustment with previous-span borrowing.
+
+    DELIBERATE FIX vs the reference: the borrowing branch guards on
+    ``final`` being non-empty. The reference indexes
+    ``final_segments[-1]`` whenever ``i > 0`` (back/api.py:1036) and
+    CRASHES with IndexError when the first merged span was clipped below
+    ``min_duration`` and dropped; here the fragment is simply dropped
+    without borrowing (docs/PARITY.md deviation #11)."""
     segment_duration = seg_end - seg_start
     if not window_results:
         return [(seg_start, seg_end, "UNKNOWN")]
@@ -252,7 +264,13 @@ def extract_segment_lazy(audio, start: float, end: float, sr: int):
     so ``audio`` may be a LazyAudio whose device download is still in
     flight. len() of the result equals len(extract_segment(...))."""
     from clearconverse_tpu.audio.decode import lazy_slice
-    duration = len(audio) / sr
+    if isinstance(audio, np.ndarray):
+        # Eager arrays take extract_segment itself (a cheap view slice):
+        # [C, T] inputs must use the TIME axis for duration and flatten
+        # like the reference — a len(audio)-based path read the CHANNEL
+        # count as the duration and sliced the wrong axis.
+        return extract_segment(audio, start, end, sr)
+    duration = len(audio) / sr          # lazy views are 1-D by construction
     start = max(start, 0.0)
     end = min(end, duration)
     i0, i1 = int(start * sr), int(end * sr)

@@ -6,11 +6,12 @@ import pytest
 
 from clearconverse_tpu.pipeline.segments import (
     choose_prompt, detect_overlap_regions, extract_segment,
-    find_segment_overlaps, is_rapid_exchange, map_speakers, merge_segments,
-    merge_window_labels, refine_segment_with_vad, select_profile_segments,
-    window_hysteresis, DEFAULT_PROMPT, RAPID_PROMPT)
+    extract_segment_lazy, find_segment_overlaps, is_rapid_exchange,
+    map_speakers, merge_segments, merge_window_labels,
+    refine_segment_with_vad, select_profile_segments, window_hysteresis,
+    DEFAULT_PROMPT, RAPID_PROMPT)
 from clearconverse_tpu.pipeline.clustering import (
-    ahc_cluster, binarize, cluster_speakers)
+    ahc_cluster, binarize, cluster_speakers, cosine_distance_matrix)
 
 
 # ------------------------------------------------------------- merge
@@ -285,3 +286,130 @@ def test_binarize_vectorized_equals_reference_loop():
             base = filled
         base = [(s, e) for s, e in base if e - s >= 0.05]
         assert got2 == base
+
+
+# ------------------------------------------- diarizer numeric regressions
+
+def test_stitch_window_placement_does_not_drift():
+    """Window frame offsets round PER WINDOW: at the production frame hop
+    (270/16000 s) HOP_S/fhop = 296.296, so a rounded-once integer stride
+    drifts 5 ms/window — 0.6 s of cumulative timestamp error at 10 min."""
+    from clearconverse_tpu.pipeline.diarize import HOP_S, WINDOW_S, _stitch
+
+    sr, fhop = 16000, 270.0 / 16000.0
+    w = 121                                    # 10 minutes of windows
+    fw = int(WINDOW_S / fhop)
+    probs = np.tile(np.arange(w, dtype=np.float32)[:, None, None],
+                    (1, fw, 1))                # window i scores == i
+    n_samples = int((HOP_S * (w - 1) + WINDOW_S) * sr)
+    act = _stitch(probs, n_samples, sr, fhop)
+    # The frame at the true start of the LAST window must already include
+    # its score (drifted placement would still show window w-2 only).
+    lo_true = round((w - 1) * HOP_S / fhop)
+    assert act[lo_true, 0] >= w - 1.5          # mean of windows w-2, w-1
+    # Frames past the second-to-last window's extent are the last window
+    # alone.
+    end_prev = round((w - 2) * HOP_S / fhop) + fw
+    assert float(act[end_prev, 0]) == w - 1
+
+
+def test_carve_exclusive_uses_configured_onset():
+    """A frame where another slot is above the CONFIGURED onset is not
+    'exclusively active' — the old hard-coded 0.5 let overlapped frames
+    into the clean clustering clips when deployments lowered the onset."""
+    from clearconverse_tpu.pipeline.diarize import _carve_subsegments
+
+    sr, fhop = 16000, 270.0 / 16000.0
+    frames = 80                                # ~1.35 s
+    act = np.zeros((frames, 2), np.float32)
+    act[:, 0] = 0.9                            # slot 0 clearly active
+    act[:, 1] = 0.45                           # slot 1 above onset=0.3
+    audio = np.zeros(int(frames * fhop * sr) + sr, np.float32)
+    _, slots, clean, descs = _carve_subsegments(audio, act, fhop, sr,
+                                                onset=0.3, offset=0.2)
+    i = slots.index(0)
+    assert clean[i] is False                   # overlapped ⇒ not clean
+    assert descs[i][0] == "slice"
+    # Same frames with slot 1 quiet ⇒ clean again.
+    act[:, 1] = 0.05
+    _, slots2, clean2, _ = _carve_subsegments(audio, act, fhop, sr,
+                                              onset=0.3, offset=0.2)
+    assert clean2[slots2.index(0)] is True
+
+
+def test_carve_region_end_frame_not_truncated():
+    """binarize returns frame-aligned times; int(e/fhop) truncates to
+    frame-1 for ~14% of indices at the production hop (float residue),
+    silently dropping the region's last active frame from the exclusive
+    clip."""
+    from clearconverse_tpu.pipeline.diarize import _carve_subsegments
+
+    sr, fhop = 16000, 270.0 / 16000.0
+    # region [100, 125) — 125*fhop/fhop = 124.99999999999999
+    assert int((125 * fhop) / fhop) == 124     # the trap this guards
+    act = np.zeros((200, 2), np.float32)
+    act[100:125, 0] = 0.9
+    audio = np.zeros(int(200 * fhop * sr) + sr, np.float32)
+    _, slots, clean, descs = _carve_subsegments(audio, act, fhop, sr,
+                                                onset=0.5, offset=0.5)
+    i = slots.index(0)
+    kind, fs, fe = descs[i]
+    assert kind == "frames" and len(fs) == 25  # all 25 frames, incl. last
+
+
+def test_extract_segment_lazy_multichannel_duration():
+    """extract_segment supports [C, T] via audio[..., i0:i1]; the lazy
+    variant must match it exactly on eager arrays — a len(audio)-based
+    duration read the CHANNEL count and hit the 100-zeros quirk."""
+    audio = np.random.default_rng(0).standard_normal((2, 32000)) \
+        .astype(np.float32)
+    eager = extract_segment(audio, 0.5, 1.5, 16000)
+    lazy = np.asarray(extract_segment_lazy(audio, 0.5, 1.5, 16000))
+    np.testing.assert_array_equal(lazy, eager)
+    assert eager.shape[-1] == 32000       # 2 channels x 1 s, flattened
+
+
+def test_ahc_cluster_matches_naive_reference():
+    """The cached-minima AHC (O(n^2)) is label-identical to a naive
+    re-slicing average-linkage implementation across random cases."""
+    def naive(emb, threshold, min_clusters, max_clusters):
+        n = len(emb)
+        dist = cosine_distance_matrix(emb)
+        np.fill_diagonal(dist, np.inf)
+        members = [[i] for i in range(n)]
+        active = list(range(n))
+        cd = dist.copy()
+        while len(active) > max(min_clusters, 1):
+            sub = cd[np.ix_(active, active)]
+            k = np.argmin(sub)
+            i_loc, j_loc = divmod(int(k), len(active))
+            d = sub[i_loc, j_loc]
+            over = max_clusters is not None and len(active) > max_clusters
+            if d > threshold and not over:
+                break
+            a, b = sorted((active[i_loc], active[j_loc]))
+            na, nb = len(members[a]), len(members[b])
+            for c in active:
+                if c not in (a, b):
+                    cd[a, c] = cd[c, a] = (na * cd[a, c]
+                                           + nb * cd[b, c]) / (na + nb)
+            members[a].extend(members[b])
+            active.remove(b)
+        labels = np.zeros(n, np.int32)
+        order = sorted(active, key=lambda c: min(members[c]))
+        for new_id, c in enumerate(order):
+            for idx in members[c]:
+                labels[idx] = new_id
+        return labels
+
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        n = int(rng.integers(2, 30))
+        k = int(rng.integers(1, 4))
+        emb = (np.repeat(rng.standard_normal((k, 8)), n, axis=0)[:n]
+               + rng.standard_normal((n, 8)) * 0.2)
+        th = float(rng.uniform(0.2, 1.2))
+        mx = None if rng.random() < 0.5 else int(rng.integers(1, 4))
+        got = ahc_cluster(emb, th, 1, mx)
+        want = naive(emb, th, 1, mx)
+        np.testing.assert_array_equal(got, want)
