@@ -59,13 +59,23 @@ def diarization_error_rate(reference: Sequence[LabeledSegment],
     best_map: Dict[int, int] = {}
     if n_ref and n_hyp:
         if max(n_ref, n_hyp) <= 8:
+            # Exhaustive assignment over the LARGER side so every speaker
+            # on both sides is a mapping candidate (permuting hyp columns
+            # against refs 0..min-1 could never map later reference
+            # speakers, inflating confusion whenever n_ref > n_hyp).
             best_score = -1
-            idx = list(range(n_hyp))
-            for perm in itertools.permutations(idx, min(n_ref, n_hyp)):
-                score = sum(overlap[i, p] for i, p in enumerate(perm))
-                if score > best_score:
-                    best_score = score
-                    best_map = dict(enumerate(perm))
+            if n_ref <= n_hyp:
+                for perm in itertools.permutations(range(n_hyp), n_ref):
+                    score = sum(overlap[i, p] for i, p in enumerate(perm))
+                    if score > best_score:
+                        best_score = score
+                        best_map = dict(enumerate(perm))
+            else:
+                for perm in itertools.permutations(range(n_ref), n_hyp):
+                    score = sum(overlap[p, j] for j, p in enumerate(perm))
+                    if score > best_score:
+                        best_score = score
+                        best_map = {p: j for j, p in enumerate(perm)}
         else:  # greedy fallback
             pairs = sorted(((overlap[i, j], i, j) for i in range(n_ref)
                             for j in range(n_hyp)), reverse=True)
@@ -79,7 +89,6 @@ def diarization_error_rate(reference: Sequence[LabeledSegment],
     mapped = np.zeros_like(R)
     for i, j in best_map.items():
         mapped[:, i] = H[:, j]
-    extra_hyp = H.sum(1) - mapped.sum(1)   # hyp speakers with no ref mapping
 
     ref_count = R.sum(1)
     hyp_count = H.sum(1)
@@ -91,6 +100,14 @@ def diarization_error_rate(reference: Sequence[LabeledSegment],
     correct = float((R & mapped).sum()) * resolution
     confusion = max(total - missed - correct, 0.0)
 
-    der = (missed + false_alarm + confusion) / total if total > 0 else 0.0
+    errors = missed + false_alarm + confusion
+    if total > 0:
+        der = errors / total
+    else:
+        # No scored reference speech: DER is undefined (NIST divides by
+        # zero). 0.0 only when the hypothesis is also silent; otherwise
+        # +inf — reporting hallucinated speech on a silent reference as a
+        # perfect 0.0 would rank pure false alarm as the best config.
+        der = 0.0 if errors == 0 else float("inf")
     return {"der": der, "missed": missed, "false_alarm": false_alarm,
             "confusion": confusion, "total": total}

@@ -138,6 +138,13 @@ def run_sweep(audio_files: Sequence[str],
                       "stand-ins; metrics do not reflect real checkpoints")
             engine = TranscriptionEngine(cfg, models=shared_models)
             shared_models = engine.models  # load once across the sweep
+            if hasattr(shared_models, "config"):
+                # The shared ModelBundle captured config_00's Config at
+                # construction; bundle-read fields (e.g.
+                # condition_on_previous_text in transcribe_long_batch)
+                # must follow THIS config or the sweep silently compares
+                # identical bundle behavior across the grid.
+                shared_models.config = cfg
         for af in audio_files:
             run_dir = out / f"config_{ci:02d}" / Path(af).stem
             run_dir.mkdir(parents=True, exist_ok=True)
@@ -151,9 +158,11 @@ def run_sweep(audio_files: Sequence[str],
                 transcript, _ = engine._write_outputs(
                     res, str(run_dir), False, lambda *_: None)
                 transcript = transcript or ""
-            from clearconverse_tpu.audio.wav import read_wav
-            samples, sr = read_wav(af) if af.lower().endswith(".wav") else (None, 16000)
-            dur = samples.shape[-1] / sr if samples is not None else 0.0
+            # The engine already measured the audio; re-reading the file
+            # (and only for .wav — other formats got duration 0 and a
+            # bogus RTFx 0.00) is both wrong and a redundant full-file
+            # read on the 1-core host.
+            dur = float(res["metadata"].get("duration", 0.0)) if res else 0.0
 
             rr = RunResult(af, ci, overrides, transcript, dur, wall,
                            dur / wall if wall > 0 else 0.0,

@@ -15,7 +15,10 @@ def normalize_text(text: str) -> List[str]:
     (keeping intra-word apostrophes), collapse whitespace."""
     text = text.lower()
     text = re.sub(r"[^\w\s']", " ", text)
-    text = re.sub(r"\s'+|'+\s", " ", text)
+    # Pad so string-boundary quotes match the \s-anchored pattern too —
+    # without it "'hello" kept its quote and mis-scored as a substitution
+    # while " 'hello " did not (position-dependent normalization).
+    text = re.sub(r"\s'+|'+\s", " ", f" {text} ")
     return text.split()
 
 

@@ -18,6 +18,7 @@ signal for timing purposes.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Dict, List, Tuple
 
 import jax
@@ -29,13 +30,20 @@ from clearconverse_tpu.models.whisper import (
     attention)
 
 AUDIO_FRAME_S = 0.02   # encoder frame = 2 mel hops = 20 ms
+# Teacher lengths bucket so the jitted weights program compiles once per
+# (rows, bucket) instead of once per batch max token count (30 s - 18 min
+# per shape over the tunnel).
+_LEN_BUCKETS = (16, 32, 64, 128, 256, 448)
 
 
+@partial(jax.jit, static_argnames=("dims", "compute_dtype"))
 def cross_attention_weights(params: Dict[str, Any], tokens: jnp.ndarray,
                             audio: jnp.ndarray, dims: WhisperDims,
                             compute_dtype=jnp.float32) -> jnp.ndarray:
     """Teacher-forced pass → averaged cross-attention [B, T_tok, T_audio]
-    from the upper half of the decoder layers."""
+    from the upper half of the decoder layers. Jitted: eager dispatch cost
+    ~12 layers x ~15 ops per word-timestamps call over the tunnel, where
+    per-dispatch latency dominates (CLAUDE.md platform rules)."""
     dec = params["decoder"]
     B, T = tokens.shape
     x = dec["tok"][tokens].astype(compute_dtype) + \
@@ -77,17 +85,34 @@ def cross_attention_weights(params: Dict[str, Any], tokens: jnp.ndarray,
 
 def dtw_path(attn: np.ndarray) -> List[Tuple[int, int]]:
     """Monotonic alignment through a [T_tok, T_audio] attention matrix
-    (maximize summed attention; moves: right, down, diagonal)."""
+    (maximize summed attention; moves: right, down, diagonal).
+
+    DP vectorized over anti-diagonals: the nested per-cell Python loop was
+    ~150k tuple-argmax iterations per row (T_tok x 1500 frames) on the
+    1-core host — the exact pattern CLAUDE.md's perf rules vectorize.
+    Candidate order (diag, left, up) and argmax tie-breaking match the
+    scalar formulation exactly."""
     T, F = attn.shape
     cost = np.full((T + 1, F + 1), -np.inf)
     cost[0, :] = 0.0
     back = np.zeros((T, F), np.int8)
-    for i in range(1, T + 1):
-        for j in range(1, F + 1):
-            cands = (cost[i - 1, j - 1], cost[i, j - 1], cost[i - 1, j])
-            b = int(np.argmax(cands))
-            cost[i, j] = cands[b] + attn[i - 1, j - 1]
-            back[i - 1, j - 1] = b
+    # Anti-diagonal d holds cells (i, j), i+j == d, in the padded cost
+    # grid; every cell on a diagonal depends only on diagonals d-1, d-2.
+    for d in range(2, T + F + 1):
+        i0 = max(1, d - F)
+        i1 = min(T, d - 1)
+        if i0 > i1:
+            continue
+        i = np.arange(i0, i1 + 1)
+        j = d - i
+        diag = cost[i - 1, j - 1]
+        left = cost[i, j - 1]
+        up = cost[i - 1, j]
+        best = np.maximum(diag, np.maximum(left, up))
+        # np.argmax picks the FIRST max: diag > left > up priority.
+        b = np.where(diag == best, 0, np.where(left == best, 1, 2))
+        cost[i, j] = best + attn[i - 1, j - 1]
+        back[i - 1, j - 1] = b
     path = []
     i, j = T - 1, F - 1
     while i >= 0 and j >= 0:
@@ -128,8 +153,7 @@ def word_timestamps(tokenizer, token_ids: List[int],
             words[-1]["word"] += piece
             words[-1]["end"] = t1
         else:
-            words.append({"word": piece.strip() and piece or piece,
-                          "start": t0, "end": t1})
+            words.append({"word": piece, "start": t0, "end": t1})
     for w in words:
         w["word"] = w["word"].strip()
     return [w for w in words if w["word"]]
@@ -138,14 +162,36 @@ def word_timestamps(tokenizer, token_ids: List[int],
 def align_batch(params: Dict[str, Any], tokenizer,
                 tokens: np.ndarray, lengths: np.ndarray,
                 audio_features: jnp.ndarray, dims: WhisperDims,
-                sot: int) -> List[List[Dict[str, Any]]]:
-    """Full batched alignment: generated tokens (+SOT prefix) → per-row word
-    timestamp lists."""
+                sot: int = -1, prefixes=None,
+                eot: int = -1) -> List[List[Dict[str, Any]]]:
+    """Full batched alignment: generated tokens → per-row word timestamp
+    lists.
+
+    ``prefixes`` (per-row token lists) is the conditioning openai-whisper's
+    find_alignment replays: the FULL SOT sequence — [sot] for .en models,
+    [sot, <|lang|>, <|transcribe|>] for multilingual — plus
+    <|notimestamps|>, followed by the text tokens and ``eot``. Replaying a
+    bare [sot] (the pre-fix behavior, kept as the fallback when only
+    ``sot`` is given) scores cross-attention under different conditioning
+    and positions than produced the tokens, shifting DTW paths on exactly
+    the multilingual path. Teacher lengths pad to _LEN_BUCKETS so the
+    jitted weights program compiles once per bucket."""
     B = tokens.shape[0]
+    if prefixes is None:
+        prefixes = [[sot]] * B
+    P = max((len(p) for p in prefixes), default=1)
     max_len = int(lengths.max()) if B else 0
-    teacher = np.full((B, max_len + 1), sot, np.int32)
+    pad_id = eot if eot >= 0 else (prefixes[0][0] if prefixes else 0)
+    need = P + max_len + 1
+    total = next((b for b in _LEN_BUCKETS if b >= need),
+                 need)
+    teacher = np.full((B, total), pad_id, np.int32)
     for b in range(B):
-        teacher[b, 1 : 1 + lengths[b]] = tokens[b, : lengths[b]]
+        pre = list(prefixes[b])[-P:]
+        teacher[b, P - len(pre): P] = pre
+        teacher[b, P : P + lengths[b]] = tokens[b, : lengths[b]]
+        if eot >= 0:
+            teacher[b, P + lengths[b]] = eot
     attn = np.asarray(cross_attention_weights(
         params, jnp.asarray(teacher), audio_features, dims))
     out = []
@@ -154,6 +200,6 @@ def align_batch(params: Dict[str, Any], tokenizer,
         if n == 0:
             out.append([])
             continue
-        times = token_times(attn[b, 1 : 1 + n], n)  # skip the SOT row
+        times = token_times(attn[b, P : P + n], n)  # text-token rows only
         out.append(word_timestamps(tokenizer, list(tokens[b, :n]), times))
     return out

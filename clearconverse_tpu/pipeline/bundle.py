@@ -741,9 +741,20 @@ class ModelBundle:
         mel = log_mel_auto(pad_or_trim(audio, target), dims.n_mels)
         feats = whisper_encode(params, mel, dims, cdt,
                                pallas_attn_enabled=self.tpu.pallas_encoder_attn)
+        # openai-whisper's find_alignment replays the FULL SOT sequence
+        # (+ language/transcribe for multilingual) + <|notimestamps|>
+        # before the text tokens, ending with EOT — the same conditioning
+        # that generated them.
+        if sp.english_only:
+            pres = [[sp.sot, sp.no_timestamps]] * n_real
+        else:
+            langs = (list(languages[:n_real]) if languages is not None
+                     else [self.tpu.language or "en"] * n_real)
+            pres = [list(sp.sot_sequence(sp.language_token(lang)))
+                    + [sp.no_timestamps] for lang in langs]
         words = align_batch(params, tok, final_tokens[:n_real],
                             final_lengths[:n_real], feats[:n_real], dims,
-                            sot=sp.sot)
+                            prefixes=pres, eot=sp.eot)
         return out_texts, words
 
     def transcribe_long_batch(self, audio: np.ndarray,

@@ -85,3 +85,71 @@ def test_cross_attention_weights_shape(rng):
     w = cross_attention_weights(params, toks, audio, TINY)
     assert w.shape == (1, 3, 25)
     np.testing.assert_allclose(np.asarray(w.sum(-1)), 1.0, atol=1e-4)
+
+
+def test_dtw_path_matches_scalar_reference():
+    """The anti-diagonal-vectorized DP is path-identical to the scalar
+    formulation (same candidate order and first-max tie-breaking)."""
+    def scalar_dtw(attn):
+        T, F = attn.shape
+        cost = np.full((T + 1, F + 1), -np.inf)
+        cost[0, :] = 0.0
+        back = np.zeros((T, F), np.int8)
+        for i in range(1, T + 1):
+            for j in range(1, F + 1):
+                cands = (cost[i - 1, j - 1], cost[i, j - 1], cost[i - 1, j])
+                b = int(np.argmax(cands))
+                cost[i, j] = cands[b] + attn[i - 1, j - 1]
+                back[i - 1, j - 1] = b
+        path = []
+        i, j = T - 1, F - 1
+        while i >= 0 and j >= 0:
+            path.append((i, j))
+            b = back[i, j]
+            if b == 0:
+                i, j = i - 1, j - 1
+            elif b == 1:
+                j -= 1
+            else:
+                i -= 1
+        return path[::-1]
+
+    rng = np.random.default_rng(3)
+    for _ in range(25):
+        T = int(rng.integers(1, 12))
+        F = int(rng.integers(1, 40))
+        attn = rng.random((T, F)).astype(np.float64)
+        if rng.random() < 0.3:          # exercise tie-breaking
+            attn = np.round(attn, 1)
+        assert dtw_path(attn) == scalar_dtw(attn)
+
+
+def test_align_batch_replays_full_sot_conditioning(monkeypatch):
+    """align_batch teacher rows are [prefix..., text..., eot, pad...] with
+    the text rows sliced for DTW — whisper find_alignment's exact replay
+    layout — and lengths pad to the compile bucket."""
+    import clearconverse_tpu.models.alignment as amod
+
+    captured = {}
+    real = amod.cross_attention_weights
+
+    def spy(params, tokens, audio, dims, compute_dtype=None):
+        captured["teacher"] = np.asarray(tokens)
+        return real(params, tokens, audio, dims)
+
+    monkeypatch.setattr(amod, "cross_attention_weights", spy)
+    params = init_whisper_params(jax.random.PRNGKey(0), TINY)
+    tok = ByteFallbackTokenizer()
+    tokens = np.array([[5, 6, 7, 0]], np.int32)
+    lengths = np.array([3])
+    audio = jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((1, TINY.n_audio_ctx,
+                                          TINY.n_audio_state))
+                        .astype(np.float32))
+    out = amod.align_batch(params, tok, tokens, lengths, audio, TINY,
+                           prefixes=[[1, 2, 3, 4]], eot=9)
+    t = captured["teacher"]
+    assert t.shape[1] == 16                     # padded to the bucket
+    assert t[0, :8].tolist() == [1, 2, 3, 4, 5, 6, 7, 9]
+    assert (t[0, 8:] == 9).all()                # eot padding
+    assert isinstance(out[0], list)

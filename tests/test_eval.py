@@ -170,3 +170,39 @@ def test_eval_cli_dev_mode(tmp_path, monkeypatch, capsys):
     assert any("[SPEAKER_" in r["transcript"] for r in summary)
     for name in ("evaluation.csv", "transcript_comparison.html"):
         assert (tmp_path / "out" / name).exists()
+
+
+def test_der_optimal_mapping_when_ref_has_more_speakers():
+    """Assignment must consider EVERY reference speaker: permuting hyp
+    columns against refs 0..min-1 could never map later refs (measured
+    DER 0.667 where the optimal mapping gives 0.333)."""
+    from clearconverse_tpu.eval.der import diarization_error_rate
+
+    ref = [(0, 10, "A"), (10, 20, "B"), (20, 30, "C")]
+    hyp = [(10, 20, "Y"), (20, 30, "X")]
+    out = diarization_error_rate(ref, hyp, collar=0.0)
+    assert abs(out["der"] - 1 / 3) < 0.01      # only A's 10 s is missed
+    assert out["confusion"] < 0.01
+
+
+def test_der_empty_reference_with_hallucinated_speech_is_inf():
+    """DER is undefined at zero scored reference speech; pure false alarm
+    must not score as a perfect 0.0."""
+    from clearconverse_tpu.eval.der import diarization_error_rate
+
+    out = diarization_error_rate([], [(0, 10, "X")], collar=0.0)
+    assert out["der"] == float("inf") and out["false_alarm"] > 9.9
+    silent = diarization_error_rate([], [], collar=0.0)
+    assert silent["der"] == 0.0
+
+
+def test_wer_strips_string_boundary_quotes():
+    """Normalization is position-independent: quotes at the string edges
+    strip like quotes beside interior whitespace (intra-word apostrophes
+    stay)."""
+    from clearconverse_tpu.eval.wer import word_error_rate
+
+    assert word_error_rate("hello", "'hello") == 0.0
+    assert word_error_rate("hello world", "'hello world'") == 0.0
+    assert word_error_rate("don't", "don't") == 0.0
+    assert word_error_rate("dont", "don't") == 1.0
