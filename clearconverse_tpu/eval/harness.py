@@ -18,6 +18,7 @@ import csv
 import dataclasses
 import html
 import json
+import math
 import os
 import time
 from pathlib import Path
@@ -136,15 +137,12 @@ def run_sweep(audio_files: Sequence[str],
                 dev_models = True
                 print("WARNING: CC_TPU_FAKE_MODELS=1 — sweeping DEV model "
                       "stand-ins; metrics do not reflect real checkpoints")
+            # TranscriptionEngine.__init__ re-points the shared bundle's
+            # config at THIS grid config (bundle-read fields like
+            # condition_on_previous_text would otherwise stay frozen at
+            # config_00's values across the sweep).
             engine = TranscriptionEngine(cfg, models=shared_models)
             shared_models = engine.models  # load once across the sweep
-            if hasattr(shared_models, "config"):
-                # The shared ModelBundle captured config_00's Config at
-                # construction; bundle-read fields (e.g.
-                # condition_on_previous_text in transcribe_long_batch)
-                # must follow THIS config or the sweep silently compares
-                # identical bundle behavior across the grid.
-                shared_models.config = cfg
         for af in audio_files:
             run_dir = out / f"config_{ci:02d}" / Path(af).stem
             run_dir.mkdir(parents=True, exist_ok=True)
@@ -194,8 +192,18 @@ def _write_artifacts(out: Path, results: List[RunResult]) -> None:
                         "" if r.wer is None else f"{r.wer:.4f}",
                         "" if r.der is None else f"{r.der:.4f}", "", "", ""])
 
+    def _finite(v):
+        # DER is inf for hallucinated speech over an unscored reference
+        # (der.py); json.dump would emit a bare `Infinity` token that strict
+        # parsers (JS JSON.parse, jq) reject — stringify non-finite floats
+        # at the artifact boundary.
+        if isinstance(v, float) and not math.isfinite(v):
+            return repr(v)
+        return v
+
     with open(out / "results_summary.json", "w") as fh:
-        json.dump([dataclasses.asdict(r) for r in results], fh, indent=2)
+        json.dump([{k: _finite(v) for k, v in dataclasses.asdict(r).items()}
+                   for r in results], fh, indent=2)
 
     # transcript_comparison.html — side-by-side per audio file.
     by_file: Dict[str, List[RunResult]] = {}

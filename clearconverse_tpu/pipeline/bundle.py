@@ -746,15 +746,21 @@ class ModelBundle:
         # before the text tokens, ending with EOT — the same conditioning
         # that generated them.
         if sp.english_only:
-            pres = [[sp.sot, sp.no_timestamps]] * n_real
+            pres = [[sp.sot, sp.no_timestamps]] * rows
         else:
             langs = (list(languages[:n_real]) if languages is not None
                      else [self.tpu.language or "en"] * n_real)
             pres = [list(sp.sot_sequence(sp.language_token(lang)))
                     + [sp.no_timestamps] for lang in langs]
-        words = align_batch(params, tok, final_tokens[:n_real],
-                            final_lengths[:n_real], feats[:n_real], dims,
-                            prefixes=pres, eot=sp.eot)
+            pres += [[sp.sot, sp.no_timestamps]] * (rows - n_real)
+        # Keep the alignment pass on the SAME padded row count as the decode
+        # programs: slicing to n_real would give the jitted teacher program a
+        # fresh batch axis per caller batch size — each a multi-minute tunnel
+        # compile. Pad rows run with length 0 → empty word lists, discarded.
+        align_lens = np.zeros(rows, np.int32)
+        align_lens[:n_real] = np.asarray(final_lengths[:n_real], np.int32)
+        words = align_batch(params, tok, final_tokens, align_lens, feats,
+                            dims, prefixes=pres, eot=sp.eot)[:n_real]
         return out_texts, words
 
     def transcribe_long_batch(self, audio: np.ndarray,

@@ -49,6 +49,14 @@ class TranscriptionEngine:
         if models is None:
             from clearconverse_tpu.pipeline.bundle import ModelBundle
             models = ModelBundle(self.config, self.tpu, model_dir)
+        else:
+            # A shared bundle must see THIS engine's config: the bundle reads
+            # config fields per call (e.g. condition_on_previous_text at
+            # bundle.py:876), so without the sync a bundle built under another
+            # Config silently keeps that config's values. Model weights are
+            # keyed by load time, not by this pointer, so re-pointing after
+            # load is safe (the eval sweep relies on it).
+            models.config = self.config
         self.models = models
         # One run at a time: process_files installs per-run state on the
         # shared bundle (the cancel gate) and tracks the in-flight async

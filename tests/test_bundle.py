@@ -116,6 +116,31 @@ def test_prompt_length_bucketing(bundle, rng):
     assert set(seen) <= {4, 16, 64, 256}
 
 
+def test_word_timestamps_use_decode_row_bucket(bundle, rng):
+    """The alignment teacher pass pads to the SAME power-of-two row bucket
+    as the decode programs — an exact-caller-batch-size row axis would give
+    the jitted cross-attention program a fresh (multi-minute tunnel) compile
+    per batch size."""
+    from unittest.mock import patch
+    from clearconverse_tpu.models import alignment as amod
+
+    seen = []
+    orig = amod.align_batch
+
+    def spy(params, tok, tokens, lengths, feats, dims, **kw):
+        seen.append((tokens.shape[0], feats.shape[0], list(lengths)))
+        return orig(params, tok, tokens, lengths, feats, dims, **kw)
+
+    audio3 = rng.standard_normal((3, 8000)).astype(np.float32) * 0.1
+    with patch.object(amod, "align_batch", side_effect=spy):
+        texts, words = bundle.transcribe_batch(
+            audio3, ["", "", ""], temperature=0.0, word_timestamps=True)
+    assert len(texts) == 3 and len(words) == 3
+    (tok_rows, feat_rows, lens), = seen
+    assert tok_rows == 4 and feat_rows == 4   # _rows(3) == 4
+    assert lens[3] == 0                       # pad row aligns nothing
+
+
 def test_row_bucketing_all_paths(bundle, rng):
     """Odd batch sizes pad to power-of-two rows; results slice back."""
     audio3 = rng.standard_normal((3, 8000)).astype(np.float32) * 0.1

@@ -699,3 +699,18 @@ def test_inflight_download_joined_on_cancel(tmp_path):
         eng.process_files([str(p)])
     assert waited["n"] == 1
     assert eng._inflight_hosts == []
+
+
+def test_engine_syncs_shared_bundle_config():
+    """A shared ModelBundle reads config fields per call (e.g.
+    condition_on_previous_text at bundle.py:876); the engine must re-point
+    the bundle at ITS config or a bundle built under another Config keeps
+    stale values (the eval sweep shares one bundle across the grid)."""
+    from clearconverse_tpu.pipeline.bundle import ModelBundle
+
+    cfg_a = Config(condition_on_previous_text=True)
+    cfg_b = Config(condition_on_previous_text=False)
+    bundle = ModelBundle(cfg_a, TPUConfig())
+    eng = TranscriptionEngine(cfg_b, TPUConfig(), models=bundle)
+    assert eng.models is bundle
+    assert bundle.config is cfg_b

@@ -130,6 +130,21 @@ def test_run_sweep_artifacts(tmp_path):
     assert "WER" in csv_text
 
 
+def test_artifacts_serialize_inf_der_as_strict_json(tmp_path):
+    """DER can be inf (hallucinated speech over an unscored reference);
+    results_summary.json must stay parseable by strict JSON parsers that
+    reject the bare Infinity token (JS JSON.parse, jq)."""
+    from clearconverse_tpu.eval.harness import RunResult, _write_artifacts
+
+    r = RunResult("a.wav", 0, {}, "text", 1.0, 0.5, 2.0, wer=None,
+                  der=float("inf"))
+    _write_artifacts(tmp_path, [r])
+    raw = (tmp_path / "results_summary.json").read_text()
+    summary = json.loads(raw, parse_constant=lambda c: pytest.fail(
+        f"non-strict JSON constant {c!r} in results_summary.json"))
+    assert summary[0]["der"] == "inf"
+
+
 def test_der_on_synthetic_diarization():
     """End-to-end: the diarizer's output scores a low DER against the
     synthetic conversation's known ground truth (incl. the overlap region)."""
