@@ -196,9 +196,15 @@ def _write_artifacts(out: Path, results: List[RunResult]) -> None:
         # DER is inf for hallucinated speech over an unscored reference
         # (der.py); json.dump would emit a bare `Infinity` token that strict
         # parsers (JS JSON.parse, jq) reject — stringify non-finite floats
-        # at the artifact boundary.
+        # at the artifact boundary. Recurses so a non-finite value nested
+        # inside the config-overrides dict (or any list) is caught too
+        # (ADVICE r3).
         if isinstance(v, float) and not math.isfinite(v):
             return repr(v)
+        if isinstance(v, dict):
+            return {k: _finite(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [_finite(x) for x in v]
         return v
 
     with open(out / "results_summary.json", "w") as fh:

