@@ -28,7 +28,12 @@ def build_mesh(data: int = -1, model: int = 1,
         if n % model:
             raise ValueError(f"{n} devices not divisible by model={model}")
         data = n // model
-    if data * model != n:
-        raise ValueError(f"mesh {data}x{model} != {n} devices")
-    arr = np.asarray(devices).reshape(data, model)
+    if data * model > n:
+        raise ValueError(f"mesh {data}x{model} needs {data * model} "
+                         f"devices, have {n}")
+    # A smaller mesh on a bigger host is a SUBMESH over the first
+    # data*model devices (e.g. a 2x1 serving mesh on an 8-chip box) —
+    # refusing it forced engine runs to fall back off the device-resident
+    # store whenever the configured mesh didn't cover every chip.
+    arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))

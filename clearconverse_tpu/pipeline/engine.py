@@ -1012,8 +1012,14 @@ class TranscriptionEngine:
             item_units.append(unit_ids)
 
         def item_text(i: int) -> str:
-            return " ".join((units[u]["text"] or "").strip()
-                            for u in item_units[i]).strip()
+            # Skipped (no-speech) windows have empty text and, like
+            # whisper's seek loop (which emits no segment for them), must
+            # not leave a double space in the joined transcript — caught
+            # by the control-flow mini-reference (tests/
+            # test_transcribe_miniref.py).
+            parts = ((units[u]["text"] or "").strip()
+                     for u in item_units[i])
+            return " ".join(t for t in parts if t).strip()
 
         remaining = set(range(len(units)))
         while remaining:

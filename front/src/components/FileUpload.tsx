@@ -1,11 +1,12 @@
 // Drag-drop / picker upload with real XHR progress events and abort.
-// Validation contract mirrors the reference component: primary .wav/.mp3,
-// size cap before sending.
+// Validation contract mirrors the reference component: primary .wav/.mp3
+// plus the secondary ext/MIME tier (.mp4/.webm/.ogg/.flac/.m4a/.aac — may
+// require conversion), size cap before sending. The rules live in
+// ../validate.ts as pure, unit-testable functions.
 
 import { useRef, useState } from "react";
-import { API_BASE_URL, MAX_FILE_SIZE_BYTES, MAX_FILE_SIZE_MB } from "../config";
-
-const PRIMARY_EXT = [".wav", ".mp3"];
+import { API_BASE_URL } from "../config";
+import { ACCEPT_ATTR, validateFile } from "../validate";
 
 interface Props {
   onUploaded: (taskId: string, previewUrl: string) => void;
@@ -20,21 +21,8 @@ export default function FileUpload({ onUploaded, onBack }: Props) {
   const xhrRef = useRef<XMLHttpRequest | null>(null);
   const inputRef = useRef<HTMLInputElement | null>(null);
 
-  const validate = (file: File): string | null => {
-    const name = file.name.toLowerCase();
-    if (!PRIMARY_EXT.some((e) => name.endsWith(e))) {
-      return "Only .wav and .mp3 files are supported.";
-    }
-    if (file.size > MAX_FILE_SIZE_BYTES) {
-      return `File exceeds the ${MAX_FILE_SIZE_MB} MB limit (${(
-        file.size / 1048576
-      ).toFixed(2)} MB).`;
-    }
-    return null;
-  };
-
   const upload = (file: File) => {
-    const problem = validate(file);
+    const problem = validateFile(file);
     if (problem) {
       setError(problem);
       return;
@@ -99,11 +87,11 @@ export default function FileUpload({ onUploaded, onBack }: Props) {
       >
         {uploading
           ? `Uploading… ${percent.toFixed(0)}%`
-          : "Drop a .wav or .mp3 here, or click to choose"}
+          : "Drop a .wav or .mp3 here (or .mp4/.webm/.ogg/.flac/.m4a/.aac), or click to choose"}
         <input
           ref={inputRef}
           type="file"
-          accept=".wav,.mp3,audio/wav,audio/mpeg"
+          accept={ACCEPT_ATTR}
           hidden
           onChange={(e) => {
             const file = e.target.files?.[0];
