@@ -94,6 +94,18 @@ def evaluate_file(engine, wav: str, ref_txt: str,
             "segments": len(hyp_rows)}
 
 
+# Measured-but-off-by-default perf levers awaiting a quality sign-off
+# (CLAUDE.md "Open items"): each is one WER/DER comparison away from
+# becoming a default. --levers runs the eval set once per lever and
+# reports deltas vs the parity baseline, so the sign-off is ONE command
+# the day real checkpoints exist.
+LEVERS: Dict[str, Dict] = {
+    "wire8": {"wire_bits": 8},              # +18-35% engine (mu-law wire)
+    "cross_kv_int4": {"cross_kv_bits": 4},  # +13% hot path
+    "bucketed_window": {"pad_to_full_window": False},  # 1.57x short-segment
+}
+
+
 def main(argv=None) -> int:
     from clearconverse_tpu.utils.jaxcache import enable_persistent_cache
     enable_persistent_cache()
@@ -101,6 +113,13 @@ def main(argv=None) -> int:
     ap.add_argument("--models", default="./models")
     ap.add_argument("--eval-set", required=True)
     ap.add_argument("--out", default="parity_report")
+    ap.add_argument("--levers", action="store_true",
+                    help="additionally evaluate each opt-in perf lever "
+                    "(wire8 / int4 cross-KV / bucketed windows) and report "
+                    "WER/DER/RTFx deltas vs the baseline run — the quality "
+                    "sign-off that decides whether a lever becomes default. "
+                    "Each lever compiles its own program shapes (first run "
+                    "pays cold compiles).")
     args = ap.parse_args(argv)
 
     from clearconverse_tpu.config import Config, tpu_config_from_env
@@ -120,21 +139,64 @@ def main(argv=None) -> int:
               "eval-set layout")
         return 2
 
-    engine = TranscriptionEngine(Config(), tpu_config_from_env(),
-                                 model_dir=args.models,
-                                 load_models_immediately=True)
-    rows = [evaluate_file(engine, *p) for p in pairs]
-    ok = [r for r in rows if "error" not in r]
+    import dataclasses
 
+    def run_rows(tpu) -> List[Dict]:
+        if os.environ.get("CC_TPU_FAKE_MODELS") == "1":
+            # Dev stand-ins (same branch as serve/factory.py): lets the
+            # full recipe — including --levers — run end to end without
+            # checkpoints. Model-side levers (kv bits, window padding)
+            # then delta 0 by construction; wire8 still shows a real
+            # delta because the mu-law wire quantizes the audio BEFORE
+            # the stand-ins' amplitude-threshold features. The mode
+            # exists to validate the harness, not the models.
+            from clearconverse_tpu.pipeline.dev_backend import DevModels
+            engine = TranscriptionEngine(Config(noise_reduction_amount=0.0),
+                                         tpu, models=DevModels())
+        else:
+            engine = TranscriptionEngine(Config(), tpu,
+                                         model_dir=args.models,
+                                         load_models_immediately=True)
+        return [evaluate_file(engine, *p) for p in pairs]
+
+    def means(rows: List[Dict]) -> Dict:
+        ok = [r for r in rows if "error" not in r]
+        if not ok:
+            return {"mean_wer": None, "mean_der": None, "mean_rtfx": None}
+        return {
+            "mean_wer": round(sum(r["wer"] for r in ok) / len(ok), 4),
+            "mean_der": round(sum(r["der"] for r in ok) / len(ok), 4),
+            "mean_rtfx": round(sum(r["rtfx"] for r in ok) / len(ok), 2),
+        }
+
+    base_tpu = tpu_config_from_env()
+    rows = run_rows(base_tpu)
     summary = {
         "files": len(rows),
-        "mean_wer": round(sum(r["wer"] for r in ok) / len(ok), 4) if ok else None,
-        "mean_der": round(sum(r["der"] for r in ok) / len(ok), 4) if ok else None,
-        "mean_rtfx": round(sum(r["rtfx"] for r in ok) / len(ok), 2) if ok else None,
+        **means(rows),
         "north_star": {"rtfx": ">=50x per chip",
                        "wer_der": "within 0.5 abs of reference"},
         "rows": rows,
     }
+
+    if args.levers:
+        base = means(rows)
+        levers = {}
+        for name, overrides in LEVERS.items():
+            lrows = run_rows(dataclasses.replace(base_tpu, **overrides))
+            m = means(lrows)
+            levers[name] = {
+                **m,
+                "delta_wer": (round(m["mean_wer"] - base["mean_wer"], 4)
+                              if None not in (m["mean_wer"],
+                                              base["mean_wer"]) else None),
+                "delta_der": (round(m["mean_der"] - base["mean_der"], 4)
+                              if None not in (m["mean_der"],
+                                              base["mean_der"]) else None),
+                "overrides": overrides,
+                "rows": lrows,
+            }
+        summary["levers"] = levers
     Path(f"{args.out}.json").write_text(json.dumps(summary, indent=2))
 
     lines = ["# Parity report (SURVEY.md §6 baseline table)", "",
@@ -148,8 +210,20 @@ def main(argv=None) -> int:
                          f"{r['rtfx']} | {r['duration_s']} | {r['segments']} |")
     lines += ["", f"mean WER {summary['mean_wer']} · mean DER "
               f"{summary['mean_der']} · mean RTFx {summary['mean_rtfx']}"]
+    if summary.get("levers"):
+        lines += ["", "## Opt-in perf levers (quality sign-off)", "",
+                  "| lever | WER | ΔWER | DER | ΔDER | RTFx |",
+                  "|---|---|---|---|---|---|"]
+        for name, lv in summary["levers"].items():
+            lines.append(f"| {name} | {lv['mean_wer']} | {lv['delta_wer']} "
+                         f"| {lv['mean_der']} | {lv['delta_der']} | "
+                         f"{lv['mean_rtfx']} |")
     Path(f"{args.out}.md").write_text("\n".join(lines) + "\n")
-    print(json.dumps({k: v for k, v in summary.items() if k != "rows"}))
+    brief = {k: v for k, v in summary.items() if k != "rows"}
+    if "levers" in brief:
+        brief["levers"] = {n: {k: v for k, v in lv.items() if k != "rows"}
+                           for n, lv in brief["levers"].items()}
+    print(json.dumps(brief))
     return 0
 
 

@@ -42,3 +42,34 @@ def test_evaluate_file_self_parity(tmp_path):
     assert row["der"] == 0.0
     assert row["segments"] == len(parse_transcript(FIXTURE.read_text()))
     assert row["rtfx"] > 0
+
+
+def test_parity_main_with_levers(tmp_path, monkeypatch, capsys):
+    """python -m clearconverse_tpu.eval.parity --levers end to end on the
+    dev backend: baseline + one run per opt-in perf lever, zero deltas by
+    construction (same stand-in models), full report artifacts."""
+    import json
+
+    from clearconverse_tpu.eval.parity import LEVERS, main
+
+    wav = tmp_path / "conv.wav"
+    write_wav(str(wav), synth_conversation(), SR)
+    (tmp_path / "conv.ref.txt").write_text(FIXTURE.read_text())
+    monkeypatch.setenv("CC_TPU_FAKE_MODELS", "1")
+    out = tmp_path / "report"
+    rc = main(["--eval-set", str(tmp_path), "--out", str(out), "--levers"])
+    assert rc == 0
+    brief = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert brief["mean_wer"] == 0.0 and brief["mean_der"] == 0.0
+    assert set(brief["levers"]) == set(LEVERS)
+    # Model-side levers can't move the dev stand-ins: exact zero deltas.
+    for name in ("cross_kv_int4", "bucketed_window"):
+        lv = brief["levers"][name]
+        assert lv["delta_wer"] == 0.0 and lv["delta_der"] == 0.0
+    # wire8 is LOSSY before the stand-ins' amplitude-threshold features —
+    # the harness genuinely measures it (a float delta is recorded).
+    assert isinstance(brief["levers"]["wire8"]["delta_wer"], float)
+    md = (tmp_path / "report.md").read_text()
+    assert "Opt-in perf levers" in md and "wire8" in md
+    full = json.loads((tmp_path / "report.json").read_text())
+    assert all("rows" in lv for lv in full["levers"].values())
