@@ -288,9 +288,19 @@ def main() -> None:
     ap.add_argument("--engine-temperature", type=float, default=0.0,
                     help="0.1 = the reference's default config (best_of=5 "
                     "sampled replicas per first decode; 5x decode rows)")
-    ap.add_argument("--budget", type=float,
-                    default=float(os.environ.get("CC_BENCH_BUDGET_S",
-                                                 "2400")),
+    def _env_budget() -> float:
+        # Defensive: a malformed CC_BENCH_BUDGET_S must not crash the
+        # bench before the hot-path line prints (the exact zero-output
+        # failure the flushed-first-line design exists to prevent).
+        try:
+            return float(os.environ.get("CC_BENCH_BUDGET_S", "2400"))
+        except ValueError:
+            print("bench: ignoring malformed CC_BENCH_BUDGET_S="
+                  f"{os.environ['CC_BENCH_BUDGET_S']!r}; using 2400",
+                  file=sys.stderr)
+            return 2400.0
+
+    ap.add_argument("--budget", type=float, default=_env_budget(),
                     help="wall-clock budget in seconds from process start "
                     "(CC_BENCH_BUDGET_S); the engine bench degrades to "
                     "fewer warm passes and finally to a skipped block "

@@ -216,8 +216,12 @@ class EnglishNumberNormalizer:
                         current % 100 == 0 and (current or total)):
                 j += 1                     # "one hundred AND five"
             elif w == "point" and started and j + 1 < n and (
-                    words[j + 1] in _ONES or words[j + 1] == "zero"
-                    or words[j + 1] == "oh"):
+                    words[j + 1] in _ONES and _ONES[words[j + 1]] < 10
+                    or words[j + 1] in ("zero", "oh")):
+                # Decimal digits are single cardinals only — the guard must
+                # match the collection loop (teens like "fifteen" are NOT
+                # decimal digits; "three point fifteen" -> "3 point 15"
+                # would otherwise emit a dangling "3.").
                 digits = []
                 k = j + 1
                 while k < n and (words[k] in _ONES and _ONES[words[k]] < 10
@@ -225,7 +229,13 @@ class EnglishNumberNormalizer:
                     digits.append("0" if words[k] in ("zero", "oh")
                                   else str(_ONES[words[k]]))
                     k += 1
-                return (f"{total + current}." + "".join(digits), k, "")
+                val = f"{total + current}." + "".join(digits)
+                # Spelled decimals take the same trailing-percent attach as
+                # integers ("two point five percent" -> "2.5%"); currency
+                # words are handled by _postprocess on the digit form.
+                if k < n and words[k] == "percent":
+                    return (val, k + 1, "%")
+                return (val, k, "")
             else:
                 break
         if not started:

@@ -141,6 +141,13 @@ def main(argv=None) -> int:
 
     import dataclasses
 
+    # Each lever builds a FRESH engine+bundle on purpose: TPU-level knobs
+    # (wire_bits / cross_kv_bits / pad_to_full_window) are read from the
+    # BUNDLE's TPUConfig when device programs are built, and the bundle
+    # caches mesh/placement state — sharing one bundle across lever
+    # engines would silently ignore the lever under test. The cost is 3
+    # redundant checkpoint loads on the day-one box; correctness of the
+    # sign-off wins.
     def run_rows(tpu) -> List[Dict]:
         if os.environ.get("CC_TPU_FAKE_MODELS") == "1":
             # Dev stand-ins (same branch as serve/factory.py): lets the

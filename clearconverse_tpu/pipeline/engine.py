@@ -38,6 +38,29 @@ logger = logging.getLogger(__name__)
 
 MIN_EMBED_S = 0.5   # embeddings unreliable below this (back/api.py:864)
 
+# One run lock per BUNDLE (weak so bundles die normally): engines sharing
+# a bundle must serialize whole runs against each other, not just against
+# themselves — see the __init__ note.
+import threading as _threading
+import weakref as _weakref
+
+_BUNDLE_LOCKS: "_weakref.WeakKeyDictionary" = _weakref.WeakKeyDictionary()
+_BUNDLE_LOCKS_GUARD = _threading.Lock()
+
+
+def _run_lock_for(models) -> "_threading.Lock":
+    with _BUNDLE_LOCKS_GUARD:
+        lock = _BUNDLE_LOCKS.get(models)
+        if lock is None:
+            lock = _threading.Lock()
+            try:
+                _BUNDLE_LOCKS[models] = lock
+            except TypeError:
+                # Un-weakref-able test double: a private lock still
+                # serializes this engine's own runs.
+                pass
+        return lock
+
 
 class TranscriptionEngine:
     def __init__(self, config: Optional[Config] = None,
@@ -62,15 +85,16 @@ class TranscriptionEngine:
             # (ADVICE r3).
             models.config = self.config
         self.models = models
-        # One run at a time: process_files installs per-run state on the
-        # shared bundle (the cancel gate) and tracks the in-flight async
-        # download; without serialization two concurrent runs would
-        # overwrite each other's cancel gate (and the device work is
-        # serial anyway — one chip, one program queue). serve/tasks.py
-        # holds its own lock too; this one makes the PUBLIC engine API
-        # safe regardless of caller.
-        import threading
-        self._run_lock = threading.Lock()
+        # One run at a time PER BUNDLE: process_files installs per-run
+        # state on the (possibly shared) bundle — the cancel gate and the
+        # per-run config re-point — so the lock must live with the BUNDLE,
+        # not the engine: two engines sharing one bundle (the eval-sweep
+        # pattern) each holding only their own lock would still stamp
+        # each other's config mid-run. Device work is serial anyway (one
+        # chip, one program queue). serve/tasks.py holds its own lock
+        # too; this one makes the PUBLIC engine API safe regardless of
+        # caller.
+        self._run_lock = _run_lock_for(models)
         self._inflight_hosts: List = []
         if load_models_immediately:
             self.models.load_with_progress()

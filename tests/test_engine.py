@@ -714,3 +714,19 @@ def test_engine_syncs_shared_bundle_config():
     eng = TranscriptionEngine(cfg_b, TPUConfig(), models=bundle)
     assert eng.models is bundle
     assert bundle.config is cfg_b
+
+
+def test_engines_sharing_a_bundle_share_one_run_lock():
+    """The run lock lives with the BUNDLE: two engines sharing one bundle
+    serialize whole runs against each other (each re-points the shared
+    bundle's config per run), while engines on distinct bundles stay
+    independent."""
+    from clearconverse_tpu.config import Config, TPUConfig
+    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+
+    shared = FakeModels()
+    a = TranscriptionEngine(Config(), TPUConfig(), models=shared)
+    b = TranscriptionEngine(Config(), TPUConfig(), models=shared)
+    c = TranscriptionEngine(Config(), TPUConfig(), models=FakeModels())
+    assert a._run_lock is b._run_lock
+    assert a._run_lock is not c._run_lock

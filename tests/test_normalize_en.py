@@ -38,6 +38,11 @@ PAIRS = [
     ("the twenty-first century", "the 21st century"),
     ("the third time", "the 3rd time"),
     ("fifty percent", "50%"),
+    ("two point five percent", "2.5%"),
+    ("zero point five percent", "0.5%"),
+    # teens are NOT decimal digits: no dangling "3."
+    ("three point fifteen", "3 point 15"),
+    ("two point five dollars", "$2.5"),
     ("1,000,000 people", "1000000 people"),
     ("seven million dollars", "$7000000"),
     ("ten dollars and fifty cents", "$10.50"),
