@@ -30,6 +30,15 @@ def main(argv=None) -> int:
     ap.add_argument("--max_tokens", type=int, default=128)
     ap.add_argument("--export", help="export whisper-ft overlay to this dir")
     ap.add_argument("--checkpoint", help="orbax checkpoint dir")
+    ap.add_argument("--remat", action="store_true",
+                    help="recompute forward activations in the backward "
+                    "pass (jax.checkpoint): ~1/3 more FLOPs for the "
+                    "activation memory back — enables longer mel inputs "
+                    "or bigger per-device batches")
+    ap.add_argument("--accum_steps", type=int, default=1,
+                    help="gradient accumulation microbatches per update "
+                    "(exact: unnormalized sums divide by the global token "
+                    "count); --batch must divide evenly")
     ap.add_argument("--mesh", default="1x1",
                     help="data x model mesh, e.g. 4x2")
     args = ap.parse_args(argv)
@@ -88,7 +97,9 @@ def main(argv=None) -> int:
         with mesh:
             params = shard_params(params, mesh)
     state = init_train_state(params, opt)
-    step_fn = make_train_step(dims, opt, mesh=mesh)
+    step_fn = make_train_step(dims, opt, mesh=mesh,
+                          remat=args.remat,
+                          accum_steps=args.accum_steps)
 
     rng = np.random.default_rng(0)
     p, o, s = state.params, state.opt_state, state.step

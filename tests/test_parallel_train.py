@@ -129,3 +129,64 @@ def test_sharded_inference_matches_single_device():
         sharded = greedy_decode(sp, mel_s, toks_s, lens_s, dims, opts, 1)
     np.testing.assert_array_equal(np.asarray(single["tokens"]),
                                   np.asarray(sharded["tokens"]))
+
+
+def test_accum_step_matches_full_batch_exactly():
+    """Gradient accumulation is EXACT (unnormalized sums divide by the
+    global token count), including with UNEVEN loss masks across
+    microbatches — where averaging per-microbatch mean losses would be
+    wrong. Plain SGD for the param comparison: Adam's g/(sqrt(v)+eps)
+    amplifies float-sum reassociation noise (~3e-8 on gradients) into
+    lr-scale param differences wherever g ~ 0, which would test the
+    optimizer's conditioning, not the accumulation math."""
+    import optax
+
+    params = init_whisper_params(jax.random.PRNGKey(0), TINY)
+    opt = optax.sgd(1e-2)
+    batch = _batch()
+    # Uneven masks: microbatch 0 keeps everything, microbatch 1 masks most.
+    mask = np.ones((8, 6), np.float32)
+    mask[4:, 2:] = 0.0
+    batch = dict(batch, loss_mask=jnp.asarray(mask))
+    state = init_train_state(params, opt)
+
+    full = make_train_step(TINY, opt, compute_dtype=jnp.float32)
+    acc = make_train_step(TINY, opt, compute_dtype=jnp.float32,
+                          accum_steps=2)
+    p1, _, _, m1 = full(state.params, state.opt_state, batch, state.step)
+    p2, _, _, m2 = acc(state.params, state.opt_state, batch, state.step)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+    assert float(m1["accuracy"]) == pytest.approx(float(m2["accuracy"]),
+                                                  rel=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), p1, p2)
+
+
+def test_accum_rejects_indivisible_batch():
+    opt = default_optimizer()
+    step = make_train_step(TINY, opt, compute_dtype=jnp.float32,
+                           accum_steps=3)
+    params = init_whisper_params(jax.random.PRNGKey(0), TINY)
+    state = init_train_state(params, opt)
+    with pytest.raises(ValueError, match="not divisible"):
+        step(state.params, state.opt_state, _batch(b=8), state.step)
+
+
+def test_remat_step_matches_plain():
+    """jax.checkpoint changes memory, not math: remat and plain steps
+    produce the same loss and updated params. SGD for the same
+    conditioning reason as the accumulation test above."""
+    import optax
+
+    params = init_whisper_params(jax.random.PRNGKey(0), TINY)
+    opt = optax.sgd(1e-2)
+    batch = _batch()
+    state = init_train_state(params, opt)
+    plain = make_train_step(TINY, opt, compute_dtype=jnp.float32)
+    remat = make_train_step(TINY, opt, compute_dtype=jnp.float32,
+                            remat=True)
+    p1, _, _, m1 = plain(state.params, state.opt_state, batch, state.step)
+    p2, _, _, m2 = remat(state.params, state.opt_state, batch, state.step)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-6), p1, p2)
