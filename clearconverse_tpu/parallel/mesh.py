@@ -34,14 +34,9 @@ def build_mesh(data: int = -1, model: int = 1,
     # A smaller mesh on a bigger host is a SUBMESH over the first
     # data*model devices (e.g. a 2x1 serving mesh on an 8-chip box) —
     # refusing it forced engine runs to fall back off the device-resident
-    # store whenever the configured mesh didn't cover every chip. Loud
-    # warning because for TRAINING this usually means a misconfiguration
-    # leaving chips idle (data=-1 absorbs them all).
-    if data * model < n:
-        import logging
-        logging.getLogger(__name__).warning(
-            "mesh %dx%d uses %d of %d devices (%d idle) — intended for "
-            "serving submeshes; pass data=-1 to absorb all devices",
-            data, model, data * model, n, n - data * model)
+    # store whenever the configured mesh didn't cover every chip. Serving
+    # submeshes are legitimate, so no warning here; the TRAINING entry
+    # (train/__main__.py), where idle chips are usually a misconfiguration,
+    # warns at its call site.
     arr = np.asarray(devices[: data * model]).reshape(data, model)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))

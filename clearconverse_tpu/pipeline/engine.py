@@ -50,15 +50,16 @@ _BUNDLE_LOCKS_GUARD = _threading.Lock()
 
 def _run_lock_for(models) -> "_threading.Lock":
     with _BUNDLE_LOCKS_GUARD:
-        lock = _BUNDLE_LOCKS.get(models)
-        if lock is None:
-            lock = _threading.Lock()
-            try:
+        try:
+            lock = _BUNDLE_LOCKS.get(models)
+            if lock is None:
+                lock = _threading.Lock()
                 _BUNDLE_LOCKS[models] = lock
-            except TypeError:
-                # Un-weakref-able test double: a private lock still
-                # serializes this engine's own runs.
-                pass
+        except TypeError:
+            # Un-weakref-able/unhashable test double (even .get raises for
+            # those): a private lock still serializes this engine's own
+            # runs.
+            lock = _threading.Lock()
         return lock
 
 
@@ -69,21 +70,10 @@ class TranscriptionEngine:
                  load_models_immediately: bool = False):
         self.config = config or Config()
         self.tpu = tpu_config or TPUConfig()
-        if models is None:
+        created = models is None
+        if created:
             from clearconverse_tpu.pipeline.bundle import ModelBundle
             models = ModelBundle(self.config, self.tpu, model_dir)
-        elif hasattr(models, "config"):
-            # A shared bundle must see THIS engine's config: the bundle reads
-            # config fields per call (e.g. condition_on_previous_text at
-            # bundle.py:876), so without the sync a bundle built under another
-            # Config silently keeps that config's values. Model weights are
-            # keyed by load time, not by this pointer, so re-pointing after
-            # load is safe (the eval sweep relies on it). process_files
-            # re-points per run under _run_lock, so engines SHARING a bundle
-            # are each governed by their own config during their runs; the
-            # hasattr guard leaves config-less test doubles untouched
-            # (ADVICE r3).
-            models.config = self.config
         self.models = models
         # One run at a time PER BUNDLE: process_files installs per-run
         # state on the (possibly shared) bundle — the cancel gate and the
@@ -95,6 +85,19 @@ class TranscriptionEngine:
         # too; this one makes the PUBLIC engine API safe regardless of
         # caller.
         self._run_lock = _run_lock_for(models)
+        if not created and hasattr(models, "config"):
+            # A shared bundle must see THIS engine's config: the bundle reads
+            # config fields per call (e.g. condition_on_previous_text at
+            # bundle.py:876), so without the sync a bundle built under another
+            # Config silently keeps that config's values. Model weights are
+            # keyed by load time, not by this pointer, so re-pointing after
+            # load is safe (the eval sweep relies on it). process_files
+            # re-points per run; both stamps happen UNDER the bundle lock so
+            # constructing engine B mid-engine-A's-run waits for the run
+            # instead of swapping A's config mid-flight. The hasattr guard
+            # leaves config-less test doubles untouched (ADVICE r3).
+            with self._run_lock:
+                models.config = self.config
         self._inflight_hosts: List = []
         if load_models_immediately:
             self.models.load_with_progress()

@@ -91,6 +91,15 @@ def main(argv=None) -> int:
         data_mask[i, : len(ids) - 1] = 1.0
 
     d, m = (int(v) for v in args.mesh.split("x"))
+    import jax
+    n_dev = len(jax.devices())
+    if 1 < d * m < n_dev:
+        # Training on a submesh usually means a misconfiguration leaving
+        # chips idle (serving submeshes are the legitimate case and build
+        # silently via parallel.mesh.build_mesh).
+        print(f"WARNING: --mesh {d}x{m} uses {d * m} of {n_dev} devices "
+              f"({n_dev - d * m} idle); use --mesh with data*model="
+              f"{n_dev} to train on all of them")
     mesh = build_mesh(data=d, model=m) if d * m > 1 else None
     opt = default_optimizer(lr=args.lr)
     if mesh:

@@ -135,6 +135,16 @@ def make_train_step(dims: WhisperDims,
         micro = jax.tree.map(
             lambda x: x.reshape(accum_steps, b // accum_steps, *x.shape[1:]),
             batch)
+        if mesh is not None:
+            # The scanned leading (accum) axis can't stay sharded; without
+            # re-pinning the microbatch row axis to ``data`` GSPMD may
+            # replicate each microbatch — silently spending the memory the
+            # accumulation was meant to save.
+            micro = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(None, DATA_AXIS,
+                                             *([None] * (x.ndim - 2))))),
+                micro)
 
         def body(carry, mb):
             g_acc, s_acc, n_acc, c_acc = carry

@@ -190,3 +190,28 @@ def test_remat_step_matches_plain():
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), atol=1e-6), p1, p2)
+
+
+def test_accum_on_mesh_matches_full_batch():
+    """mesh + gradient accumulation: microbatch rows re-pin to the data
+    axis inside the scan, and the numerics still equal the full-batch
+    sharded step."""
+    import optax
+
+    params = init_whisper_params(jax.random.PRNGKey(0), TINY)
+    opt = optax.sgd(1e-2)
+    batch = _batch()
+    state = init_train_state(params, opt)
+    mesh = build_mesh(data=4, model=2)
+    with mesh:
+        full = make_train_step(TINY, opt, mesh=mesh,
+                               compute_dtype=jnp.float32)
+        acc = make_train_step(TINY, opt, mesh=mesh,
+                              compute_dtype=jnp.float32, accum_steps=2)
+        p1, _, _, m1 = full(state.params, state.opt_state, batch,
+                            state.step)
+        p2, _, _, m2 = acc(state.params, state.opt_state, batch,
+                           state.step)
+    assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-5)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5), p1, p2)
