@@ -47,7 +47,20 @@ def _cancel_kwargs(run_fn: Callable, should_cancel: Callable[[], bool]) -> Dict:
         pass
     return {}
 
-MAX_GROUP = 4   # tasks batched into one engine call
+MAX_GROUP = 4   # tasks batched into one engine call (CC_TPU_MAX_GROUP)
+
+
+def _default_max_group() -> int:
+    """CC_TPU_MAX_GROUP overrides how many queued tasks share one grouped
+    engine call. 4 is a conservative default for request-latency fairness;
+    throughput-oriented deployments can raise it — the engine path itself
+    scales well past it (a 32-file grouped pass measured 409x best on the
+    bench, CLAUDE.md round 4)."""
+    try:
+        v = int(os.environ.get("CC_TPU_MAX_GROUP", MAX_GROUP))
+        return v if v >= 1 else MAX_GROUP
+    except ValueError:
+        return MAX_GROUP
 
 
 class TaskCancelled(Exception):
@@ -56,12 +69,13 @@ class TaskCancelled(Exception):
 
 class TaskRunner:
     def __init__(self, output_dir: str, engine_factory: Callable,
-                 max_group: int = MAX_GROUP):
+                 max_group: Optional[int] = None):
         self.output_dir = output_dir
         self._engine_factory = engine_factory
         self._engine = None
         self._engine_lock = threading.Lock()   # one TPU program at a time
-        self.max_group = max_group
+        self.max_group = (max_group if max_group is not None
+                          else _default_max_group())
         # Live model-load state read by /model-loading-status (mutated in
         # place; the app handler holds a reference).
         self.model_loading: Dict = {"progress": 0,

@@ -484,3 +484,19 @@ def test_startup_warm_hook(monkeypatch, tmp_path):
     assert called.wait(10)
     assert isinstance(seen["engine"], TranscriptionEngine)
     assert seen["engine"].models_are_loaded()
+
+
+def test_max_group_env_override(tmp_path, monkeypatch):
+    """CC_TPU_MAX_GROUP tunes grouped-batch size; malformed/invalid values
+    fall back to the default."""
+    from clearconverse_tpu.serve.tasks import MAX_GROUP, TaskRunner
+
+    monkeypatch.setenv("CC_TPU_MAX_GROUP", "8")
+    assert TaskRunner(str(tmp_path), lambda: None).max_group == 8
+    monkeypatch.setenv("CC_TPU_MAX_GROUP", "nope")
+    assert TaskRunner(str(tmp_path), lambda: None).max_group == MAX_GROUP
+    monkeypatch.setenv("CC_TPU_MAX_GROUP", "0")
+    assert TaskRunner(str(tmp_path), lambda: None).max_group == MAX_GROUP
+    monkeypatch.delenv("CC_TPU_MAX_GROUP")
+    assert TaskRunner(str(tmp_path), lambda: None,
+                      max_group=2).max_group == 2
