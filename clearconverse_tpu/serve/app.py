@@ -333,8 +333,24 @@ def create_app(output_dir: str = "processed_audio",
             task_id, {"progress": 5, "message": "Processing in progress..."})
         await ws.send_json(current)
         last = current
+        ticks = 0
         while True:
             await asyncio.sleep(0.5)
+            ticks += 1
+            if ticks % 10 == 0:
+                # Liveness probe: the loop only writes on progress CHANGES,
+                # so a vanished client would otherwise leave this coroutine
+                # polling at 2 Hz forever. The ping raises once the peer is
+                # gone; the server's ws wrapper ends the handler.
+                await ws.ping()
+            if (ticks >= 120 and not task_dir.exists()
+                    and task_id not in runner.active_tasks
+                    and task_id not in runner.uploaded_files):
+                # Unknown task (never uploaded, no output dir, not queued):
+                # nothing will ever produce markers — stop after 60 s
+                # instead of spinning unboundedly per connection.
+                await ws.close()
+                break
             if marker("cancelled.txt"):
                 await ws.send_json({"progress": 100,
                                     "message": "Transcription cancelled"})

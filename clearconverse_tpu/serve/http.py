@@ -191,6 +191,16 @@ class WebSocket:
         self._w.write(header + payload)
         await self._w.drain()
 
+    async def ping(self) -> None:
+        """Unsolicited ping — a liveness probe for write-only handlers
+        (the progress loop never reads, so without one a client that
+        closed or vanished leaves the poll coroutine spinning forever;
+        the first write after the peer is gone raises)."""
+        if self.closed:
+            raise ConnectionError("websocket closed")
+        self._w.write(bytes([0x89, 0]))
+        await self._w.drain()
+
     async def receive_text(self) -> Optional[str]:
         """Next text frame; None on close. Handles ping transparently."""
         while True:
@@ -397,6 +407,11 @@ class App:
         total = 0
         while True:
             size_line = await reader.readline()
+            if not size_line:
+                # EOF at a chunk boundary is a DROPPED connection, not a
+                # terminating zero chunk — treating it as one would accept
+                # a truncated upload as a complete request body.
+                raise asyncio.IncompleteReadError(b"", None)
             size = int(size_line.split(b";")[0].strip() or b"0", 16)
             if size == 0:
                 while True:  # trailer section ends at an empty line

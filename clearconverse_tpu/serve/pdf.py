@@ -34,11 +34,23 @@ _FONTS = {
 
 
 def _esc(text: str) -> str:
-    return text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    """PDF literal-string escape + WinAnsi (cp1252) transcoding.
+
+    Base-14 Type1 fonts with /Encoding /WinAnsiEncoding decode literal
+    strings as single cp1252 bytes — encoding the python str as UTF-8
+    would render every non-ASCII char as multi-character mojibake
+    (reportlab's Type1 path is WinAnsi too). Characters outside cp1252
+    (CJK, emoji) fall back to '?' — base fonts have no glyphs for them;
+    full coverage would require font embedding."""
+    text = text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    return text.encode("cp1252", errors="replace").decode("latin-1")
 
 
 def _wrap(text: str, font_size: float, width: float) -> List[str]:
-    """Courier is monospaced: glyph width = 0.6 em."""
+    """Courier is monospaced: glyph width = 0.6 em. Words longer than a
+    line hard-break into max_chars chunks (reportlab wraps long words;
+    truncating them would silently drop transcript text — URLs, long
+    numbers, whisper's repeated-character degenerations)."""
     max_chars = max(int(width / (font_size * 0.6)), 8)
     out: List[str] = []
     for para in text.split("\n"):
@@ -48,10 +60,13 @@ def _wrap(text: str, font_size: float, width: float) -> List[str]:
             cand = f"{line} {w}".strip()
             if len(cand) <= max_chars:
                 line = cand
-            else:
-                if line:
-                    out.append(line)
-                line = w[:max_chars]
+                continue
+            if line:
+                out.append(line)
+            while len(w) > max_chars:
+                out.append(w[:max_chars])
+                w = w[max_chars:]
+            line = w
         out.append(line)
     return out or [""]
 
@@ -112,12 +127,15 @@ class _Doc:
         font_ids = {}
         for key, base in _FONTS.items():
             font_ids[key] = add(
-                f"<< /Type /Font /Subtype /Type1 /BaseFont /{base} >>".encode())
+                f"<< /Type /Font /Subtype /Type1 /BaseFont /{base} "
+                f"/Encoding /WinAnsiEncoding >>".encode())
         font_dict = " ".join(f"/{k} {font_ids[k]} 0 R" for k in _FONTS)
 
         content_ids = []
         for pg in self.pages:
-            stream = "\n".join(pg.ops).encode()
+            # latin-1: _esc already transcoded text to cp1252 bytes held as
+            # U+0000-U+00FF codepoints; UTF-8 here would re-split them.
+            stream = "\n".join(pg.ops).encode("latin-1")
             content_ids.append(add(
                 b"<< /Length " + str(len(stream)).encode() + b" >>\nstream\n"
                 + stream + b"\nendstream"))

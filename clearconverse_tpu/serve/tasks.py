@@ -288,12 +288,26 @@ class TaskRunner:
 
     # -------------------------------------------------------------- cancel
     def cancel(self, task_id: str) -> None:
-        """Reference semantics (back/api.py:2073-2139): stop work, delete the
-        output dir, write cancelled.txt, KEEP the upload."""
+        """Reference semantics (back/api.py:2073-2139): stop work, delete
+        the output dir, write cancelled.txt, KEEP the upload. Disk is
+        touched ONLY for an ACTIVE task — the reference's not-active branch
+        (api.py:2137-2139) just acknowledges; unconditional deletion would
+        destroy a finished transcript (e.g. a stale tab's sendBeacon after
+        a restart) and fabricate 'cancelled' state for arbitrary IDs."""
         info = self.active_tasks.pop(task_id, None)
-        if info:
-            info["cancel"].set()
+        if not info:
+            return
+        info["cancel"].set()
         task_dir = os.path.join(self.output_dir, task_id)
+        if (os.path.exists(os.path.join(task_dir, "completed.txt"))
+                and os.path.exists(os.path.join(task_dir, "transcript.txt"))):
+            # Deliberate deviation (docs/PARITY.md #14): the reference's
+            # lingering active_processes entry makes a late /cancel of an
+            # ALREADY-COMPLETED task delete the finished transcript and
+            # overwrite its state with cancelled.txt. We acknowledge the
+            # cancel (result_store, handled by the route) but never
+            # destroy a completed transcript.
+            return
         if os.path.exists(task_dir):
             try:
                 shutil.rmtree(task_dir)

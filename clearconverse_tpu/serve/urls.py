@@ -127,26 +127,38 @@ def download_file_from_google_drive(file_id: str,
         tmp = tempfile.NamedTemporaryFile(suffix=".mp3", delete=False)
         output_path = tmp.name
         tmp.close()
-    session = requests.Session()
-    resp = session.get(base, params={"id": file_id}, stream=True, headers=_UA)
-    token = next((v for k, v in resp.cookies.items()
-                  if k.startswith("download_warning")), None)
-    params = {"id": file_id, "confirm": token} if token else {"id": file_id}
-    resp = session.get(base, params=params, stream=True, headers=_UA)
-    if resp.status_code != 200:
-        raise HTTPException(400, "Failed to download file from Google Drive. "
-                            f"Status code: {resp.status_code}")
-    if "text/html" in resp.headers.get("Content-Type", ""):
-        logger.warning("Received HTML content instead of file. "
-                       "This might indicate access restrictions.")
-    total = 0
-    with open(output_path, "wb") as fh:
-        for chunk in resp.iter_content(chunk_size=8192):
-            if chunk:
-                total += len(chunk)
-                if max_bytes is not None and total > max_bytes:
-                    raise HTTPException(
-                        413, "File size exceeds the maximum limit of 10MB.")
-                fh.write(chunk)
+    # timeout on BOTH requests: the handler runs on the single asyncio
+    # event loop — an unbounded synchronous get would freeze every route
+    # and WebSocket on the server. Request failures map to 400 like the
+    # sibling download_file_from_url (and back/api.py:1987), not a 500.
+    try:
+        session = requests.Session()
+        resp = session.get(base, params={"id": file_id}, stream=True,
+                           headers=_UA, timeout=30)
+        token = next((v for k, v in resp.cookies.items()
+                      if k.startswith("download_warning")), None)
+        params = ({"id": file_id, "confirm": token} if token
+                  else {"id": file_id})
+        resp = session.get(base, params=params, stream=True, headers=_UA,
+                           timeout=30)
+        if resp.status_code != 200:
+            raise HTTPException(400,
+                                "Failed to download file from Google Drive. "
+                                f"Status code: {resp.status_code}")
+        if "text/html" in resp.headers.get("Content-Type", ""):
+            logger.warning("Received HTML content instead of file. "
+                           "This might indicate access restrictions.")
+        total = 0
+        with open(output_path, "wb") as fh:
+            for chunk in resp.iter_content(chunk_size=8192):
+                if chunk:
+                    total += len(chunk)
+                    if max_bytes is not None and total > max_bytes:
+                        raise HTTPException(
+                            413,
+                            "File size exceeds the maximum limit of 10MB.")
+                    fh.write(chunk)
+    except requests.exceptions.RequestException as exc:
+        raise HTTPException(400, f"Failed to download file from URL: {exc}")
     logger.info("Downloaded Drive file %s (%d bytes)", file_id, total)
     return output_path

@@ -156,13 +156,45 @@ def test_cancel_flow(server):
     tid = up["task_id"]
     r = requests.post(f"{server['base']}/cancel/{tid}")
     assert r.json()["status"] == "cancelled"
+    # Reference parity: cancel touches DISK only for an ACTIVE task
+    # (back/api.py:2112-2123); this task never started, so no output dir
+    # exists and status reads not_found (api.py:2147-2148). The cancelled
+    # acknowledgement lives in result_store (/transcription → 202).
     st = requests.get(f"{server['base']}/task/{tid}/status").json()
-    assert st["status"] == "cancelled"
+    assert st["status"] == "not_found"
+    # No cancelled.txt on disk; result_store has the cancel → the
+    # reference's /transcription answers 404 with the result-store detail
+    # (back/api.py:2278-2283), not 202.
     r = requests.get(f"{server['base']}/transcription/{tid}")
-    assert r.status_code == 202 and r.json()["status"] == "cancelled"
+    assert r.status_code == 404
+    assert "may have been deleted or the task was cancelled" in \
+        r.json()["detail"]
     # Upload preserved → can re-transcribe.
     assert requests.post(f"{server['base']}/transcribe/{tid}").status_code in (200,)
     _wait_complete(server, tid)
+
+
+def test_cancel_does_not_destroy_completed_transcript(server):
+    """A stale tab's /cancel after completion (e.g. sendBeacon on unload)
+    must not delete the finished transcript or fabricate cancelled state —
+    the reference only mutates disk for tasks in active_processes."""
+    up = _upload(server)
+    tid = up["task_id"]
+    requests.post(f"{server['base']}/transcribe/{tid}")
+    st = _wait_complete(server, tid)
+    assert st["status"] == "completed"
+    r = requests.post(f"{server['base']}/cancel/{tid}")
+    assert r.json()["status"] == "cancelled"      # acknowledged, like ref
+    st = requests.get(f"{server['base']}/task/{tid}/status").json()
+    assert st["status"] == "completed"            # transcript survives
+    assert requests.get(server["base"] + st["download_url"]).status_code == 200
+
+
+def test_cancel_unknown_task_creates_no_state(server):
+    requests.post(f"{server['base']}/cancel/this-never-existed")
+    st = requests.get(
+        f"{server['base']}/task/this-never-existed/status").json()
+    assert st["status"] == "not_found"
 
 
 def test_model_loading_status_exists(server):

@@ -369,3 +369,42 @@ def test_ws_extended_length_frames():
         assert await ws.receive_text() == payload.decode()
 
     asyncio.run(run())
+
+
+def test_chunked_eof_mid_body_is_not_a_complete_request():
+    """A connection dropped at a chunk boundary must NOT be processed as a
+    complete (truncated) body — EOF is a dropped connection, not a
+    terminating zero chunk."""
+    app = App()
+    seen = []
+
+    @app.post("/echo")
+    async def echo(req):
+        seen.append(req.body)
+        return {"n": len(req.body)}
+
+    class _W:
+        data = b""
+
+        def write(self, b):
+            self.data += b
+
+        async def drain(self):
+            pass
+
+        def close(self):
+            pass
+
+    async def run():
+        reader = asyncio.StreamReader()
+        writer = _W()
+        reader.feed_data(b"POST /echo HTTP/1.1\r\n"
+                         b"Transfer-Encoding: chunked\r\n\r\n"
+                         b"5\r\nhello\r\n")   # connection dies here
+        reader.feed_eof()
+        await app._handle(reader, writer)
+        assert seen == []                      # handler never ran
+        assert b"200" not in writer.data.split(b"\r\n")[0:1][0] \
+            if writer.data else True
+
+    asyncio.run(run())
