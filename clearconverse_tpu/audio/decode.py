@@ -40,7 +40,13 @@ def ensure_wav_format(file_path: str) -> str:
     if not ffmpeg_available():
         logger.warning("ffmpeg unavailable; keeping %s as-is", file_path)
         return file_path
-    wav_path = os.path.splitext(file_path)[0] + ".wav"
+    # Full-name suffixing ("talk.mp3" -> "talk.mp3.wav"), NOT stem
+    # replacement: the reference's stem swap (back/api.py:549) makes
+    # same-stem inputs ("talk.mp3" + "talk.m4a") collide on one output and
+    # destructively overwrites a user's own pre-existing "talk.wav" via
+    # ffmpeg -y. Deterministic per input, so repeat conversions reuse only
+    # their own product.
+    wav_path = file_path + ".wav"
     cmd = ["ffmpeg", "-y", "-i", file_path,
            "-acodec", "pcm_s16le", "-ar", str(TARGET_SR), "-ac", "1", wav_path]
     try:
@@ -158,7 +164,15 @@ class LazyAudio(_Lazy1D):
 
     def _materialize(self) -> np.ndarray:
         if self._arr is None:
-            self._arr = self._join()[self._row, : self._n]
+            # COPY the row out of the joined [K, T] batch (.copy(), not
+            # ascontiguousarray — a row slice is already contiguous, so
+            # that would return the view): a view would make every
+            # published AudioSegment.audio array share the whole batch as
+            # its .base — one retained segment pinning all files' audio
+            # (~123 MB for 32×60 s, cross-REQUEST under serve grouping),
+            # and a caller mutating one segment corrupting its overlapping
+            # siblings. One ~ms host memcpy per file.
+            self._arr = self._join()[self._row, : self._n].copy()
         return self._arr
 
     def wait(self) -> None:

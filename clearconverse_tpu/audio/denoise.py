@@ -155,7 +155,13 @@ def spectral_gate(audio: jnp.ndarray, sr: int = 16000,
 
     if mask is not None:
         nf = mag_db.shape[t_axis]
-        valid = (jnp.arange(nf) * HOP)[None, :] < jnp.sum(mask, -1, keepdims=True)
+        # '<=': librosa's center=True STFT has 1 + n_valid//HOP frames —
+        # the frame CENTERED at n_valid still covers valid samples. '<'
+        # dropped that boundary frame exactly when HOP divides n_valid,
+        # which is every whole-second bucket length (60 s = 3750·256),
+        # structurally shifting the noise stats vs the reference.
+        valid = ((jnp.arange(nf) * HOP)[None, :]
+                 <= jnp.sum(mask, -1, keepdims=True))
         w = jnp.expand_dims(valid, f_axis).astype(mag_db.dtype)
         denom = jnp.maximum(jnp.sum(w, t_axis, keepdims=True), 1.0)
         mean_db = jnp.sum(mag_db * w, t_axis, keepdims=True) / denom
@@ -252,17 +258,23 @@ def spectral_gate_normalized_jit(audio: jnp.ndarray,
         audio, sr, prop_decrease, _valid_mask(audio.shape[-1], n_valid)))
 
 
+def _gate_norm_f32(x: jnp.ndarray, prop_decrease, n_valid, sr: int,
+                   denoise: bool) -> jnp.ndarray:
+    """The ONE gate+normalize body every wire format shares (a fix here
+    applies to the int16, packed, AND mu-law programs): f32 [K, T] (zeros
+    past each row's n_valid) → f32 gated+normalized."""
+    if denoise:
+        return peak_normalize(spectral_gate(
+            x, sr, prop_decrease, _valid_mask(x.shape[-1], n_valid)))
+    return peak_normalize(x)
+
+
 def _gate_norm_core(x: jnp.ndarray, prop_decrease, n_valid, sr: int,
                     denoise: bool):
-    """Shared gate+normalize+int16-downlink body for every wire format:
-    f32 [K, T] (zeros past each row's n_valid) → (f32 gated+normalized,
-    int16 of it). Wire decoders feed EXACTLY the same x here, so raw-int16
-    and packed uploads produce bit-identical results."""
-    if denoise:
-        y = peak_normalize(spectral_gate(
-            x, sr, prop_decrease, _valid_mask(x.shape[-1], n_valid)))
-    else:
-        y = peak_normalize(x)
+    """_gate_norm_f32 + int16 downlink. Wire decoders feed EXACTLY the
+    same x here, so raw-int16 and packed uploads produce bit-identical
+    results."""
+    y = _gate_norm_f32(x, prop_decrease, n_valid, sr, denoise)
     q_out = jnp.clip(jnp.round(y * 32767.0), -32768, 32767).astype(jnp.int16)
     return y, q_out
 
@@ -325,11 +337,7 @@ def gate_normalize_u8_jit(q: jnp.ndarray, prop_decrease: jnp.ndarray,
     per-row)."""
     from clearconverse_tpu.audio.wire import mulaw_encode_jnp, mulaw_expand_jnp
     x = mulaw_expand_jnp(q) * _valid_mask(q.shape[-1], n_valid)
-    if denoise:
-        y = peak_normalize(spectral_gate(
-            x, sr, prop_decrease, _valid_mask(x.shape[-1], n_valid)))
-    else:
-        y = peak_normalize(x)
+    y = _gate_norm_f32(x, prop_decrease, n_valid, sr, denoise)
     return y, mulaw_encode_jnp(y)
 
 
@@ -357,8 +365,10 @@ def spectral_gate_np(audio: np.ndarray, sr: int = 16000,
 
     mag_db = 20.0 * np.log10(np.maximum(np.abs(spec), 1e-20)).astype(np.float32)
     if mask is not None:
+        # '<=' mirrors the device path: librosa's center=True framing has
+        # 1 + n_valid//HOP valid frames (see spectral_gate's masked stats).
         frame_valid = ((np.arange(n_frames)[None, :] * HOP)
-                       < mask.sum(-1, keepdims=True))
+                       <= mask.sum(-1, keepdims=True))
         w = frame_valid[:, None, :].astype(np.float32)
         denom = np.maximum(w.sum(-1, keepdims=True), 1.0)
         mean_db = (mag_db * w).sum(-1, keepdims=True) / denom

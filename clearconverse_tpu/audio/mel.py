@@ -102,13 +102,19 @@ def log_mel_spectrogram(audio: jnp.ndarray, n_mels: int = N_MELS,
         spec = jnp.fft.rfft(frames * window[None, None, :], axis=-1)
         power = jnp.abs(spec) ** 2
     else:
+        # precision=HIGHEST: f32 parity matters (TPU matmuls default to
+        # bf16 passes, which would break the whisper-exactness claim for
+        # any TPU consumer of this XLA path — e.g. training features; the
+        # serving path dispatches to the f32 Pallas kernel instead).
+        P = jax.lax.Precision.HIGHEST
         cos_m, sin_m = _dft_matrices()
         re = jnp.einsum("bfn,nk->bfk", frames, jnp.asarray(cos_m),
-                        preferred_element_type=jnp.float32)
+                        precision=P, preferred_element_type=jnp.float32)
         im = jnp.einsum("bfn,nk->bfk", frames, jnp.asarray(sin_m),
-                        preferred_element_type=jnp.float32)
+                        precision=P, preferred_element_type=jnp.float32)
         power = re * re + im * im
     mel = jnp.einsum("bfk,km->bfm", power, jnp.asarray(mel_filterbank(n_mels=n_mels)),
+                     precision=jax.lax.Precision.HIGHEST,
                      preferred_element_type=jnp.float32)
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     log_spec = jnp.maximum(log_spec, jnp.max(log_spec, axis=(1, 2), keepdims=True) - 8.0)

@@ -90,10 +90,15 @@ class PackedBatch:
 
 
 def _taper_padding(q: np.ndarray, n_valid) -> np.ndarray:
-    """Replace each row's zero padding with a short linear ramp from the
-    last valid sample to 0 (padding values are masked out downstream, so
+    """Replace each row's zero padding with a gentle linear ramp away from
+    the last valid sample (padding values are masked out downstream, so
     any content is legal — the ramp just keeps the valid->pad step from
-    dictating the batch's packed width). Returns a copy only if needed."""
+    dictating the batch's packed width). The slope is ALWAYS |last|/_TAPER:
+    when the pad region is shorter than _TAPER the ramp simply stops short
+    of zero (fine — the region is don't-care), instead of steepening and
+    re-inflating the width it exists to contain (a loud file ending within
+    ~16 ms of its bucket would otherwise knock the whole batch off the
+    packed wire). Returns a copy only if needed."""
     K, T = q.shape
     out = None
     for r in range(K):
@@ -106,7 +111,7 @@ def _taper_padding(q: np.ndarray, n_valid) -> np.ndarray:
         if out is None:
             out = q.copy()
         L = min(T - n, _TAPER)
-        ramp = np.round(last * (1.0 - np.arange(1, L + 1) / L))
+        ramp = np.round(last * (1.0 - np.arange(1, L + 1) / _TAPER))
         out[r, n: n + L] = ramp.astype(np.int16)
     return q if out is None else out
 

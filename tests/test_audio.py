@@ -741,3 +741,81 @@ def test_load_audio_many_wire_info_and_speech_synth(tmp_path):
     load_audio_many([p], wire_bits=16, wire_info=info16)
     assert info16["format"] == "int16"
     assert info16["bytes_wire"] == info16["bytes_raw_int16"]
+
+
+def test_taper_short_padding_keeps_batch_packed():
+    """A loud file ending within a few ms of its bucket must not knock the
+    whole batch off the packed wire: the taper's slope is |last|/_TAPER
+    regardless of how short the pad region is (it may stop short of zero —
+    the region is masked don't-care)."""
+    from clearconverse_tpu.audio.pack import pack_i16_batch, unpack_batch_np
+
+    K, T = 2, 16000
+    n0 = T - 8                       # pad region of just 8 samples
+    t = np.arange(T) / 16000.0
+    # Smooth 120 Hz content whose PEAK lands exactly on the last valid
+    # sample — valid-region deltas stay ~1.4k (width 12), but the old
+    # taper's |last|/L step with L=8 was ~3.9k (width 13+).
+    phase = np.pi / 2 - 2 * np.pi * 120 * t[n0 - 1]
+    row = (0.95 * 32767 * np.sin(2 * np.pi * 120 * t + phase)).astype(
+        np.int16)
+    q = np.zeros((K, T), np.int16)
+    q[0] = row
+    q[1, :n0] = row[:n0]
+    pb = pack_i16_batch(q, [T, n0], allow_numpy=True)
+    assert pb is not None, "short-pad loud ending forced raw-int16 fallback"
+    assert pb.width <= 12, pb.width  # gentle slope: pad step can't inflate
+    # Valid samples reconstruct bit-exactly (padding is don't-care).
+    out = unpack_batch_np(pb)
+    np.testing.assert_array_equal(out[0, :T], q[0].astype(np.int32))
+    np.testing.assert_array_equal(out[1, :n0], q[1, :n0].astype(np.int32))
+
+
+def test_lazy_audio_materializes_owned_copy(tmp_path, rng):
+    """Published audio arrays must not alias the whole [K, T] gated batch
+    (one retained segment would pin every file's audio; mutating one
+    segment would corrupt overlapping siblings)."""
+    from clearconverse_tpu.audio.decode import load_audio_many
+
+    paths = []
+    for i in range(2):
+        x = (rng.standard_normal(16000) * 0.1).astype(np.float32)
+        p = str(tmp_path / f"own{i}.wav")
+        wavmod.write_wav(p, x, 16000)
+        paths.append(p)
+    hosts, batch, _ = load_audio_many(paths, return_device=True,
+                                      host_async=True, wire_bits=16)
+    a0 = np.asarray(hosts[0])
+    a1 = np.asarray(hosts[1])
+    assert a0.base is None and a1.base is None      # owned, not a view
+    before = a1[0]
+    a0[:] = 123.0                                    # mutate one file
+    assert a1[0] == before                           # sibling untouched
+
+
+def test_ensure_wav_format_no_stem_collision(tmp_path):
+    """'talk.mp3' and 'talk.m4a' must not convert onto each other, and a
+    user's own pre-existing 'talk.wav' must never be overwritten."""
+    import pytest
+
+    from clearconverse_tpu.audio.decode import (ensure_wav_format,
+                                                ffmpeg_available)
+
+    if not ffmpeg_available():
+        pytest.skip("no ffmpeg in environment")
+    x = (0.1 * np.sin(2 * np.pi * 220 * np.arange(8000) / 16000)).astype(
+        np.float32)
+    pre = tmp_path / "talk.wav"
+    wavmod.write_wav(str(pre), x, 16000)
+    sentinel = pre.read_bytes()
+    src = tmp_path / "talk.mp3"
+    # Make a real mp3 via ffmpeg so conversion succeeds.
+    import subprocess
+    tmp_wav = tmp_path / "src.wav"
+    wavmod.write_wav(str(tmp_wav), x, 16000)
+    subprocess.run(["ffmpeg", "-y", "-i", str(tmp_wav), str(src)],
+                   check=True, capture_output=True)
+    out = ensure_wav_format(str(src))
+    assert out != str(pre)                          # distinct output path
+    assert pre.read_bytes() == sentinel             # user file untouched
+    assert out.endswith(".mp3.wav")
