@@ -15,6 +15,8 @@ All conversion is pure NumPy on host. torch is only imported lazily for
 
 from __future__ import annotations
 
+import dataclasses
+import logging
 import os
 import re
 from typing import Any, Dict, Mapping, Optional
@@ -22,6 +24,8 @@ from typing import Any, Dict, Mapping, Optional
 import numpy as np
 
 from clearconverse_tpu.models.whisper import WhisperDims, model_dims
+
+logger = logging.getLogger(__name__)
 
 
 def _np(t) -> np.ndarray:
@@ -157,23 +161,104 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
     return obj
 
 
+def _dims_from_dict(d: Any) -> Optional[WhisperDims]:
+    """openai ``.pt`` checkpoints carry a ``dims`` entry whose field names
+    match WhisperDims exactly (openai ModelDimensions); accept a mapping or
+    an unpickled dataclass-like object. None if any field is missing."""
+    if not isinstance(d, Mapping):
+        d = getattr(d, "__dict__", None)
+        if not isinstance(d, Mapping):
+            return None
+    fields = {f.name for f in dataclasses.fields(WhisperDims)}
+    try:
+        vals = {k: int(v) for k, v in d.items() if k in fields}
+    except (TypeError, ValueError):
+        return None
+    if fields - set(vals):
+        return None
+    return WhisperDims(**vals)
+
+
+def infer_whisper_dims(params: Dict[str, Any],
+                       fallback: WhisperDims) -> WhisperDims:
+    """Dims recoverable from a converted param pytree's shapes; the head
+    counts (not present in any weight shape) come from ``fallback``."""
+    enc, dec = params["encoder"], params["decoder"]
+    return dataclasses.replace(
+        fallback,
+        n_mels=int(np.shape(enc["conv1"]["w"])[1]),
+        n_audio_state=int(np.shape(enc["conv1"]["w"])[2]),
+        n_audio_ctx=int(np.shape(enc["pos"])[0]),
+        n_audio_layer=len(enc["blocks"]),
+        n_vocab=int(np.shape(dec["tok"])[0]),
+        n_text_state=int(np.shape(dec["tok"])[1]),
+        n_text_ctx=int(np.shape(dec["pos"])[0]),
+        n_text_layer=len(dec["blocks"]),
+    )
+
+
 def load_whisper(model_dir: str, model_size: str = "small.en"):
     """Reference-compatible loader (back/api.py:657-703): look for a base
     checkpoint ``{model_dir}/{size}.pt`` and an optional fine-tuned overlay in
     ``{model_dir}/whisper-ft/model.safetensors|model.pt``. Returns
     (params, dims) or (None, dims) when no checkpoint exists (callers fall
-    back to random init for benchmarking)."""
-    dims = model_dims(model_size)
+    back to random init for benchmarking).
+
+    Dims priority follows openai-whisper's ``load_model`` (which trusts the
+    checkpoint, not the name): the ``dims`` dict inside the ``.pt`` supplies
+    the head counts, every shape-recoverable field comes from the FINAL
+    loaded weights themselves (so a vocab-extended or context-trimmed
+    fine-tune overlay just works), and the ``model_size`` name table is only
+    the fallback when neither exists. A mismatch with the name table logs a
+    warning instead of silently mis-shaping the forward pass."""
+    table_dims = model_dims(model_size)
     base = os.path.join(model_dir, f"{model_size}.pt")
     params = None
+    ckpt_dims: Optional[WhisperDims] = None
     if os.path.exists(base):
-        params = convert_whisper_state_dict(load_torch_state_dict(base))
+        obj = _load_raw_torch(base)
+        if isinstance(obj, dict) and "dims" in obj:
+            ckpt_dims = _dims_from_dict(obj["dims"])
+        params = convert_whisper_state_dict(_strip_wrappers(obj))
     for name in ("model.safetensors", "model.pt"):
         ft = os.path.join(model_dir, "whisper-ft", name)
         if os.path.exists(ft):
             try:
-                params = convert_whisper_state_dict(load_torch_state_dict(ft))
+                if name.endswith(".pt"):
+                    obj = _load_raw_torch(ft)
+                    ft_dims = (_dims_from_dict(obj["dims"])
+                               if isinstance(obj, dict) and "dims" in obj
+                               else None)
+                    params = convert_whisper_state_dict(_strip_wrappers(obj))
+                    ckpt_dims = ft_dims or ckpt_dims
+                else:
+                    params = convert_whisper_state_dict(
+                        load_torch_state_dict(ft))
                 break
             except Exception:  # ft → base fallback (back/api.py:694-703)
                 continue
+    if params is None:
+        return None, table_dims
+    dims = infer_whisper_dims(params, ckpt_dims or table_dims)
+    if dims != table_dims:
+        logger.warning(
+            "whisper checkpoint dims differ from the %r table entry "
+            "(%s vs %s); using the checkpoint's%s", model_size, dims,
+            table_dims,
+            "" if ckpt_dims else
+            " shapes (head counts assumed from the name table — ship the "
+            "openai dims dict in the .pt to pin them)")
     return params, dims
+
+
+def _load_raw_torch(path: str):
+    import torch
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _strip_wrappers(obj):
+    if isinstance(obj, dict) and "model_state_dict" in obj:
+        obj = obj["model_state_dict"]
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    return obj
