@@ -253,13 +253,19 @@ def convert_speechbrain_ecapa(sd: Dict[str, Any],
     }
     for bi in range(1, 4):
         pre = f"blocks.{bi}"
+        # res2net width comes from the CHECKPOINT (key count), not the dims
+        # arg — a non-default-scale checkpoint converts correctly and
+        # infer_ecapa_dims recovers its scale afterwards.
+        n_res2 = 0
+        while f"{pre}.res2net_block.blocks.{n_res2}.conv.conv.weight" in sd:
+            n_res2 += 1
         blk = {
             "conv_in": conv(f"{pre}.tdnn1.conv.conv"),
             "bn_in": bn(f"{pre}.tdnn1.norm.norm"),
             "res2": [conv(f"{pre}.res2net_block.blocks.{i}.conv.conv")
-                     for i in range(dims.res2net_scale - 1)],
+                     for i in range(n_res2)],
             "res2_bn": [bn(f"{pre}.res2net_block.blocks.{i}.norm.norm")
-                        for i in range(dims.res2net_scale - 1)],
+                        for i in range(n_res2)],
             "conv_out": conv(f"{pre}.tdnn2.conv.conv"),
             "bn_out": bn(f"{pre}.tdnn2.norm.norm"),
             "se": {"fc1": conv(f"{pre}.se_block.conv1"),
@@ -267,3 +273,20 @@ def convert_speechbrain_ecapa(sd: Dict[str, Any],
         }
         p["blocks"].append(blk)
     return p
+
+
+def infer_ecapa_dims(params: Dict[str, Any],
+                     fallback: EcapaDims = EcapaDims()) -> EcapaDims:
+    """Dims recoverable from a converted pytree's shapes; stride/dilation
+    constants (absent from weight shapes) come from ``fallback``. For the
+    production speechbrain checkpoint this returns exactly EcapaDims()."""
+    import dataclasses
+    return dataclasses.replace(
+        fallback,
+        n_mels=int(np.shape(params["conv1"]["w"])[1]),
+        channels=int(np.shape(params["conv1"]["w"])[2]),
+        mfa_channels=int(np.shape(params["mfa"]["w"])[2]),
+        attention_channels=int(np.shape(params["asp"]["conv1"]["w"])[2]),
+        embedding_dim=int(np.shape(params["fc"]["w"])[2]),
+        res2net_scale=len(params["blocks"][0]["res2"]) + 1,
+    )

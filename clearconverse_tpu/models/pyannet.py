@@ -308,3 +308,25 @@ def convert_pyannote_pyannet(sd: Dict[str, Any],
         i += 1
     p["classifier"] = {"w": np_("classifier.weight").T, "b": np_("classifier.bias")}
     return p
+
+
+def infer_pyannet_dims(params: Dict[str, Any],
+                       fallback: PyannetDims = PyannetDims()) -> PyannetDims:
+    """Dims recoverable from a converted pytree's shapes; the sinc kernel/
+    stride and pool constants (absent from weight shapes — the sinc conv is
+    parametric) come from ``fallback``. Returns exactly PyannetDims() for
+    the production pyannote segmentation checkpoint."""
+    import dataclasses
+    import numpy as np
+    sn = params["sincnet"]
+    return dataclasses.replace(
+        fallback,
+        sinc_filters=int(np.shape(sn["low_hz"])[0]),
+        conv_kernel=int(np.shape(sn["conv1"]["w"])[0]),
+        conv_channels=int(np.shape(sn["conv1"]["w"])[2]),
+        lstm_hidden=int(np.shape(params["lstm"][0]["fwd"]["w_hh"])[0]),
+        lstm_layers=len(params["lstm"]),
+        linear_dims=tuple(int(np.shape(lin["w"])[1])
+                          for lin in params["linear"]),
+        n_classes=int(np.shape(params["classifier"]["w"])[1]),
+    )

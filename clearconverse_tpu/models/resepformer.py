@@ -300,6 +300,31 @@ def _import_masknet(params, sd, np_):
     return mn
 
 
+def infer_sepformer_dims(params: Dict[str, Any],
+                         fallback: SepformerDims = SepformerDims()
+                         ) -> SepformerDims:
+    """Dims recoverable from a converted pytree's shapes; the head count and
+    chunk size (absent from weight shapes) come from ``fallback``. Returns
+    exactly SepformerDims() for the reference's RE-SepFormer triplet."""
+    import dataclasses
+    enc_w = params["encoder"]["w"]
+    enc_channels = int(np.shape(enc_w)[2])
+    d_model = int(np.shape(params["bottleneck"]["proj"]["w"])[1])
+    rep = params["repeats"][0]
+    return dataclasses.replace(
+        fallback,
+        enc_channels=enc_channels,
+        enc_kernel=int(np.shape(enc_w)[0]),
+        d_model=d_model,
+        ff_mult=int(np.shape(rep["intra"][0]["ff"]["fc1"]["w"])[1]) // d_model,
+        n_repeats=len(params["repeats"]),
+        n_intra_layers=len(rep["intra"]),
+        n_inter_layers=len(rep["inter"]),
+        n_sources=int(np.shape(params["mask_out"]["proj"]["w"])[1])
+        // enc_channels,
+    )
+
+
 def sepformer_to_state_dicts(params: Dict[str, Any]):
     """Export our params as the ckpt triplet (encoder, masknet, decoder)
     state dicts in this framework's canonical naming — the reference's

@@ -296,8 +296,15 @@ class ModelBundle:
         names = ["encoder.ckpt", "masknet.ckpt", "decoder.ckpt"]
         if all(os.path.exists(os.path.join(ft, n)) for n in names):
             try:  # ft → base fallback (back/api.py:752-764)
+                from clearconverse_tpu.models.resepformer import (
+                    infer_sepformer_dims)
                 sds = [load_torch_state_dict(os.path.join(ft, n)) for n in names]
-                return convert_speechbrain_sepformer(*sds)
+                params = convert_speechbrain_sepformer(*sds)
+                # The checkpoint's own shapes govern the forward (head count
+                # and chunk size stay at the production defaults — they are
+                # not recoverable from weights).
+                self._sepformer_dims = infer_sepformer_dims(params)
+                return params
             except Exception as exc:
                 logger.warning("resepformer-ft load failed (%s); using init", exc)
         return init_sepformer_params(jax.random.PRNGKey(1))
@@ -311,7 +318,10 @@ class ModelBundle:
         ckpt = os.path.join(self.model_dir, "embedding", "embedding_model.ckpt")
         if os.path.exists(ckpt):
             try:
-                return convert_speechbrain_ecapa(load_torch_state_dict(ckpt))
+                from clearconverse_tpu.models.ecapa import infer_ecapa_dims
+                params = convert_speechbrain_ecapa(load_torch_state_dict(ckpt))
+                self._ecapa_dims = infer_ecapa_dims(params)
+                return params
             except Exception as exc:
                 logger.warning("ecapa ckpt load failed (%s); using init", exc)
         return init_ecapa_params(jax.random.PRNGKey(2))
@@ -325,7 +335,10 @@ class ModelBundle:
         ckpt = os.path.join(self.model_dir, "segmentation", "pytorch_model.bin")
         if os.path.exists(ckpt):
             try:
-                return convert_pyannote_pyannet(load_torch_state_dict(ckpt))
+                from clearconverse_tpu.models.pyannet import infer_pyannet_dims
+                params = convert_pyannote_pyannet(load_torch_state_dict(ckpt))
+                self._pyannet_dims = infer_pyannet_dims(params)
+                return params
             except Exception as exc:
                 logger.warning("pyannet ckpt load failed (%s); using init", exc)
         return init_pyannet_params(jax.random.PRNGKey(3))

@@ -47,11 +47,105 @@ def _save_openai_pt(path, params, dims: WhisperDims) -> None:
     torch.save({"dims": _dims_dict(dims), "model_state_dict": sd}, str(path))
 
 
+TINY_ECAPA = dict(n_mels=24, channels=32, mfa_channels=48,
+                  attention_channels=16, embedding_dim=16, res2net_scale=4)
+TINY_PN = dict(sinc_filters=8, conv_channels=8, lstm_hidden=8,
+               lstm_layers=1, linear_dims=(8,))
+TINY_SEP = dict(enc_channels=16, d_model=16, n_heads=2, chunk_size=20,
+                n_repeats=1, n_intra_layers=1, n_inter_layers=1)
+
+
+def _t(a):
+    return torch.tensor(np.ascontiguousarray(np.asarray(a)))
+
+
+def _ecapa_state_dict(params) -> dict:
+    """Our pytree → speechbrain embedding_model.ckpt naming (exact inverse
+    of models/ecapa.convert_speechbrain_ecapa)."""
+    sd = {}
+
+    def conv(prefix, p):
+        sd[f"{prefix}.weight"] = _t(np.asarray(p["w"]).transpose(2, 1, 0))
+        sd[f"{prefix}.bias"] = _t(p["b"])
+
+    def bn(prefix, p):
+        sd[f"{prefix}.weight"] = _t(p["g"])
+        sd[f"{prefix}.bias"] = _t(p["b"])
+        sd[f"{prefix}.running_mean"] = _t(p["mean"])
+        sd[f"{prefix}.running_var"] = _t(p["var"])
+
+    conv("blocks.0.conv.conv", params["conv1"])
+    bn("blocks.0.norm.norm", params["bn1"])
+    for bi, blk in enumerate(params["blocks"], start=1):
+        pre = f"blocks.{bi}"
+        conv(f"{pre}.tdnn1.conv.conv", blk["conv_in"])
+        bn(f"{pre}.tdnn1.norm.norm", blk["bn_in"])
+        for i, (c, b) in enumerate(zip(blk["res2"], blk["res2_bn"])):
+            conv(f"{pre}.res2net_block.blocks.{i}.conv.conv", c)
+            bn(f"{pre}.res2net_block.blocks.{i}.norm.norm", b)
+        conv(f"{pre}.tdnn2.conv.conv", blk["conv_out"])
+        bn(f"{pre}.tdnn2.norm.norm", blk["bn_out"])
+        conv(f"{pre}.se_block.conv1", blk["se"]["fc1"])
+        conv(f"{pre}.se_block.conv2", blk["se"]["fc2"])
+    conv("mfa.conv.conv", params["mfa"])
+    bn("mfa.norm.norm", params["mfa_bn"])
+    conv("asp.tdnn.conv.conv", params["asp"]["conv1"])
+    bn("asp.tdnn.norm.norm", params["asp"]["bn1"])
+    conv("asp.conv.conv", params["asp"]["conv2"])
+    bn("asp_bn.norm", params["asp_bn"])
+    conv("fc.conv.conv", params["fc"])
+    return sd
+
+
+def _pyannet_state_dict(params) -> dict:
+    """Our pytree → pyannote PyanNet lightning state-dict naming (exact
+    inverse of models/pyannet.convert_pyannote_pyannet). The converter sums
+    bias_ih+bias_hh, so the inverse puts the whole bias in bias_ih."""
+    sn = params["sincnet"]
+    sd = {
+        "sincnet.wav_norm1d.weight": _t(sn["wav_norm"]["g"]),
+        "sincnet.wav_norm1d.bias": _t(sn["wav_norm"]["b"]),
+        "sincnet.conv1d.0.low_hz_": _t(np.asarray(sn["low_hz"]).reshape(-1, 1)),
+        "sincnet.conv1d.0.band_hz_": _t(np.asarray(sn["band_hz"]).reshape(-1, 1)),
+        "sincnet.norm1d.0.weight": _t(sn["norm0"]["g"]),
+        "sincnet.norm1d.0.bias": _t(sn["norm0"]["b"]),
+        "sincnet.conv1d.1.weight": _t(np.asarray(sn["conv1"]["w"]).transpose(2, 1, 0)),
+        "sincnet.conv1d.1.bias": _t(sn["conv1"]["b"]),
+        "sincnet.norm1d.1.weight": _t(sn["norm1"]["g"]),
+        "sincnet.norm1d.1.bias": _t(sn["norm1"]["b"]),
+        "sincnet.conv1d.2.weight": _t(np.asarray(sn["conv2"]["w"]).transpose(2, 1, 0)),
+        "sincnet.conv1d.2.bias": _t(sn["conv2"]["b"]),
+        "sincnet.norm1d.2.weight": _t(sn["norm2"]["g"]),
+        "sincnet.norm1d.2.bias": _t(sn["norm2"]["b"]),
+        "classifier.weight": _t(np.asarray(params["classifier"]["w"]).T),
+        "classifier.bias": _t(params["classifier"]["b"]),
+    }
+    for li, layer in enumerate(params["lstm"]):
+        for suffix, half in (("", "fwd"), ("_reverse", "bwd")):
+            sd[f"lstm.weight_ih_l{li}{suffix}"] = _t(np.asarray(layer[half]["w_ih"]).T)
+            sd[f"lstm.weight_hh_l{li}{suffix}"] = _t(np.asarray(layer[half]["w_hh"]).T)
+            sd[f"lstm.bias_ih_l{li}{suffix}"] = _t(layer[half]["b"])
+            sd[f"lstm.bias_hh_l{li}{suffix}"] = _t(np.zeros_like(np.asarray(layer[half]["b"])))
+    for i, lin in enumerate(params["linear"]):
+        sd[f"linear.{i}.weight"] = _t(np.asarray(lin["w"]).T)
+        sd[f"linear.{i}.bias"] = _t(lin["b"])
+    return sd
+
+
 @pytest.fixture(scope="module")
 def model_dir(tmp_path_factory):
-    """A model_dir holding a tiny-but-real small.en.pt and trained synthetic
-    BPE assets (reusing the crossval trainer so the tokenizer is a genuine
-    byte-level BPE, not a stub)."""
+    """A model_dir holding ALL FOUR families in their real on-disk formats:
+    a tiny-but-real small.en.pt, trained synthetic BPE assets (reusing the
+    crossval trainer so the tokenizer is a genuine byte-level BPE), a
+    speechbrain-layout ecapa ckpt, a lightning-layout pyannote bin, and the
+    resepformer ckpt triplet (reference layout, back/api.py:617-797)."""
+    from clearconverse_tpu.models.ecapa import EcapaDims, init_ecapa_params
+    from clearconverse_tpu.models.pyannet import (PyannetDims,
+                                                  init_pyannet_params)
+    from clearconverse_tpu.models.resepformer import (SepformerDims,
+                                                      init_sepformer_params,
+                                                      sepformer_to_state_dicts)
+
     d = tmp_path_factory.mktemp("model_dir")
     params = init_whisper_params(jax.random.PRNGKey(7), TINY)
     _save_openai_pt(d / "small.en.pt", params, TINY)
@@ -63,14 +157,37 @@ def model_dir(tmp_path_factory):
     (d / "merges.txt").write_text(
         "#version: 0.2\n" + "\n".join(f"{a} {b}" for a, b in merges) + "\n",
         encoding="utf-8")
-    return d, params
+
+    aux = {}
+    aux["ecapa"] = init_ecapa_params(jax.random.PRNGKey(11),
+                                     EcapaDims(**TINY_ECAPA))
+    (d / "embedding").mkdir()
+    torch.save(_ecapa_state_dict(aux["ecapa"]),
+               str(d / "embedding" / "embedding_model.ckpt"))
+
+    aux["pyannet"] = init_pyannet_params(jax.random.PRNGKey(12),
+                                         PyannetDims(**TINY_PN))
+    (d / "segmentation").mkdir()
+    # real pyannote bins are lightning checkpoints: state_dict wrapper
+    torch.save({"state_dict": _pyannet_state_dict(aux["pyannet"])},
+               str(d / "segmentation" / "pytorch_model.bin"))
+
+    aux["sepformer"] = init_sepformer_params(jax.random.PRNGKey(13),
+                                             SepformerDims(**TINY_SEP))
+    enc_sd, mask_sd, dec_sd = sepformer_to_state_dicts(aux["sepformer"])
+    (d / "resepformer-ft").mkdir()
+    for name, sd in (("encoder.ckpt", enc_sd), ("masknet.ckpt", mask_sd),
+                     ("decoder.ckpt", dec_sd)):
+        torch.save({k: _t(v) for k, v in sd.items()},
+                   str(d / "resepformer-ft" / name))
+    return d, params, aux
 
 
 def test_load_whisper_uses_checkpoint_dims(model_dir):
     """The .pt's dims dict is authoritative: small.en.pt holding a TINY
     model must come back with the tiny dims, not the 768-wide table entry
     (openai load_model semantics)."""
-    d, params = model_dir
+    d, params, _ = model_dir
     loaded, dims = load_whisper(str(d), "small.en")
     assert loaded is not None
     assert dims == TINY != model_dims("small.en")
@@ -100,7 +217,7 @@ def test_ft_overlay_shapes_win(model_dir, tmp_path, monkeypatch):
     overrides the base: final dims come from the FINAL loaded weights."""
     import dataclasses
     import shutil
-    d, _ = model_dir
+    d, _, _ = model_dir
     work = tmp_path / "dir"
     work.mkdir()
     shutil.copy(str(d / "small.en.pt"), str(work / "small.en.pt"))
@@ -128,12 +245,12 @@ def test_infer_whisper_dims_roundtrip():
     assert infer_whisper_dims(params, TINY) == TINY
 
 
-def test_bundle_cold_start_transcribes(model_dir):
-    """load_with_progress() discovers whisper + tokenizer from disk (aux
-    families fall back to random init — their disk paths are covered by
-    the speaker-model tests) and the bundle transcribes through the REAL
-    loaded assets."""
-    d, params = model_dir
+def test_bundle_cold_start_all_families(model_dir):
+    """load_with_progress() discovers all four families from disk and every
+    compute path runs through the REAL loaded assets: checkpoint shapes
+    govern each forward (aux dims inferred from the weights, not assumed
+    from the production defaults)."""
+    d, params, aux = model_dir
     stages = []
     b = ModelBundle(Config(),  # default size small.en → finds small.en.pt
                     TPUConfig(max_decode_tokens=8, max_fallback_attempts=1,
@@ -149,10 +266,33 @@ def test_bundle_cold_start_transcribes(model_dir):
     np.testing.assert_allclose(np.asarray(w_params["decoder"]["tok"]),
                                np.asarray(params["decoder"]["tok"]))
 
+    # Aux families loaded from disk bit-exactly + dims inferred from shapes.
+    for name, got in (("ecapa", b._ecapa), ("pyannet", b._pyannet),
+                      ("sepformer", b._sepformer)):
+        want_leaves = jax.tree.leaves(aux[name])
+        got_leaves = jax.tree.leaves(got)
+        assert len(want_leaves) == len(got_leaves), name
+        for w, g in zip(want_leaves, got_leaves):
+            np.testing.assert_allclose(np.asarray(w), np.asarray(g),
+                                       atol=1e-7, err_msg=name)
+    assert b._ecapa_dims.embedding_dim == TINY_ECAPA["embedding_dim"]
+    assert b._ecapa_dims.res2net_scale == TINY_ECAPA["res2net_scale"]
+    assert b._pyannet_dims.lstm_hidden == TINY_PN["lstm_hidden"]
+    assert b._pyannet_dims.linear_dims == TINY_PN["linear_dims"]
+    assert b._sepformer_dims.d_model == TINY_SEP["d_model"]
+    assert b._sepformer_dims.n_repeats == TINY_SEP["n_repeats"]
+
     audio = (np.random.default_rng(0).standard_normal((1, 16000))
              .astype(np.float32) * 0.1)
     texts = b.transcribe_batch(audio, [""], temperature=0.0)
     assert len(texts) == 1 and isinstance(texts[0], str)
-    # Random-weight output decodes through the REAL BPE vocab: every token
-    # the model emitted must round-trip the tokenizer without error, which
-    # it just did to produce the string.
+
+    # The other three compute paths on the cold-loaded, shape-inferred dims.
+    two = (np.random.default_rng(1).standard_normal((2, 8000))
+           .astype(np.float32) * 0.1)
+    embs = b.embed_batch(two, np.asarray([8000, 4000]))
+    assert embs.shape == (2, TINY_ECAPA["embedding_dim"])
+    frames = b.segment_frames(two)
+    assert frames.shape[0] == 2 and frames.shape[2] == 3
+    sep = b.separate_batch(two)
+    assert sep.shape == (2, 8000, 2)
