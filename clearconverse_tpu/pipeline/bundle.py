@@ -347,25 +347,75 @@ class ModelBundle:
     def save_native(self, path: str) -> None:
         """Persist all four model families as one orbax checkpoint (the
         framework's own format; the reference has no equivalent — its
-        'checkpoints' are only the consumed ft overlays, SURVEY.md §5.4)."""
+        'checkpoints' are only the consumed ft overlays, SURVEY.md §5.4).
+        Dims ride along so restore is self-describing — the name table is
+        never consulted (a tiny/custom model round-trips exactly)."""
         self._ensure()
+        import dataclasses
+        import numpy as _np
         from clearconverse_tpu.train.checkpoint import save_checkpoint
-        whisper_params, _, _ = self._whisper
+        whisper_params, w_dims, _ = self._whisper
+
+        def dims_tree(d):
+            # tuples → arrays so every leaf is a plain orbax-storable array
+            return {k: _np.asarray(v) for k, v in
+                    dataclasses.asdict(d).items()}
+
+        from clearconverse_tpu.models.ecapa import EcapaDims
+        from clearconverse_tpu.models.pyannet import PyannetDims
+        from clearconverse_tpu.models.resepformer import SepformerDims
         save_checkpoint(path, {
             "whisper": whisper_params,
             "ecapa": self._ecapa,
             "pyannet": self._pyannet,
             "sepformer": self._sepformer,
+            "meta": {
+                "whisper_dims": dims_tree(w_dims),
+                "ecapa_dims": dims_tree(self._ecapa_dims or EcapaDims()),
+                "pyannet_dims": dims_tree(self._pyannet_dims or PyannetDims()),
+                "sepformer_dims": dims_tree(self._sepformer_dims
+                                            or SepformerDims()),
+            },
         })
 
     def load_native(self, path: str) -> None:
-        """Restore a save_native checkpoint (dims/tokenizer from config)."""
+        """Restore a save_native checkpoint. Dims come from the checkpoint's
+        own meta block when present (self-describing); pre-meta checkpoints
+        fall back to the config's name table + shape inference."""
         import jax
         from clearconverse_tpu.models.tokenizer import load_tokenizer
         from clearconverse_tpu.models.whisper import model_dims
         from clearconverse_tpu.train.checkpoint import load_checkpoint
         payload = load_checkpoint(path)["params"]
-        dims = model_dims(self.config.whisper_model_size)
+
+        def undims(cls, tree):
+            import dataclasses
+            fields = {f.name: f for f in dataclasses.fields(cls)}
+            vals = {}
+            for k, v in tree.items():
+                if k not in fields:
+                    continue
+                arr = np.asarray(v)
+                vals[k] = (tuple(int(x) for x in arr.reshape(-1))
+                           if arr.ndim else int(arr))
+            return cls(**vals)
+
+        from clearconverse_tpu.models.ecapa import EcapaDims
+        from clearconverse_tpu.models.pyannet import PyannetDims
+        from clearconverse_tpu.models.resepformer import SepformerDims
+        from clearconverse_tpu.models.whisper import WhisperDims
+        meta = payload.get("meta")
+        if meta:
+            dims = undims(WhisperDims, meta["whisper_dims"])
+            self._ecapa_dims = undims(EcapaDims, meta["ecapa_dims"])
+            self._pyannet_dims = undims(PyannetDims, meta["pyannet_dims"])
+            self._sepformer_dims = undims(SepformerDims,
+                                          meta["sepformer_dims"])
+        else:
+            from clearconverse_tpu.models.convert import infer_whisper_dims
+            dims = infer_whisper_dims(
+                payload["whisper"],
+                model_dims(self.config.whisper_model_size))
         english = self.config.whisper_model_size.endswith(".en")
         tok = load_tokenizer(self.model_dir, english=english)
         self._whisper = (jax.device_put(payload["whisper"]), dims, tok)

@@ -652,13 +652,15 @@ def test_native_bundle_checkpoint_roundtrip(bundle, tmp_path):
 
     bundle.save_native(str(tmp_path / "ck"))
     fresh = ModelBundle(Config(whisper_model_size="small.en"), bundle.tpu)
-    # dims in the test bundle are tiny, so bypass dims derivation by reusing
-    # the tokenizer/dims from the source after restore:
+    # Restore is self-describing: the tiny dims ride in the checkpoint's
+    # meta block, so NO manual dims patching — only the tokenizer (an
+    # asset, not a weight) comes from the source.
     fresh.load_native(str(tmp_path / "ck"))
-    fresh._whisper = (fresh._whisper[0], bundle._whisper[1], bundle._whisper[2])
-    fresh._ecapa_dims = bundle._ecapa_dims
-    fresh._pyannet_dims = bundle._pyannet_dims
-    fresh._sepformer_dims = bundle._sepformer_dims
+    assert fresh._whisper[1] == bundle._whisper[1]          # whisper dims
+    assert fresh._ecapa_dims == bundle._ecapa_dims
+    assert fresh._pyannet_dims == bundle._pyannet_dims
+    assert fresh._sepformer_dims == bundle._sepformer_dims
+    fresh._whisper = (fresh._whisper[0], fresh._whisper[1], bundle._whisper[2])
     for a, b in zip(jax.tree.leaves(bundle._whisper[0]),
                     jax.tree.leaves(fresh._whisper[0])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
