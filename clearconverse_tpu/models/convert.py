@@ -152,13 +152,7 @@ def load_torch_state_dict(path: str) -> Dict[str, Any]:
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
         return dict(load_file(path))
-    import torch
-    obj = torch.load(path, map_location="cpu", weights_only=False)
-    if isinstance(obj, dict) and "model_state_dict" in obj:
-        obj = obj["model_state_dict"]
-    if isinstance(obj, dict) and "state_dict" in obj:
-        obj = obj["state_dict"]
-    return obj
+    return _strip_wrappers(_load_raw_torch(path))
 
 
 def _dims_from_dict(d: Any) -> Optional[WhisperDims]:

@@ -413,9 +413,16 @@ class ModelBundle:
                                           meta["sepformer_dims"])
         else:
             from clearconverse_tpu.models.convert import infer_whisper_dims
+            from clearconverse_tpu.models.ecapa import infer_ecapa_dims
+            from clearconverse_tpu.models.pyannet import infer_pyannet_dims
+            from clearconverse_tpu.models.resepformer import (
+                infer_sepformer_dims)
             dims = infer_whisper_dims(
                 payload["whisper"],
                 model_dims(self.config.whisper_model_size))
+            self._ecapa_dims = infer_ecapa_dims(payload["ecapa"])
+            self._pyannet_dims = infer_pyannet_dims(payload["pyannet"])
+            self._sepformer_dims = infer_sepformer_dims(payload["sepformer"])
         english = self.config.whisper_model_size.endswith(".en")
         tok = load_tokenizer(self.model_dir, english=english)
         self._whisper = (jax.device_put(payload["whisper"]), dims, tok)

@@ -374,6 +374,35 @@ def test_task_runner_cancel_cooperative(tmp_path):
     assert not (task_dir / "error.txt").exists()
 
 
+def test_cancel_restart_orphaned_task_reaches_terminal_state(tmp_path):
+    """A task dir left mid-run by a dead process (progress.json, no
+    terminal marker, not in active_tasks) must still reach a terminal
+    state on cancel — otherwise a reconnected WS progress loop spins
+    forever. Terminal dirs and unknown IDs stay untouched."""
+    import json as _json
+    from clearconverse_tpu.serve.tasks import TaskRunner
+
+    runner = TaskRunner(str(tmp_path), lambda: None)
+    orphan = tmp_path / "orphan"
+    orphan.mkdir()
+    (orphan / "progress.json").write_text(
+        _json.dumps({"progress": 40, "message": "working"}))
+    runner.cancel("orphan")
+    assert (orphan / "cancelled.txt").exists()
+    assert (orphan / "progress.json").exists()     # no dir wipe
+
+    done = tmp_path / "done"
+    done.mkdir()
+    (done / "completed.txt").write_text("ok")
+    (done / "transcript.txt").write_text("text")
+    runner.cancel("done")
+    assert not (done / "cancelled.txt").exists()   # terminal dir untouched
+    assert (done / "transcript.txt").read_text() == "text"
+
+    runner.cancel("never-existed")
+    assert not (tmp_path / "never-existed").exists()
+
+
 def test_concurrent_transcribe_requests(server):
     """Two simultaneous tasks both complete (the in-process executor
     serializes device work; the benign progress.json read/write race is

@@ -666,3 +666,36 @@ def test_native_bundle_checkpoint_roundtrip(bundle, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     audio = np.random.default_rng(0).standard_normal((1, 8000)).astype(np.float32) * 0.1
     assert fresh.embed_batch(audio).shape == bundle.embed_batch(audio).shape
+
+
+def test_native_checkpoint_pre_meta_infers_aux_dims(bundle, tmp_path):
+    """Pre-meta save_native checkpoints (no meta block) must restore ALL
+    model dims by shape inference — whisper AND the aux models — or a
+    non-default-scale checkpoint would silently pair default dims with
+    restored weights."""
+    from clearconverse_tpu.config import Config
+    from clearconverse_tpu.pipeline.bundle import ModelBundle
+    from clearconverse_tpu.train.checkpoint import (load_checkpoint,
+                                                    save_checkpoint)
+
+    bundle.save_native(str(tmp_path / "ck"))
+    payload = load_checkpoint(str(tmp_path / "ck"))["params"]
+    payload.pop("meta")                       # simulate a pre-meta save
+    save_checkpoint(str(tmp_path / "ck_old"), payload)
+
+    fresh = ModelBundle(Config(whisper_model_size="small.en"), bundle.tpu)
+    fresh.load_native(str(tmp_path / "ck_old"))
+    # Whisper head counts aren't shape-inferable (the reason meta exists);
+    # the pre-meta path pins the shape-derived fields and leans on the
+    # config hint for heads — assert the inferable ones.
+    for f in ("n_mels", "n_audio_ctx", "n_audio_state", "n_audio_layer",
+              "n_vocab", "n_text_ctx", "n_text_state", "n_text_layer"):
+        assert getattr(fresh._whisper[1], f) == getattr(bundle._whisper[1], f)
+    assert fresh._ecapa_dims == bundle._ecapa_dims
+    assert fresh._pyannet_dims == bundle._pyannet_dims
+    # Sepformer n_heads/chunk_size are likewise shape-absent by design
+    # (infer_sepformer_dims docstring) — compare the inferable fields.
+    import dataclasses as _dc
+    fb = {"n_heads": bundle._sepformer_dims.n_heads,
+          "chunk_size": bundle._sepformer_dims.chunk_size}
+    assert _dc.replace(fresh._sepformer_dims, **fb) == bundle._sepformer_dims
