@@ -296,3 +296,59 @@ def test_bundle_cold_start_all_families(model_dir):
     assert frames.shape[0] == 2 and frames.shape[2] == 3
     sep = b.separate_batch(two)
     assert sep.shape == (2, 8000, 2)
+
+
+def test_pyannote_lightning_metadata_does_not_block_tensors(tmp_path):
+    """Real pyannote pytorch_model.bin files carry pyannote.audio objects
+    (Specifications, Problem enums) in their lightning metadata; without
+    pyannote installed, plain torch.load raises ModuleNotFoundError before
+    the tensors are reachable. load_torch_state_dict must still deliver the
+    state_dict (convert.py _load_torch_tolerant) instead of letting the
+    bundle silently fall back to random init on day one."""
+    import sys
+
+    from clearconverse_tpu.models.convert import load_torch_state_dict
+    from clearconverse_tpu.models.pyannet import (PyannetDims,
+                                                  convert_pyannote_pyannet,
+                                                  init_pyannet_params)
+
+    mod_dir = tmp_path / "mods"
+    mod_dir.mkdir()
+    (mod_dir / "cc_fake_pyannote_meta.py").write_text(
+        "import enum\n"
+        "class Problem(enum.Enum):\n    MULTI_LABEL = 2\n"
+        "class Specifications:\n"
+        "    def __init__(self, problem, duration):\n"
+        "        self.problem, self.duration = problem, duration\n")
+    sys.path.insert(0, str(mod_dir))
+    try:
+        import cc_fake_pyannote_meta as meta
+        params = init_pyannet_params(jax.random.PRNGKey(5),
+                                     PyannetDims(**TINY_PN))
+        ckpt = {
+            "pytorch-lightning_version": "2.0.0",
+            "hyper_parameters": {"sincnet": {"stride": 10}},
+            "pyannote.audio": {
+                "architecture": {"module": "pyannote.audio.models.segmentation",
+                                 "class": "PyanNet"},
+                "specifications": meta.Specifications(
+                    meta.Problem.MULTI_LABEL, 10.0),
+            },
+            "state_dict": _pyannet_state_dict(params),
+        }
+        path = tmp_path / "pytorch_model.bin"
+        torch.save(ckpt, str(path))
+    finally:
+        sys.path.remove(str(mod_dir))
+        sys.modules.pop("cc_fake_pyannote_meta", None)
+
+    # Precondition: the scenario is real — plain torch.load cannot reach
+    # the tensors once the metadata's classes are unimportable.
+    with pytest.raises((ModuleNotFoundError, AttributeError, ImportError)):
+        torch.load(str(path), map_location="cpu", weights_only=False)
+
+    sd = load_torch_state_dict(str(path))
+    converted = convert_pyannote_pyannet(sd)
+    for want, got in zip(jax.tree.leaves(params), jax.tree.leaves(converted)):
+        np.testing.assert_allclose(np.asarray(want), np.asarray(got),
+                                   atol=1e-7)
