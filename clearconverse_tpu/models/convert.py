@@ -206,7 +206,16 @@ def load_whisper(model_dir: str, model_size: str = "small.en"):
     the fallback when neither exists. A mismatch with the name table logs a
     warning instead of silently mis-shaping the forward pass."""
     table_dims = model_dims(model_size)
+    # Accept both the flat layout documented in parity/README.md and the
+    # reference's actual cache layout: whisper.load_model(download_root=
+    # cache_dir/"whisper") stores cache_dir/whisper/{size}.pt
+    # (back/api.py:660-668), so a reference user's existing model dir
+    # drops in unchanged.
     base = os.path.join(model_dir, f"{model_size}.pt")
+    if not os.path.exists(base):
+        nested = os.path.join(model_dir, "whisper", f"{model_size}.pt")
+        if os.path.exists(nested):
+            base = nested
     params = None
     ckpt_dims: Optional[WhisperDims] = None
     if os.path.exists(base):

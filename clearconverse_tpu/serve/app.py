@@ -569,7 +569,8 @@ def main():
         logger.warning("JAX backend init failed: %s", exc)
     # Model directory scaffold (reference setup_model_directories,
     # back/api.py:2791-2807): where checkpoints/ft overlays are looked up.
-    for sub in ("", "whisper-ft", "resepformer-ft", "embedding", "segmentation"):
+    for sub in ("", "whisper", "whisper-ft", "resepformer-ft", "embedding",
+                "segmentation"):
         os.makedirs(os.path.join(env["model_cache_dir"], sub), exist_ok=True)
     app = create_app()
     app.cors_origins = env["cors_origins"]

@@ -196,6 +196,19 @@ def test_load_whisper_uses_checkpoint_dims(model_dir):
         np.asarray(params["decoder"]["tok"]), atol=0)
 
 
+def test_load_whisper_accepts_reference_cache_layout(tmp_path):
+    """whisper.load_model(download_root=cache/'whisper') stores
+    cache/whisper/small.en.pt (back/api.py:660-668); a reference user's
+    existing model dir must drop in without moving files."""
+    params = init_whisper_params(jax.random.PRNGKey(4), TINY)
+    (tmp_path / "whisper").mkdir()
+    _save_openai_pt(tmp_path / "whisper" / "small.en.pt", params, TINY)
+    loaded, dims = load_whisper(str(tmp_path), "small.en")
+    assert loaded is not None and dims == TINY
+    np.testing.assert_allclose(np.asarray(loaded["decoder"]["tok"]),
+                               np.asarray(params["decoder"]["tok"]), atol=0)
+
+
 def test_load_whisper_infers_dims_from_bare_state_dict(tmp_path):
     """A bare state dict (no dims entry) still loads: every
     shape-recoverable field is inferred from the weights; the
