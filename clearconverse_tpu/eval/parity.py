@@ -53,14 +53,10 @@ def parse_transcript(text: str) -> List[Tuple[float, float, str, str]]:
 
 
 def parse_rttm(path: str) -> List[Tuple[float, float, str]]:
-    segs = []
-    with open(path) as fh:
-        for line in fh:
-            f = line.split()
-            if len(f) >= 8 and f[0] == "SPEAKER":
-                start, dur = float(f[3]), float(f[4])
-                segs.append((start, start + dur, f[7]))
-    return segs
+    """One NIST RTTM parser for both eval surfaces (alias of
+    harness.load_reference_rttm so format fixes apply everywhere)."""
+    from clearconverse_tpu.eval.harness import load_reference_rttm
+    return load_reference_rttm(path)
 
 
 def evaluate_file(engine, wav: str, ref_txt: str,

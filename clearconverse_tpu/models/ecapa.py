@@ -25,9 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from clearconverse_tpu.audio import mel as melmod
-
-
 @dataclasses.dataclass(frozen=True)
 class EcapaDims:
     n_mels: int = 80
@@ -39,27 +36,85 @@ class EcapaDims:
     dilations: tuple = (2, 3, 4)
 
 
+def _sb_dft_matrices(n_fft: int = 400):
+    """Hamming-windowed real-DFT projection matrices [n_fft, n_freq] —
+    speechbrain STFT semantics (torch.hamming_window is PERIODIC:
+    0.54 - 0.46 cos(2*pi*n/N)), unlike whisper's Hann in audio/mel.py."""
+    n = np.arange(n_fft, dtype=np.float64)
+    k = np.arange(n_fft // 2 + 1, dtype=np.float64)
+    ang = 2.0 * np.pi * n[:, None] * k[None, :] / n_fft
+    window = 0.54 - 0.46 * np.cos(2.0 * np.pi * n / n_fft)
+    cos_m = (np.cos(ang) * window[:, None]).astype(np.float32)
+    sin_m = (-np.sin(ang) * window[:, None]).astype(np.float32)
+    return cos_m, sin_m
+
+
+def _sb_mel_filterbank(n_mels: int = 80, n_fft: int = 400,
+                       sr: int = 16000, f_min: float = 0.0,
+                       f_max: float = 8000.0) -> np.ndarray:
+    """[n_freq, n_mels] speechbrain Filterbank (triangular, freeze=True):
+    HTK mel spacing (2595*log10(1+f/700)), and — a speechbrain quirk —
+    SYMMETRIC triangles whose half-width is each center's LEFT gap
+    (band = hz[i+1]-hz[i]), with no area normalization. Distinct from both
+    librosa/whisper (slaney scale + enorm, audio/mel.mel_filterbank) and
+    Kaldi (asymmetric HTK triangles)."""
+    mel = np.linspace(2595.0 * np.log10(1 + f_min / 700),
+                      2595.0 * np.log10(1 + f_max / 700), n_mels + 2)
+    hz = 700.0 * (10.0 ** (mel / 2595.0) - 1)
+    f_central = hz[1:-1]                         # [n_mels]
+    band = (hz[1:] - hz[:-1])[:-1]               # left gap of each center
+    all_freqs = np.linspace(0, sr // 2, n_fft // 2 + 1)
+    slope = (all_freqs[None, :] - f_central[:, None]) / band[:, None]
+    tri = np.maximum(0.0, np.minimum(slope + 1.0, -slope + 1.0))
+    return tri.T.astype(np.float32)              # [n_freq, n_mels]
+
+
 def fbank(audio: jnp.ndarray, n_mels: int = 80,
           frame_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """[B, T] 16 kHz waveform → [B, frames, n_mels] log-mel filterbank
-    (25 ms / 10 ms, amplitude-normalized log like speechbrain Fbank).
+    """[B, T] 16 kHz waveform → [B, 1 + T//160, n_mels] log-mel filterbank
+    with speechbrain ``Fbank`` + ``InputNormalization(sentence)`` semantics
+    (the exact frontend spkrec-ecapa-voxceleb was trained on): 25 ms
+    periodic-Hamming frames over CONSTANT (zero) center padding, power
+    spectrum, HTK-mel symmetric triangles, 10*log10 with amin=1e-10 and a
+    per-utterance top_db=80 floor, then per-utterance mean subtraction.
 
-    ``frame_mask`` [B, frames] restricts the per-utterance mean
-    normalization to valid frames of padded batch rows."""
+    ``frame_mask`` [B, frames] restricts the per-utterance max (for the
+    top_db floor) and mean normalization to valid frames of padded rows."""
     if audio.ndim == 1:
         audio = audio[None]
-    frames = melmod.frame_signal(audio, n_fft=400, hop=160)[:, :-1]
-    cos_m, sin_m = melmod._dft_matrices(400)
+    # torch.stft(center=True, pad_mode="constant"): zero-pad n_fft//2 each
+    # side, frames = 1 + T//hop (speechbrain keeps the final frame; whisper
+    # drops it).
+    x = jnp.pad(audio, ((0, 0), (200, 200)))
+    n_frames = 1 + audio.shape[-1] // 160
+    idx = (jnp.arange(n_frames) * 160)[:, None] + jnp.arange(400)[None, :]
+    frames = x[:, idx]
+    cos_m, sin_m = _sb_dft_matrices(400)
+    # precision=HIGHEST: f32-parity matmuls must not run as bf16 passes on
+    # TPU (same pin as the identical DFT einsums in audio/mel.py).
     re = jnp.einsum("bfn,nk->bfk", frames, jnp.asarray(cos_m),
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
     im = jnp.einsum("bfn,nk->bfk", frames, jnp.asarray(sin_m),
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=jnp.float32)
     power = re * re + im * im
     m = jnp.einsum("bfk,km->bfm", power,
-                   jnp.asarray(melmod.mel_filterbank(n_mels=n_mels)),
+                   jnp.asarray(_sb_mel_filterbank(n_mels=n_mels)),
+                   precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=jnp.float32)
     logm = 10.0 * jnp.log10(jnp.maximum(m, 1e-10))
-    # Per-utterance mean normalization (speechbrain InputNormalization).
+    # speechbrain Filterbank._amplitude_to_DB: floor at (utterance max
+    # over valid frames and mels) - top_db, with top_db = 80.
+    if frame_mask is None:
+        utt_max = jnp.max(logm, axis=(1, 2), keepdims=True)
+    else:
+        utt_max = jnp.max(
+            jnp.where(frame_mask[..., None] > 0, logm, -jnp.inf),
+            axis=(1, 2), keepdims=True)
+    logm = jnp.maximum(logm, utt_max - 80.0)
+    # Per-utterance mean normalization (speechbrain InputNormalization,
+    # norm_type="sentence", std_norm=False).
     if frame_mask is None:
         return logm - jnp.mean(logm, axis=1, keepdims=True)
     w = frame_mask[..., None]
@@ -179,11 +234,15 @@ def ecapa_embed(params: Dict[str, Any], audio: jnp.ndarray,
     reference's per-segment embedding loop (back/api.py:928-946).
     """
     B = audio.shape[0] if audio.ndim > 1 else 1
-    F = audio.shape[-1] // 160
+    T = audio.shape[-1]
+    F = 1 + T // 160          # torch.stft center=True frame count
     if lengths is None:
         mask = jnp.ones((B, F), jnp.float32)
     else:
-        valid_frames = lengths // 160
+        # speechbrain passes RELATIVE lengths; valid frames scale with the
+        # row's share of the padded width (InputNormalization's
+        # round(lengths * n_frames)).
+        valid_frames = (lengths * F + T // 2) // T
         mask = (jnp.arange(F)[None, :] < valid_frames[:, None]).astype(jnp.float32)
     feats = fbank(audio, dims.n_mels, frame_mask=mask)     # [B, F, mels]
     feats = feats * mask[..., None]
@@ -249,7 +308,10 @@ def convert_speechbrain_ecapa(sd: Dict[str, Any],
                 "bn1": bn("asp.tdnn.norm.norm"),
                 "conv2": conv("asp.conv.conv")},
         "asp_bn": bn("asp_bn.norm"),
-        "fc": conv("fc.conv.conv"),
+        # ECAPA_TDNN.fc is a single speechbrain Conv1d wrapper (inner torch
+        # conv at ".conv"), NOT a TDNNBlock — so one ".conv", unlike
+        # mfa/asp.tdnn above which nest TDNNBlock.conv -> Conv1d.conv.
+        "fc": conv("fc.conv"),
     }
     for bi in range(1, 4):
         pre = f"blocks.{bi}"
@@ -268,8 +330,10 @@ def convert_speechbrain_ecapa(sd: Dict[str, Any],
                         for i in range(n_res2)],
             "conv_out": conv(f"{pre}.tdnn2.conv.conv"),
             "bn_out": bn(f"{pre}.tdnn2.norm.norm"),
-            "se": {"fc1": conv(f"{pre}.se_block.conv1"),
-                   "fc2": conv(f"{pre}.se_block.conv2")},
+            # SEBlock.conv1/conv2 are speechbrain Conv1d wrappers too:
+            # the torch weights live one level down at ".conv".
+            "se": {"fc1": conv(f"{pre}.se_block.conv1.conv"),
+                   "fc2": conv(f"{pre}.se_block.conv2.conv")},
         }
         p["blocks"].append(blk)
     return p

@@ -71,9 +71,16 @@ def init_pyannet_params(key: jax.Array, dims: PyannetDims = PyannetDims()) -> Di
                 "w_hh": jax.random.normal(k2, (hidden, 4 * hidden)) * s,
                 "b": jnp.zeros((4 * hidden,))}
 
-    # SincNet: mel-spaced initial band edges (SincNet paper init).
-    low_hz = np.linspace(30, 7000, dims.sinc_filters).astype(np.float32)
-    band_hz = np.full(dims.sinc_filters, 100.0, np.float32)
+    # ParamSincFB init (asteroid_filterbanks.param_sinc_fb): HTK-mel-spaced
+    # band edges over [30 Hz, sr/2 - 100 Hz], HALF as many parameter rows
+    # as output channels — each band emits a cos/sin filter pair.
+    cutoff = dims.sinc_filters // 2
+    mel = np.linspace(2595.0 * np.log10(1 + 30.0 / 700),
+                      2595.0 * np.log10(1 + (dims.sample_rate / 2 - 100.0) / 700),
+                      cutoff + 1)
+    hz = 700.0 * (10.0 ** (mel / 2595.0) - 1)
+    low_hz = hz[:-1].astype(np.float32)
+    band_hz = np.diff(hz).astype(np.float32)
 
     p: Dict[str, Any] = {
         "sincnet": {
@@ -112,22 +119,37 @@ def init_pyannet_params(key: jax.Array, dims: PyannetDims = PyannetDims()) -> Di
 def sinc_filters(low_hz: jnp.ndarray, band_hz: jnp.ndarray, kernel: int,
                  sr: int, min_low_hz: float = 50.0,
                  min_band_hz: float = 50.0) -> jnp.ndarray:
-    """Learnable band-pass bank [kernel, 1, F] (SincNet formulation)."""
+    """Learnable analytic band-pass bank [kernel, 1, 2*nb] — asteroid
+    ``ParamSincFB`` semantics (what pyannote 3.x wraps in its SincNet:
+    ``Encoder(ParamSincFB(80, 251, stride=10))``): ``low_hz``/``band_hz``
+    hold nb = n_filters//2 band parameters; each band emits a cos-phase and
+    a sin-phase filter, INTERLEAVED (cos0, sin0, cos1, sin1, ...) exactly
+    like ``torch.stack([cos, sin], dim=1).view(-1, 1, K)`` so converted
+    checkpoint channel order matches the downstream trained convs."""
     low = min_low_hz + jnp.abs(low_hz)
     high = jnp.clip(low + min_band_hz + jnp.abs(band_hz), min_low_hz, sr / 2)
-    band = (high - low)[None, :]
+    band = (high - low)[None, :]                                # [1, nb]
 
     n = (kernel - 1) // 2
     t = (jnp.arange(-n, 0, dtype=jnp.float32) / sr)[:, None]   # left half
+    # np.hamming(kernel)[:n] — SYMMETRIC window (denominator kernel-1).
     window = 0.54 - 0.46 * jnp.cos(
-        2 * jnp.pi * jnp.arange(kernel, dtype=jnp.float32) / kernel)[:n, None]
+        2 * jnp.pi * jnp.arange(kernel, dtype=jnp.float32)
+        / (kernel - 1))[:n, None]
     two_pi_t = 2 * jnp.pi * t
-    left = (jnp.sin(high[None, :] * two_pi_t) - jnp.sin(low[None, :] * two_pi_t)) \
-        / (two_pi_t / 2) * window
-    center = 2 * band
-    filt = jnp.concatenate([left, center, left[::-1]], axis=0)
-    filt = filt / (2 * band)
-    return filt[:, None, :]   # [kernel, in=1, out=F]
+    ft_low = low[None, :] * two_pi_t                            # [n, nb]
+    ft_high = high[None, :] * two_pi_t
+    # cos filters: even-symmetric band-pass (the classic SincNet shape).
+    cos_left = (jnp.sin(ft_high) - jnp.sin(ft_low)) / (two_pi_t / 2) * window
+    cos_filt = jnp.concatenate(
+        [cos_left, 2 * band, cos_left[::-1]], axis=0) / (2 * band)
+    # sin filters: odd-symmetric quadrature mates (center 0, right negated).
+    sin_left = (jnp.cos(ft_low) - jnp.cos(ft_high)) / (two_pi_t / 2) * window
+    sin_filt = jnp.concatenate(
+        [sin_left, jnp.zeros_like(band), -sin_left[::-1]], axis=0) / (2 * band)
+    filt = jnp.stack([cos_filt, sin_filt], axis=-1)             # [K, nb, 2]
+    filt = filt.reshape(kernel, -1)                             # interleave
+    return filt[:, None, :]   # [kernel, in=1, out=2*nb]
 
 
 def _instance_norm(x: jnp.ndarray, p: Dict[str, jnp.ndarray],
@@ -265,18 +287,26 @@ def powerset_to_multilabel(log_probs: jnp.ndarray, n_speakers: int = 3) -> jnp.n
 def convert_pyannote_pyannet(sd: Dict[str, Any],
                              dims: PyannetDims = PyannetDims()) -> Dict[str, Any]:
     """pyannote PyanNet lightning state dict → our pytree (keys like
-    ``sincnet.conv1d.0.low_hz_``, ``lstm.weight_ih_l0``,
-    ``linear.0.weight``, ``classifier.weight``)."""
+    ``sincnet.conv1d.0.filterbank.low_hz_``, ``lstm.weight_ih_l0``,
+    ``linear.0.weight``, ``classifier.weight``).
+
+    pyannote 3.x builds ``conv1d[0] = Encoder(ParamSincFB(...))`` (asteroid
+    filterbanks), whose parameters live one level down at ``.filterbank.``;
+    the bare spelling is accepted too for older exports."""
     def np_(k):
         v = sd[k]
         return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach") else v)
+
+    def sinc_param(name):
+        nested = f"sincnet.conv1d.0.filterbank.{name}"
+        return np_(nested if nested in sd else f"sincnet.conv1d.0.{name}")
 
     p: Dict[str, Any] = {
         "sincnet": {
             "wav_norm": {"g": np_("sincnet.wav_norm1d.weight"),
                          "b": np_("sincnet.wav_norm1d.bias")},
-            "low_hz": np_("sincnet.conv1d.0.low_hz_").reshape(-1),
-            "band_hz": np_("sincnet.conv1d.0.band_hz_").reshape(-1),
+            "low_hz": sinc_param("low_hz_").reshape(-1),
+            "band_hz": sinc_param("band_hz_").reshape(-1),
             "norm0": {"g": np_("sincnet.norm1d.0.weight"),
                       "b": np_("sincnet.norm1d.0.bias")},
             "conv1": {"w": np_("sincnet.conv1d.1.weight").transpose(2, 1, 0),
@@ -321,7 +351,8 @@ def infer_pyannet_dims(params: Dict[str, Any],
     sn = params["sincnet"]
     return dataclasses.replace(
         fallback,
-        sinc_filters=int(np.shape(sn["low_hz"])[0]),
+        # Each ParamSincFB band parameter row emits a cos/sin filter PAIR.
+        sinc_filters=2 * int(np.shape(sn["low_hz"])[0]),
         conv_kernel=int(np.shape(sn["conv1"]["w"])[0]),
         conv_channels=int(np.shape(sn["conv1"]["w"])[2]),
         lstm_hidden=int(np.shape(params["lstm"][0]["fwd"]["w_hh"])[0]),

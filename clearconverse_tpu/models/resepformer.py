@@ -148,7 +148,16 @@ def _chunk(x: jnp.ndarray, K: int) -> Tuple[jnp.ndarray, int]:
 
 
 def _unchunk(x: jnp.ndarray, T: int) -> jnp.ndarray:
-    """[B, S, K, D] 50%-overlap chunks → [B, T, D] by overlap-add / 2."""
+    """[B, S, K, D] 50%-overlap chunks → [B, T, D] by coverage-weighted
+    overlap-add (interior /2, edges /1 — uniform gain everywhere).
+
+    Deliberate deviation from speechbrain's ``_over_add`` (which front-pads
+    K//2 zeros so EVERY position is covered twice, then sums = uniform 2×):
+    our chunking has no front pad, so averaging by coverage is the scheme
+    that keeps gain uniform. This matters only for importing a
+    speechbrain-TRAINED masknet — which convert_speechbrain_sepformer
+    refuses loudly rather than part-loading — not for weights trained or
+    exported within this framework."""
     B, S, K, D = x.shape
     hop = K // 2
     total = (S - 1) * hop + K
@@ -246,6 +255,21 @@ def convert_speechbrain_sepformer(encoder_sd: Dict[str, Any],
     # reference checkpoint is available to pin speechbrain's exact names.
     if "bottleneck.proj.weight" in masknet_sd:
         params = _import_masknet(params, masknet_sd, np_)
+    else:
+        # LOUD, not silent: a real speechbrain masknet state dict reaching
+        # this branch would otherwise run separation on random-init masknet
+        # weights with real encoder/decoder around it — garbage output with
+        # no trace (the reference's load_state_dict(strict=False) part-load
+        # is equally silent, but it falls back onto DOWNLOADED base weights;
+        # we have none). Re-export trained weights through
+        # train/checkpoint.py (sepformer_to_state_dicts) to import them.
+        import logging
+        logging.getLogger(__name__).warning(
+            "resepformer masknet state dict uses unrecognized naming "
+            "(first keys: %s); masknet stays at random init — only "
+            "encoder/decoder were imported. Export checkpoints via "
+            "sepformer_to_state_dicts for a full import.",
+            sorted(masknet_sd)[:3])
     return params
 
 

@@ -85,15 +85,15 @@ def _ecapa_state_dict(params) -> dict:
             bn(f"{pre}.res2net_block.blocks.{i}.norm.norm", b)
         conv(f"{pre}.tdnn2.conv.conv", blk["conv_out"])
         bn(f"{pre}.tdnn2.norm.norm", blk["bn_out"])
-        conv(f"{pre}.se_block.conv1", blk["se"]["fc1"])
-        conv(f"{pre}.se_block.conv2", blk["se"]["fc2"])
+        conv(f"{pre}.se_block.conv1.conv", blk["se"]["fc1"])
+        conv(f"{pre}.se_block.conv2.conv", blk["se"]["fc2"])
     conv("mfa.conv.conv", params["mfa"])
     bn("mfa.norm.norm", params["mfa_bn"])
     conv("asp.tdnn.conv.conv", params["asp"]["conv1"])
     bn("asp.tdnn.norm.norm", params["asp"]["bn1"])
     conv("asp.conv.conv", params["asp"]["conv2"])
     bn("asp_bn.norm", params["asp_bn"])
-    conv("fc.conv.conv", params["fc"])
+    conv("fc.conv", params["fc"])
     return sd
 
 
@@ -105,8 +105,12 @@ def _pyannet_state_dict(params) -> dict:
     sd = {
         "sincnet.wav_norm1d.weight": _t(sn["wav_norm"]["g"]),
         "sincnet.wav_norm1d.bias": _t(sn["wav_norm"]["b"]),
-        "sincnet.conv1d.0.low_hz_": _t(np.asarray(sn["low_hz"]).reshape(-1, 1)),
-        "sincnet.conv1d.0.band_hz_": _t(np.asarray(sn["band_hz"]).reshape(-1, 1)),
+        # Real pyannote 3.x nesting: Encoder(ParamSincFB) stores the band
+        # parameters at .filterbank. ([n_filters//2, 1] rows).
+        "sincnet.conv1d.0.filterbank.low_hz_":
+            _t(np.asarray(sn["low_hz"]).reshape(-1, 1)),
+        "sincnet.conv1d.0.filterbank.band_hz_":
+            _t(np.asarray(sn["band_hz"]).reshape(-1, 1)),
         "sincnet.norm1d.0.weight": _t(sn["norm0"]["g"]),
         "sincnet.norm1d.0.bias": _t(sn["norm0"]["b"]),
         "sincnet.conv1d.1.weight": _t(np.asarray(sn["conv1"]["w"]).transpose(2, 1, 0)),

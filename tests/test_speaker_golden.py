@@ -71,15 +71,15 @@ def _make_ecapa_sd(g):
             bn(f"{p}.res2net_block.blocks.{i}.norm.norm", w)
         conv(f"{p}.tdnn2.conv.conv", C, C, 1)
         bn(f"{p}.tdnn2.norm.norm", C)
-        conv(f"{p}.se_block.conv1", A, C, 1)
-        conv(f"{p}.se_block.conv2", C, A, 1)
+        conv(f"{p}.se_block.conv1.conv", A, C, 1)
+        conv(f"{p}.se_block.conv2.conv", C, A, 1)
     conv("mfa.conv.conv", M, 3 * C, 1)
     bn("mfa.norm.norm", M)
     conv("asp.tdnn.conv.conv", A, 3 * M, 1)
     bn("asp.tdnn.norm.norm", A)
     conv("asp.conv.conv", M, A, 1)
     bn("asp_bn.norm", 2 * M)
-    conv("fc.conv.conv", DIMS.embedding_dim, 2 * M, 1)
+    conv("fc.conv", DIMS.embedding_dim, 2 * M, 1)
     return sd
 
 
@@ -114,10 +114,10 @@ def _torch_ecapa(feats, sd):
         y = torch.cat(ys, dim=1)
         y = _torch_tdnn(y, sd, f"{p}.tdnn2.conv.conv", f"{p}.tdnn2.norm.norm")
         s = y.mean(dim=2, keepdim=True)
-        s = F.relu(F.conv1d(s, sd[f"{p}.se_block.conv1.weight"],
-                            sd[f"{p}.se_block.conv1.bias"]))
-        s = torch.sigmoid(F.conv1d(s, sd[f"{p}.se_block.conv2.weight"],
-                                   sd[f"{p}.se_block.conv2.bias"]))
+        s = F.relu(F.conv1d(s, sd[f"{p}.se_block.conv1.conv.weight"],
+                            sd[f"{p}.se_block.conv1.conv.bias"]))
+        s = torch.sigmoid(F.conv1d(s, sd[f"{p}.se_block.conv2.conv.weight"],
+                                   sd[f"{p}.se_block.conv2.conv.bias"]))
         x = res + y * s
         outs.append(x)
     x = _torch_tdnn(torch.cat(outs, dim=1), sd, "mfa.conv.conv",
@@ -136,8 +136,8 @@ def _torch_ecapa(feats, sd):
                           sd["asp_bn.norm.running_var"],
                           sd["asp_bn.norm.weight"], sd["asp_bn.norm.bias"],
                           training=False, eps=1e-5)
-    return F.conv1d(pooled, sd["fc.conv.conv.weight"],
-                    sd["fc.conv.conv.bias"])[:, :, 0]
+    return F.conv1d(pooled, sd["fc.conv.weight"],
+                    sd["fc.conv.bias"])[:, :, 0]
 
 
 def test_ecapa_full_graph_matches_torch():
@@ -166,29 +166,43 @@ PN = PyannetDims(sinc_filters=8, sinc_kernel=51, sinc_stride=10,
 
 def _torch_sinc_filters(low_hz, band_hz, kernel, sr,
                         min_low=50.0, min_band=50.0):
-    """Independent torch port of the SincNet band-pass formula."""
+    """Independent torch port of asteroid ParamSincFB.filters(): each band
+    parameter row emits a cos-phase and a sin-phase filter; pairs interleave
+    (stack(dim=1).view) and the window is the SYMMETRIC np.hamming half."""
     low = min_low + low_hz.abs()
     high = (low + min_band + band_hz.abs()).clamp(min_low, sr / 2)
     band = high - low
     n = (kernel - 1) // 2
     t = torch.arange(-n, 0, dtype=torch.float32) / sr
     window = (0.54 - 0.46 * torch.cos(
-        2 * math.pi * torch.arange(kernel, dtype=torch.float32) / kernel))[:n]
+        2 * math.pi * torch.arange(kernel, dtype=torch.float32)
+        / (kernel - 1)))[:n]
     tpt = 2 * math.pi * t
-    left = ((torch.sin(high[:, None] * tpt[None]) -
-             torch.sin(low[:, None] * tpt[None])) / (tpt[None] / 2)) * window[None]
-    filt = torch.cat([left, 2 * band[:, None], left.flip(-1)], dim=1)
-    return filt / (2 * band[:, None])      # [F, kernel]
+    cos_left = ((torch.sin(high[:, None] * tpt[None]) -
+                 torch.sin(low[:, None] * tpt[None]))
+                / (tpt[None] / 2)) * window[None]
+    cos_f = torch.cat([cos_left, 2 * band[:, None], cos_left.flip(-1)],
+                      dim=1) / (2 * band[:, None])
+    sin_left = ((torch.cos(low[:, None] * tpt[None]) -
+                 torch.cos(high[:, None] * tpt[None]))
+                / (tpt[None] / 2)) * window[None]
+    sin_f = torch.cat([sin_left, torch.zeros_like(band[:, None]),
+                       -sin_left.flip(-1)], dim=1) / (2 * band[:, None])
+    return torch.stack([cos_f, sin_f], dim=1).reshape(-1, kernel)  # [2nb, K]
 
 
 def _make_pyannet_sd(g):
     sd = {
         "sincnet.wav_norm1d.weight": _t((1,), g, 1.0).abs() + 0.5,
         "sincnet.wav_norm1d.bias": _t((1,), g, 0.2),
-        "sincnet.conv1d.0.low_hz_": torch.tensor(
-            np.linspace(40, 3000, PN.sinc_filters).astype(np.float32))[:, None],
-        "sincnet.conv1d.0.band_hz_": torch.tensor(
-            np.linspace(60, 400, PN.sinc_filters).astype(np.float32))[:, None],
+        # Real pyannote 3.x nesting: Encoder(ParamSincFB) stores the band
+        # parameters at .filterbank., HALF as many rows as output channels.
+        "sincnet.conv1d.0.filterbank.low_hz_": torch.tensor(
+            np.linspace(40, 3000, PN.sinc_filters // 2)
+            .astype(np.float32))[:, None],
+        "sincnet.conv1d.0.filterbank.band_hz_": torch.tensor(
+            np.linspace(60, 400, PN.sinc_filters // 2)
+            .astype(np.float32))[:, None],
     }
     for i, (cin, cout, k) in enumerate([
             (PN.sinc_filters, PN.sinc_filters, 0),      # norm0 only
@@ -219,9 +233,10 @@ def _torch_pyannet(wave, sd, lstm):
     x = wave[:, None, :]
     x = F.instance_norm(x, weight=sd["sincnet.wav_norm1d.weight"],
                         bias=sd["sincnet.wav_norm1d.bias"], eps=1e-5)
-    filt = _torch_sinc_filters(sd["sincnet.conv1d.0.low_hz_"].reshape(-1),
-                               sd["sincnet.conv1d.0.band_hz_"].reshape(-1),
-                               PN.sinc_kernel, PN.sample_rate)
+    filt = _torch_sinc_filters(
+        sd["sincnet.conv1d.0.filterbank.low_hz_"].reshape(-1),
+        sd["sincnet.conv1d.0.filterbank.band_hz_"].reshape(-1),
+        PN.sinc_kernel, PN.sample_rate)
     x = F.conv1d(x, filt[:, None, :], stride=PN.sinc_stride)
     x = torch.abs(x)
     x = F.max_pool1d(x, PN.pool)
@@ -468,3 +483,43 @@ def test_sepformer_full_graph_matches_torch():
                                 dims).numpy()
     assert ours.shape == want.shape
     np.testing.assert_allclose(ours, want, rtol=1e-3, atol=1e-4)
+
+
+# ------------------------------------------------------------ fbank frontend
+
+def _torch_sb_fbank(wave: torch.Tensor, n_mels: int) -> torch.Tensor:
+    """Independent torch port of speechbrain's Fbank + sentence-mean
+    InputNormalization: torch.stft with a PERIODIC hamming window and
+    CONSTANT center padding, power spectrum, HTK-mel symmetric triangles
+    (half-width = each center's left gap, no area norm),
+    10*log10(clamp(., 1e-10)) floored at utterance max - 80 dB, then
+    per-utterance mean subtraction. wave [B, T] -> [B, 1 + T//160, n_mels]."""
+    stft = torch.stft(wave, n_fft=400, hop_length=160, win_length=400,
+                      window=torch.hamming_window(400, periodic=True),
+                      center=True, pad_mode="constant", normalized=False,
+                      onesided=True, return_complex=True)
+    power = stft.real ** 2 + stft.imag ** 2          # [B, n_freq, frames]
+    mel = np.linspace(0.0, 2595.0 * np.log10(1 + 8000.0 / 700), n_mels + 2)
+    hz = 700.0 * (10.0 ** (mel / 2595.0) - 1)
+    f_central, band = hz[1:-1], (hz[1:] - hz[:-1])[:-1]
+    freqs = np.linspace(0, 8000, 201)
+    slope = (freqs[None, :] - f_central[:, None]) / band[:, None]
+    tri = np.maximum(0.0, np.minimum(slope + 1.0, -slope + 1.0))
+    fb = torch.tensor(tri.T.astype(np.float32))      # [n_freq, n_mels]
+    m = power.transpose(1, 2) @ fb                   # [B, frames, n_mels]
+    logm = 10.0 * torch.log10(torch.clamp(m, min=1e-10))
+    floor = logm.amax(dim=(-2, -1), keepdim=True) - 80.0
+    logm = torch.maximum(logm, floor)
+    return logm - logm.mean(dim=1, keepdim=True)
+
+
+def test_fbank_matches_torch_stft_reference():
+    g = np.random.default_rng(4)
+    wave = g.standard_normal((3, 8000)).astype(np.float32) * 0.3
+    # Row 2: quiet tail exercising the top_db floor.
+    wave[2, 2000:] *= 1e-6
+    ours = np.asarray(fbank(jnp.asarray(wave), 24))
+    with torch.no_grad():
+        want = _torch_sb_fbank(torch.tensor(wave), 24).numpy()
+    assert ours.shape == want.shape == (3, 51, 24)
+    np.testing.assert_allclose(ours, want, rtol=1e-4, atol=1e-3)

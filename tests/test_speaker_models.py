@@ -69,7 +69,7 @@ def test_cosine_similarity():
 def test_fbank_shape(rng):
     audio = jnp.asarray(rng.standard_normal((2, 4000)).astype(np.float32))
     f = fbank(audio, n_mels=24)
-    assert f.shape == (2, 25, 24)
+    assert f.shape == (2, 26, 24)   # torch.stft center=True: 1 + T//hop
     # Mean-normalized per utterance.
     np.testing.assert_allclose(np.asarray(jnp.mean(f, axis=1)), 0.0, atol=1e-4)
 
@@ -79,14 +79,19 @@ def test_fbank_shape(rng):
 def test_sinc_filters_are_bandpass():
     low = jnp.asarray([100.0, 1000.0])
     band = jnp.asarray([100.0, 500.0])
+    # 2 band params → 4 interleaved channels (cos0, sin0, cos1, sin1).
     filt = np.asarray(sinc_filters(low, band, 101, 16000))[:, 0, :]
-    spec = np.abs(np.fft.rfft(filt[:, 1], n=1024))
+    assert filt.shape[1] == 4
     freqs = np.fft.rfftfreq(1024, 1 / 16000)
-    peak = freqs[spec.argmax()]
-    # Filter 1: band 1050..1600 Hz → peak inside.
-    assert 900 < peak < 1800
-    # DC response ~ 0 (band-pass, not low-pass).
-    assert spec[0] < 0.05 * spec.max()
+    for ch in (2, 3):  # both phases of band 1: 1050..1600 Hz
+        spec = np.abs(np.fft.rfft(filt[:, ch], n=1024))
+        peak = freqs[spec.argmax()]
+        assert 900 < peak < 1800, ch
+        # DC response ~ 0 (band-pass, not low-pass).
+        assert spec[0] < 0.05 * spec.max(), ch
+    # Quadrature pair: the sin filter is odd-symmetric, the cos even.
+    np.testing.assert_allclose(filt[:, 2], filt[::-1, 2], atol=1e-6)
+    np.testing.assert_allclose(filt[:, 3], -filt[::-1, 3], atol=1e-6)
 
 
 def test_pyannet_output_shape(rng):
@@ -257,3 +262,24 @@ def test_sepformer_ckpt_triplet_roundtrip(tmp_path):
     again = convert_speechbrain_sepformer(*sds, TINY_SEP)
     for a, b2 in zip(jax.tree.leaves(params), jax.tree.leaves(again)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b2), atol=1e-6)
+
+
+def test_sepformer_unrecognized_masknet_warns(caplog):
+    """A real speechbrain masknet state dict (unknown naming) must NOT be
+    silently part-loaded: encoder/decoder import, masknet stays random —
+    and a loud warning says so (review finding: silence here means garbage
+    separation with no trace on day one)."""
+    import logging
+    from clearconverse_tpu.models.resepformer import (
+        SepformerDims, convert_speechbrain_sepformer, init_sepformer_params,
+        sepformer_to_state_dicts)
+
+    dims = SepformerDims(enc_channels=8, d_model=8, n_heads=2, chunk_size=10,
+                         n_repeats=1, n_intra_layers=1, n_inter_layers=1)
+    enc_sd, _, dec_sd = sepformer_to_state_dicts(
+        init_sepformer_params(jax.random.PRNGKey(0), dims))
+    alien = {"masknet.mdl.layers.0.weight": np.zeros((8, 8), np.float32)}
+    with caplog.at_level(logging.WARNING):
+        convert_speechbrain_sepformer(enc_sd, alien, dec_sd, dims)
+    assert any("unrecognized naming" in r.getMessage()
+               for r in caplog.records)
