@@ -200,6 +200,14 @@ def align_batch(params: Dict[str, Any], tokenizer,
         if n == 0:
             out.append([])
             continue
-        times = token_times(attn[b, P : P + n], n)  # text-token rows only
+        # whisper find_alignment slices weights[len(sot_sequence):-1]: token
+        # i's row is the one PREDICTING it (query input = previous token),
+        # i.e. one position before the token itself, and the final row
+        # (predicting eot) is aligned too so trailing audio attaches to eot
+        # rather than stretching the last word (split_to_word_tokens gets
+        # text_tokens + [eot]). With prefix length P (sot sequence +
+        # <|notimestamps|>) that is rows [P-1, P+n]; eot's span is dropped.
+        lo = max(P - 1, 0)
+        times = token_times(attn[b, lo : lo + n + 1], n + 1)[:n]
         out.append(word_timestamps(tokenizer, list(tokens[b, :n]), times))
     return out

@@ -90,6 +90,15 @@ class SpecialTokens:
 
 
 @lru_cache(maxsize=1)
+def _split_pattern():
+    """GPT-2's pre-tokenization split regex, compiled once per process."""
+    import regex  # transformers dependency, present in the image
+
+    return regex.compile(
+        r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+
+
+@lru_cache(maxsize=1)
 def _byte_unicode_map() -> Dict[int, str]:
     """GPT-2's bytes→printable-unicode bijection."""
     bs = list(range(ord("!"), ord("~") + 1)) + list(range(0xA1, 0xAD)) + list(range(0xAE, 0x100))
@@ -115,17 +124,22 @@ class BPETokenizer:
         b2u = _byte_unicode_map()
         self._b2u = b2u
         self._u2b = {u: b for b, u in b2u.items()}
+        self._bpe_cache: Dict[str, Tuple[str, ...]] = {}
 
     # -- encoding ----------------------------------------------------------
-    def _bpe(self, token: str) -> List[str]:
+    def _bpe(self, token: str) -> Tuple[str, ...]:
+        # The rolling-prompt path re-encodes overlapping context every 30 s
+        # window on a 1-core host; identical pieces recur constantly, so the
+        # merge walk is cached per piece (GPT-2 reference does the same).
+        cached = self._bpe_cache.get(token)
+        if cached is not None:
+            return cached
         word = list(token)
-        if len(word) < 2:
-            return word
-        while True:
+        while len(word) > 1:
             pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
             best = min(pairs, key=lambda p: self.ranks.get(p, 1 << 30))
             if best not in self.ranks:
-                return word
+                break
             merged, i = [], 0
             while i < len(word):
                 if i < len(word) - 1 and (word[i], word[i + 1]) == best:
@@ -135,16 +149,14 @@ class BPETokenizer:
                     merged.append(word[i])
                     i += 1
             word = merged
-            if len(word) == 1:
-                return word
+        out = tuple(word)
+        if len(self._bpe_cache) < 65536:
+            self._bpe_cache[token] = out
+        return out
 
     def encode(self, text: str) -> List[int]:
-        import regex  # transformers dependency, present in the image
-
-        pat = regex.compile(
-            r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
         ids: List[int] = []
-        for piece in pat.findall(text):
+        for piece in _split_pattern().findall(text):
             mapped = "".join(self._b2u[b] for b in piece.encode("utf-8"))
             for sub in self._bpe(mapped):
                 ids.append(self.vocab[sub])
@@ -179,32 +191,37 @@ class ByteFallbackTokenizer:
         return bytes(keep).decode("utf-8", errors="replace")
 
 
+# openai-whisper tokenizer.py non_speech_tokens: symbols suppressed when a
+# single token (with or without leading space)...
 _NON_SPEECH_SYMBOLS = (
     list('"#()*+/:;<=>@[\\]^_`{|}~「」『』')
-    + ["<<", ">>", "<<<", ">>>", "--", "---", "-(", "-[", "('", '("', "((",
-       "))", "(((", ")))", "[[", "]]", "{{", "}}", "♪♪", "♪♪♪", "♩", "♪",
-       "♫", "♬", "♭", "♮", "♯"])
+    + "<< >> <<< >>> -- --- -( -[ (' (\" (( )) ((( ))) [[ ]] {{ }} ♪♪ ♪♪♪".split())
+# ...and U+2640-267F miscellaneous symbols whose FIRST subtoken is suppressed
+# even when the symbol spans multiple tokens (safe: those lead bytes only
+# begin such symbols).
+_MISC_SYMBOLS = tuple("♩♪♫♬♭♮♯")
 
 
 def non_speech_tokens(tokenizer) -> Tuple[int, ...]:
-    """Whisper's default suppress list (``suppress_tokens="-1"``): token ids
-    whose text is a non-speech symbol, with and without a leading space.
-    Empty for the byte-fallback tokenizer (no linguistic vocabulary)."""
-    vocab = getattr(tokenizer, "vocab", None)
-    if not vocab:
+    """Whisper's default suppress list (``suppress_tokens="-1"``), replicated
+    from openai-whisper's ``Tokenizer.non_speech_tokens``: seeded with
+    ``encode(" -")[0]`` / ``encode(" '")[0]`` (hyphens/quotes allowed between
+    words but not starting one), then every non-speech symbol that encodes to
+    a single token, plus the first subtoken of each miscellaneous musical
+    symbol regardless of token count. Empty for the byte-fallback tokenizer
+    (no linguistic vocabulary)."""
+    if not getattr(tokenizer, "vocab", None):
         return ()
     ids = set()
-    b2u = _byte_unicode_map()
-
-    def lookup(text: str) -> Optional[int]:
-        mapped = "".join(b2u[b] for b in text.encode("utf-8"))
-        return vocab.get(mapped)
-
-    for sym in _NON_SPEECH_SYMBOLS:
+    for seed in (" -", " '"):
+        enc = tokenizer.encode(seed)
+        if enc:
+            ids.add(enc[0])
+    for sym in _NON_SPEECH_SYMBOLS + list(_MISC_SYMBOLS):
         for cand in (sym, " " + sym):
-            tid = lookup(cand)
-            if tid is not None:
-                ids.add(tid)
+            enc = tokenizer.encode(cand)
+            if enc and (len(enc) == 1 or sym in _MISC_SYMBOLS):
+                ids.add(enc[0])
     return tuple(sorted(ids))
 
 

@@ -179,9 +179,9 @@ def ahc_cluster(embeddings: np.ndarray, threshold: float = 0.7,
 def cluster_speakers(embeddings: np.ndarray, threshold: float = 0.7,
                      min_speakers: int = 1,
                      max_speakers: Optional[int] = None) -> np.ndarray:
-    """Speaker-count-constrained clustering: AHC, then if the count exceeds
-    ``max_speakers`` keep merging closest pairs regardless of threshold."""
-    labels = ahc_cluster(embeddings, threshold, min_speakers, max_speakers)
-    if max_speakers is not None and labels.max(initial=0) + 1 > max_speakers:
-        labels = ahc_cluster(embeddings, np.inf, max_speakers, max_speakers)
-    return labels
+    """Speaker-count-constrained clustering. ``ahc_cluster`` itself keeps
+    merging past the threshold while the count exceeds ``max_speakers``
+    (its break requires BOTH d > threshold and not over-cap), so the cap
+    is already enforced for any min_speakers ≤ max_speakers — this is the
+    stable public name the diarizer calls."""
+    return ahc_cluster(embeddings, threshold, min_speakers, max_speakers)

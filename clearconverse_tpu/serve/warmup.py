@@ -89,7 +89,8 @@ def triangle_for_width(width: int, duration_s: int, sr: int) -> np.ndarray:
 
 def warm_decode_shapes(engine, drive: Callable[[str, Callable], None],
                        durations=(5.0, 10.0, 30.0)) -> None:
-    """Deterministically compile the decode programs for EVERY row bucket.
+    """Deterministically compile the decode programs for EVERY row bucket,
+    in the VARIANTS production dispatches.
 
     The engine pads decode batches to power-of-two row buckets
     (pipeline/bundle._row_bucket), and which buckets a request hits is
@@ -99,16 +100,31 @@ def warm_decode_shapes(engine, drive: Callable[[str, Callable], None],
     particular decode happened to produce — a live server can still hit a
     minutes-long tunnel compile on an unlucky request shape (measured: the
     engine bench's t=0.1 mode kept finding fresh row buckets two runs
-    after its cold pass). This stage drives transcribe_long_batch at every
-    row bucket × {empty, context-sized} prompt, and transcribe_batch at
-    the bucket extremes for each duration bucket, all through the
-    deployment's own config (so replicas/rungs match production)."""
-    from clearconverse_tpu.pipeline.bundle import ModelBundle, _row_bucket
+    after its cold pass).
+
+    Variant coverage matters as much as bucket coverage: a real bundle has
+    ``supports_store=True``, so live requests decode through STORE-backed
+    batches (greedy_decode_from_store — a different jitted program per
+    (row bucket, window bucket, prompt bucket) than the from-audio one).
+    This stage therefore drives store-backed batches for the long >30 s
+    path (every row bucket × prompt bucket, 30 s windows — the engine's
+    ``store_groups(..., fixed_bucket=win)``) and the short path (every row
+    bucket × duration bucket); the host-array short variant — production's
+    separated-overlap-clip path (those units carry no store ref) — is
+    driven at every row bucket × duration too. All through the
+    deployment's own config (so replicas/rungs match production). Short
+    drives use empty prompts (p4) plus p64 at the row extremes; other
+    short × prompt-bucket combinations stay cold until first hit — add
+    them here if a deployment's logs show them."""
+    from clearconverse_tpu.pipeline.bundle import (ModelBundle, StoreBatch,
+                                                   _row_bucket)
     from clearconverse_tpu.pipeline.dev_backend import SR
 
     bundle = getattr(engine, "models", None)
     if not isinstance(bundle, ModelBundle):
         return
+    import jax.numpy as jnp
+
     temp = engine.config.temperature
     cap = _row_bucket(max(int(engine.config.transcription_batch_size), 1))
     row_buckets = []
@@ -120,6 +136,15 @@ def warm_decode_shapes(engine, drive: Callable[[str, Callable], None],
                        None)
     durations = tuple(cfg_durs) if cfg_durs else tuple(durations)
     rng = np.random.default_rng(0)
+
+    def store_rows(n: int, dur_samples: int) -> StoreBatch:
+        """n full-window rows into a fresh device store — the layout the
+        engine's iter_store_batches produces for gated original audio."""
+        audio = rng.standard_normal((n, dur_samples)).astype(np.float32) * 0.1
+        store = bundle.make_store(jnp.asarray(audio), SR)
+        return StoreBatch(store, np.arange(n), np.zeros(n, np.int32),
+                          np.full(n, dur_samples, np.int32), dur_samples)
+
     # Prompt lengths land in EVERY prompt bucket (bundle._prompt_batch
     # buckets max_prompt_len into 4/16/64/256): empty → 4, then texts
     # sized so both the real GPT-2 BPE (~2 tokens/word) and the
@@ -130,20 +155,30 @@ def warm_decode_shapes(engine, drive: Callable[[str, Callable], None],
     prompts = {"p4": "", "p16": "ctx " * 3, "p64": "ctx " * 9,
                "p256": "ctx " * 100}
     for n in row_buckets:
-        audio = rng.standard_normal((n, 30 * SR)).astype(np.float32) * 0.1
+        sb = store_rows(n, 30 * SR)
         lens = np.full(n, 30 * SR)
         for pname, prompt in prompts.items():
             drive(f"decode long-window rows={n} prompt={pname}",
-                  lambda a=audio, p=prompt, ln=lens, k=n:
-                  bundle.transcribe_long_batch(a, [p] * k, ln,
+                  lambda sb=sb, p=prompt, ln=lens, k=n:
+                  bundle.transcribe_long_batch(sb, [p] * k, ln,
                                                temperature=temp))
-    for n in (row_buckets[0], row_buckets[-1]):
+    for n in row_buckets:
         for dur in durations:
+            sb = store_rows(n, int(dur) * SR)
+            drive(f"decode short store rows={n} duration={dur}s",
+                  lambda sb=sb, k=n:
+                  bundle.transcribe_batch(sb, [""] * k, temperature=temp))
             audio = rng.standard_normal((n, int(dur) * SR)) \
                 .astype(np.float32) * 0.1
-            drive(f"decode short rows={n} duration={dur}s",
+            drive(f"decode short host rows={n} duration={dur}s",
                   lambda a=audio, k=n:
                   bundle.transcribe_batch(a, [""] * k, temperature=temp))
+    for n in (row_buckets[0], row_buckets[-1]):
+        sb = store_rows(n, int(durations[-1]) * SR)
+        drive(f"decode short store rows={n} prompt=p64",
+              lambda sb=sb, k=n:
+              bundle.transcribe_batch(sb, [prompts["p64"]] * k,
+                                      temperature=temp))
 
 
 def run_warmup(durations=(30, 60), file_counts=(1, 8), widths: bool = True,
@@ -166,7 +201,10 @@ def run_warmup(durations=(30, 60), file_counts=(1, 8), widths: bool = True,
 
     def drive(label: str, fn) -> None:
         t0 = time.perf_counter()
-        extra = fn() or ""
+        ret = fn()
+        # Only engine passes return a status STRING; decode/width drives
+        # return their (large) transcription results — never log those.
+        extra = ret if isinstance(ret, str) else ""
         dt = time.perf_counter() - t0
         entries.append({"drive": label, "seconds": round(dt, 1)})
         log(f"  {label}: {dt:.1f}s{extra}")

@@ -124,6 +124,34 @@ def test_dtw_path_matches_scalar_reference():
         assert dtw_path(attn) == scalar_dtw(attn)
 
 
+def test_align_batch_uses_predicting_rows(monkeypatch):
+    """whisper's find_alignment aligns token i with the attention row that
+    PREDICTS it (matrix = weights[len(sot_sequence):-1]) — the row whose
+    query input is the previous token — not the row where token i is the
+    input. With a diagonal attention stub (row r attends frame r), prefix
+    length P=4 and 3 text tokens must therefore map to frames 3,4,5."""
+    import clearconverse_tpu.models.alignment as amod
+
+    def stub(params, tokens, audio, dims, compute_dtype=None):
+        B, T = np.asarray(tokens).shape
+        F = 25
+        attn = np.zeros((B, T, F), np.float32)
+        for r in range(T):
+            attn[:, r, min(r, F - 1)] = 1.0
+        return jnp.asarray(attn)
+
+    monkeypatch.setattr(amod, "cross_attention_weights", stub)
+    tok = ByteFallbackTokenizer()
+    tokens = np.array([[ord("a"), ord("b"), ord("c"), 0]], np.int32)
+    lengths = np.array([3])
+    words = amod.align_batch({}, tok, tokens, lengths, None, TINY,
+                             prefixes=[[1, 2, 3, 4]], eot=9)
+    # One word "abc": starts at frame P-1 = 3, ends at frame 5 (+1 frame).
+    assert [w["word"] for w in words[0]] == ["abc"]
+    assert words[0][0]["start"] == pytest.approx(3 * 0.02)
+    assert words[0][0]["end"] == pytest.approx(6 * 0.02)
+
+
 def test_align_batch_replays_full_sot_conditioning(monkeypatch):
     """align_batch teacher rows are [prefix..., text..., eot, pad...] with
     the text rows sliced for DTW — whisper find_alignment's exact replay

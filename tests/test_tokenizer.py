@@ -236,7 +236,7 @@ def test_merges_from_ranks_rejects_first_valid_split():
     assert ("a", "bc") not in merges
     # And the table still encodes "abc" to the single merged token.
     tok = BPETokenizer(vocab, merges, english=True)
-    assert tok._bpe("abc") == ["abc"]
+    assert tok._bpe("abc") == ("abc",)
 
 
 def test_load_tokenizer_from_tiktoken_file(tmp_path):
@@ -340,16 +340,25 @@ def test_real_gpt2_assets_non_speech_list():
     d = _real_assets_dir()
     if d is None:
         pytest.skip("real GPT-2 assets not present (parity/assets/gpt2)")
-    from clearconverse_tpu.models.tokenizer import (_NON_SPEECH_SYMBOLS,
+    from clearconverse_tpu.models.tokenizer import (_MISC_SYMBOLS,
+                                                    _NON_SPEECH_SYMBOLS,
                                                     load_tokenizer,
                                                     non_speech_tokens)
     tok = load_tokenizer(d, english=True)
     ids = non_speech_tokens(tok)
     assert len(ids) > 50
+    # whisper's seeds: hyphen/quote suppressed at word start only.
+    assert tok.encode(" -")[0] in ids
+    assert tok.encode(" '")[0] in ids
+    # every id is a whole symbol, a seed, or the first subtoken of a
+    # (possibly multi-token) miscellaneous musical symbol.
     symbols = set(_NON_SPEECH_SYMBOLS)
+    misc_firsts = {tok.encode(c)[0] for c in _MISC_SYMBOLS}
+    misc_firsts |= {tok.encode(" " + c)[0] for c in _MISC_SYMBOLS}
     for i in ids:
         text = tok.decode([i], skip_special=False)
-        assert text in symbols or text.lstrip(" ") in symbols, (i, text)
-    for sym in ('"', "#", "(", ")", "♪"):
+        assert (text in symbols or text.lstrip(" ") in symbols
+                or text in (" -", " '") or i in misc_firsts), (i, text)
+    for sym in ('"', "#", "(", ")"):
         assert any(tok.decode([i], skip_special=False).lstrip(" ") == sym
                    for i in ids)

@@ -65,9 +65,13 @@ def test_run_warmup_drives_every_combination():
 
 def test_warm_decode_shapes_covers_every_row_bucket():
     """The decode-shape stage drives transcribe_long_batch at every
-    power-of-two row bucket (× prompt buckets) and transcribe_batch at the
-    bucket extremes — through a real ModelBundle with the deployment
-    config, so the warmed programs ARE the serving programs."""
+    power-of-two row bucket (× prompt buckets) STORE-BACKED — the variant
+    production dispatches (supports_store engines group windows into
+    StoreBatches; greedy_decode_from_store is a different jitted program
+    than from-audio) — and transcribe_batch at every row bucket × duration
+    in BOTH variants (store = diarized original-audio segments, host =
+    separated overlap clips) — through a real ModelBundle with the
+    deployment config, so the warmed programs ARE the serving programs."""
     import jax
     from clearconverse_tpu.config import Config, TPUConfig
     from clearconverse_tpu.models.tokenizer import ByteFallbackTokenizer
@@ -91,19 +95,46 @@ def test_warm_decode_shapes_covers_every_row_bucket():
         models = bundle
         config = bundle.config
 
+    from clearconverse_tpu.pipeline.bundle import StoreBatch
+
     drives = []
+    store_drives = []
 
     def drive(label, fn):
-        fn()
+        res = fn()
         drives.append(label)
+        return res
 
+    real_long = bundle.transcribe_long_batch
+    real_short = bundle.transcribe_batch
+
+    def spy_long(audio, *a, **kw):
+        store_drives.append(("long", isinstance(audio, StoreBatch)))
+        return real_long(audio, *a, **kw)
+
+    def spy_short(audio, *a, **kw):
+        store_drives.append(("short", isinstance(audio, StoreBatch)))
+        return real_short(audio, *a, **kw)
+
+    bundle.transcribe_long_batch = spy_long
+    bundle.transcribe_batch = spy_short
     warm_decode_shapes(_Eng(), drive, durations=(5,))
     buckets = ["p4", "p16", "p64", "p256"]
     assert drives == (
         [f"decode long-window rows={n} prompt={p}"
          for n in (1, 2) for p in buckets]
-        + ["decode short rows=1 duration=5s",
-           "decode short rows=2 duration=5s"])
+        + ["decode short store rows=1 duration=5s",
+           "decode short host rows=1 duration=5s",
+           "decode short store rows=2 duration=5s",
+           "decode short host rows=2 duration=5s",
+           "decode short store rows=1 prompt=p64",
+           "decode short store rows=2 prompt=p64"])
+    # Long drives are ALL store-backed (production's store_groups path);
+    # short drives alternate store/host per the labels.
+    assert all(is_store for kind, is_store in store_drives
+               if kind == "long")
+    short_flags = [s for k, s in store_drives if k == "short"]
+    assert short_flags == [True, False, True, False, True, True]
 
     # The prompt ladder must actually LAND in every prompt-length bucket
     # (4/16/64/256) — under the byte-fallback tokenizer here, and sized so
