@@ -41,6 +41,15 @@ def main(argv=None) -> int:
         print("no audio files found", file=sys.stderr)
         return 1
 
+    # Ground-truth flags describe ONE file; pairing them with files[0] of a
+    # directory listing would silently score the alphabetically first file
+    # against someone else's transcript. Validate BEFORE the confirmation
+    # prompt — everything needed is known here.
+    if (args.gt_text or args.gt_rttm) and len(files) > 1:
+        print("--gt-text/--gt-rttm require --audio_file (a single file); "
+              f"got {len(files)} files from --audio_dir", file=sys.stderr)
+        return 1
+
     configs = build_sweep_grid(limit=args.limit or None)
     print(f"{len(files)} file(s) × {len(configs)} configuration(s) "
           f"= {len(files) * len(configs)} runs → {args.output_dir}/")
@@ -50,14 +59,10 @@ def main(argv=None) -> int:
             print("aborted")
             return 1
 
-    # Ground-truth flags describe ONE file; pairing them with files[0] of a
-    # directory listing would silently score the alphabetically first file
-    # against someone else's transcript.
-    if (args.gt_text or args.gt_rttm) and len(files) > 1:
-        print("--gt-text/--gt-rttm require --audio_file (a single file); "
-              f"got {len(files)} files from --audio_dir", file=sys.stderr)
-        return 1
-    gt_text = {files[0]: open(args.gt_text).read()} if args.gt_text else None
+    gt_text = None
+    if args.gt_text:
+        with open(args.gt_text, encoding="utf-8") as fh:
+            gt_text = {files[0]: fh.read()}
     gt_rttm = {files[0]: args.gt_rttm} if args.gt_rttm else None
     results = run_sweep(files, args.output_dir, configs=configs,
                         ground_truth_text=gt_text, ground_truth_rttm=gt_rttm)

@@ -79,7 +79,9 @@ def _rasterize(segments: Sequence[LabeledSegment], speakers: List[str],
     grid = np.zeros((n_frames, len(speakers)), bool)
     index = {s: i for i, s in enumerate(speakers)}
     for start, end, spk in segments:
-        lo = int(round(start / resolution))
+        # Clamp at 0: a slightly negative start (collar/padding arithmetic
+        # upstream) must not wrap the numpy slice and erase the segment.
+        lo = max(int(round(start / resolution)), 0)
         hi = min(int(round(end / resolution)), n_frames)
         grid[lo:hi, index[spk]] = True
     return grid

@@ -70,6 +70,10 @@ def word_error_rate(reference: str, hypothesis: str,
     ref = normalize_text(reference) if normalize else reference.split()
     hyp = normalize_text(hypothesis) if normalize else hypothesis.split()
     if not ref:
-        return 0.0 if not hyp else float(len(hyp))
+        # An empty (post-normalization) reference has no defined rate
+        # (jiwer raises here). Cap at 1.0 so one filler-only reference
+        # can't contribute a word COUNT to a mean-WER aggregate and
+        # swamp a parity sign-off.
+        return 0.0 if not hyp else 1.0
     ops = edit_ops(ref, hyp)
     return (ops["substitutions"] + ops["deletions"] + ops["insertions"]) / len(ref)

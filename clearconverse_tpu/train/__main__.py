@@ -28,6 +28,9 @@ def main(argv=None) -> int:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-5)
     ap.add_argument("--max_tokens", type=int, default=128)
+    ap.add_argument("--language", default="en",
+                    help="dataset language code (multilingual models: "
+                    "sets the <|lang|> prompt token inference will use)")
     ap.add_argument("--export", help="export whisper-ft overlay to this dir")
     ap.add_argument("--checkpoint", help="orbax checkpoint dir")
     ap.add_argument("--remat", action="store_true",
@@ -62,8 +65,18 @@ def main(argv=None) -> int:
         params = init_whisper_params(jax.random.PRNGKey(0), dims)
     tok = load_tokenizer(args.model_dir, english=args.model.endswith(".en"))
     sp = tok.specials
+    # Train on the SAME prompt prefix inference uses (bundle._prompt_batch):
+    # bare [sot] for .en models, [sot, <|lang|>, <|transcribe|>] for
+    # multilingual — each followed by <|notimestamps|>. Hand-rolling
+    # [sot, no_timestamps] for a multilingual model would fine-tune on a
+    # prompt (and token positions) the serving path never produces.
+    if sp.english_only:
+        prefix = [sp.sot, sp.no_timestamps]
+    else:
+        prefix = list(sp.sot_sequence(sp.language_token(args.language))) \
+            + [sp.no_timestamps]
 
-    # Build the dataset: mel [N,80,3000]; tokens = [sot, text..., eot].
+    # Build the dataset: mel [N,80,3000]; tokens = [prefix, text..., eot].
     examples = []
     for name in sorted(os.listdir(args.data_dir)):
         if not name.endswith(".wav"):
@@ -74,8 +87,10 @@ def main(argv=None) -> int:
         wave, _ = load_audio(os.path.join(args.data_dir, name), denoise=False)
         mel = np.asarray(log_mel_spectrogram(
             pad_or_trim(jnp.asarray(wave)[None], 30 * 16000)))[0]
-        ids = [sp.sot, sp.no_timestamps] + tok.encode(
-            open(txt).read().strip())[: args.max_tokens - 3] + [sp.eot]
+        with open(txt, encoding="utf-8") as fh:
+            text = fh.read().strip()
+        ids = prefix + tok.encode(text)[: args.max_tokens - len(prefix) - 1] \
+            + [sp.eot]
         examples.append((mel, ids))
     if not examples:
         print("no (wav, txt) pairs found")
@@ -91,7 +106,6 @@ def main(argv=None) -> int:
         data_mask[i, : len(ids) - 1] = 1.0
 
     d, m = (int(v) for v in args.mesh.split("x"))
-    import jax
     n_dev = len(jax.devices())
     if 1 < d * m < n_dev:
         # Training on a submesh usually means a misconfiguration leaving

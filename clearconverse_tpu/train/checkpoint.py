@@ -142,6 +142,5 @@ def export_whisper_pt(params: Dict[str, Any], dims: WhisperDims,
         "model_state_dict": sd,
     }
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    import torch as _t
-    _t.save(payload, path)
+    torch.save(payload, path)
     return path

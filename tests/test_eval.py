@@ -47,7 +47,19 @@ def test_wer_normalization():
 
 def test_wer_empty_reference():
     assert word_error_rate("", "") == 0.0
-    assert word_error_rate("", "a b") == 2.0
+    # Empty (post-normalization) reference: capped at 1.0 so one
+    # filler-only file can't contribute a word COUNT to a mean-WER
+    # aggregate (jiwer raises here; a mean needs a bounded value).
+    assert word_error_rate("", "a b") == 1.0
+
+
+def test_der_negative_start_clamped():
+    # A slightly negative hypothesis start (collar/padding arithmetic)
+    # must not wrap the raster slice and erase the segment.
+    from clearconverse_tpu.eval.der import diarization_error_rate
+    r = diarization_error_rate([(0.0, 10.0, "A")], [(-0.1, 10.0, "A")],
+                               collar=0.0)
+    assert r["der"] < 0.02
 
 
 # ------------------------------------------------------------------- DER
