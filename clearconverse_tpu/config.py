@@ -118,6 +118,13 @@ class TPUConfig:
     # attention everywhere so encoder numerics never depend on batch
     # composition — set for parity-sensitive eval runs (ADVICE r2).
     pallas_encoder_attn: bool = True
+    # Download the gated-audio batch on a worker thread, overlapped with
+    # the engine's device-side analysis phases (True, default) vs
+    # synchronously inside the load stage (False). The overlap contends
+    # with the analysis phases' tunnel RPCs (segmentation measured
+    # 0.09 -> 0.47 s/pass under it) but hides the download's own
+    # 0.2-0.6 s/pass; A/B via CC_TPU_HOST_ASYNC per deployment.
+    host_async_download: bool = True
     # Compute dtype for matmuls (MXU-native).
     compute_dtype: str = "bfloat16"
     # Run all Pallas kernels in interpreter mode (CPU testing).
@@ -155,6 +162,8 @@ def tpu_config_from_env(env: Optional[dict] = None) -> "TPUConfig":
         ("CC_TPU_PALLAS_ENC", "pallas_encoder_attn",
          lambda v: v not in ("0", "false", "False")),
         ("CC_TPU_PAD_FULL_WINDOW", "pad_to_full_window",
+         lambda v: v not in ("0", "false", "False")),
+        ("CC_TPU_HOST_ASYNC", "host_async_download",
          lambda v: v not in ("0", "false", "False")),
         # "auto" => None => per-row language detection (multilingual only).
         ("CC_TPU_LANGUAGE", "language",

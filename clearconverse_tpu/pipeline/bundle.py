@@ -280,6 +280,11 @@ class ModelBundle:
             self._ecapa = self._load_ecapa()
             self._pyannet = self._load_pyannet()
             cb(100, "Models loaded")
+            # Freshly loaded params are on the default device; a RE-load on
+            # a multichip bundle must re-shard/replicate them (see
+            # load_native).
+            self._whisper_placed = False
+            self._aux_placed = False
             self._loaded = True
             return True
         except Exception as exc:  # noqa: BLE001 — load failure is recoverable
@@ -429,6 +434,12 @@ class ModelBundle:
         self._ecapa = payload["ecapa"]
         self._pyannet = payload["pyannet"]
         self._sepformer = payload["sepformer"]
+        # Hot-swapped params land on the default device — force the next
+        # _whisper_on_mesh/_place_aux to re-shard/replicate them, or a
+        # multichip bundle would feed unsharded single-device params into
+        # mesh-sharded programs.
+        self._whisper_placed = False
+        self._aux_placed = False
         self._loaded = True
 
     # ------------------------------------------------------------- compute

@@ -416,7 +416,8 @@ class TranscriptionEngine:
                 hosts, dev_batch, row_map = load_audio_many(
                     file_paths, sr0, self.config.noise_reduction_amount,
                     return_device=True, stage_times=load_sub,
-                    host_async=True, wire_bits=self.tpu.wire_bits,
+                    host_async=self.tpu.host_async_download,
+                    wire_bits=self.tpu.wire_bits,
                     wire_info=self.last_run_wire)
             if dev_batch is not None:
                 # Keep the gated audio resident on device: decode and
