@@ -25,6 +25,18 @@ record; the driver may keep either the first or the last):
      engages exactly as it does on real speech (VERDICT r3 next #5); the
      ``engine.wire`` block records what actually crossed the tunnel.
 
+  3. (budget permitting, same merged line) ``engine_ref_default``: the
+     engine at the REFERENCE's default decode config (temperature 0.1 =>
+     best_of=5, back/api.py:128) and ``latency``: warm single-request
+     wall clock for one 60 s file — both reusing the warm engine, so the
+     round's honest parity-config and user-felt numbers are
+     driver-captured, not builder-attested (VERDICT r4 #2b).
+
+All engine stage telemetry is per-pass MEDIANS plus raw ``per_pass_s``
+lists (VERDICT r4 #2a/weak #3: summed stages made one executable-install-
+skewed pass read as a stage regression — exactly the false "segmentation
+5x" signal in BENCH_r04).
+
 The engine bench runs under a wall-clock budget (CC_BENCH_BUDGET_S /
 --budget, default 2400 s from process start): warm repeats degrade to fit
 the remaining budget and the engine block reports ``budget_truncated``
@@ -59,9 +71,56 @@ def _emit(line: dict) -> None:
     print(json.dumps(line), flush=True)
 
 
+def _run_passes(engine, paths, repeats: int, budget_s: float,
+                est0: float = 60.0):
+    """Timed warm passes with per-pass stage capture.
+
+    Returns (per_pass_s, pass_stages, truncated, last_results). Each
+    pass_stages entry is that pass's OWN stage dict plus its own
+    ``untracked`` residual — per-pass capture is what lets the report
+    use medians, so one install-skewed pass (a per-process executable
+    install can cost seconds even on compile-cache hits) no longer
+    poisons the telemetry (VERDICT r4 weak #3)."""
+    per_pass, pass_stages, truncated, results = [], [], False, None
+    for _ in range(repeats):
+        # Deadline check BEFORE each warm pass: a pass costs about what the
+        # previous one did; if that estimate overruns the budget, stop with
+        # the passes already banked instead of dying rc=124 with nothing.
+        est = max(per_pass) if per_pass else est0
+        if per_pass and _remaining(budget_s) < est * 1.5:
+            truncated = True
+            break
+        t0 = time.perf_counter()
+        results = engine.process_files(paths)
+        dt = time.perf_counter() - t0
+        per_pass.append(dt)
+        st = dict(getattr(engine, "last_run_stage_times", {}))
+        # Dotted keys (e.g. load_gate.upload_gate) decompose a parent span —
+        # exclude them from the untracked residual or they double-count.
+        top_level = sum(v for k, v in st.items() if "." not in k)
+        st["untracked"] = max(dt - top_level, 0.0)
+        pass_stages.append(st)
+    return per_pass, pass_stages, truncated, results
+
+
+def _stage_medians(pass_stages) -> dict:
+    """Per-pass MEDIAN of each stage across warm passes (VERDICT r4 #2a:
+    the old pass-summed stage_seconds could not distinguish a stage
+    regression from one pass's executable-install skew)."""
+    import statistics
+    keys = set()
+    for st in pass_stages:
+        keys.update(st)
+    med = {k: statistics.median([st.get(k, 0.0) for st in pass_stages])
+           for k in keys}
+    return {k: round(v, 3)
+            for k, v in sorted(med.items(), key=lambda kv: -kv[1])}
+
+
 def bench_engine(n_files: int, repeats: int,
                  temperature: float = 0.0,
-                 budget_s: float = float("inf")) -> dict:
+                 budget_s: float = float("inf"),
+                 _share: dict | None = None) -> dict:
     """Full-pipeline RTFx: process_files over synthetic conversations.
 
     Returns {"rtfx_warm_best": ..., "rtfx_warm_mean": ...,
@@ -152,27 +211,8 @@ def bench_engine(n_files: int, repeats: int,
     # code within an hour), so a single-pass sample mostly measures the
     # tunnel's mood. Best-of-N is the machine's capability; the mean is
     # kept alongside.
-    per_pass = []
-    stage_sums: dict = {}
-    truncated = False
-    for _ in range(repeats):
-        # Deadline check BEFORE each warm pass: a pass costs about what the
-        # previous one did; if that estimate overruns the budget, stop with
-        # the passes already banked instead of dying rc=124 with nothing.
-        est = max(per_pass) if per_pass else 60.0
-        if per_pass and _remaining(budget_s) < est * 1.5:
-            truncated = True
-            break
-        t0 = time.perf_counter()
-        results = engine.process_files(paths)
-        per_pass.append(time.perf_counter() - t0)
-        # Run-level stage decomposition (VERDICT r2 weak #2): where the
-        # wall clock of each warm pass went, summed across passes. Shared
-        # batched phases come from the engine's run timer; per-file
-        # residue (e.g. overlap resegmentation) lives inside
-        # prepare_files.
-        for k, v in getattr(engine, "last_run_stage_times", {}).items():
-            stage_sums[k] = stage_sums.get(k, 0.0) + v
+    per_pass, pass_stages, truncated, results = _run_passes(
+        engine, paths, repeats, budget_s)
 
     # Explicit keys (no ambiguous "rtfx_warm"): _best is the headline —
     # the machine's capability — _mean includes whatever congestion the
@@ -180,25 +220,27 @@ def bench_engine(n_files: int, repeats: int,
     pass_audio = sum(len(base) / SR for _ in paths)
     segs = sum(len(r["segments"]) for r in results if r)
     warm_total = sum(per_pass)
-    stages = {k: round(v, 3) for k, v in
-              sorted(stage_sums.items(), key=lambda kv: -kv[1])}
-    # Dotted keys (e.g. load_gate.upload_gate) decompose a parent span —
-    # exclude them from the untracked residual or they double-count.
-    top_level = sum(v for k, v in stage_sums.items() if "." not in k)
-    stages["untracked"] = round(max(warm_total - top_level, 0.0), 3)
+    if _share is not None:
+        _share["engine"] = engine
+        _share["paths"] = paths
+        _share["pass_audio"] = pass_audio
     out = {"rtfx_warm_best": round(pass_audio / min(per_pass), 2),
            "rtfx_warm_mean": round(pass_audio * len(per_pass) / warm_total,
                                    2),
            "audio_seconds": round(pass_audio * len(per_pass), 1),
            "files": n_files, "segments_per_pass": segs,
            "warm_passes": len(per_pass),
+           # Raw per-pass wall clocks — makes install skew on any single
+           # pass visible in the driver JSON (VERDICT r4 weak #3).
+           "per_pass_s": [round(t, 3) for t in per_pass],
            # What actually crossed the tunnel for the audio upload —
            # format/width/bytes — so BENCH_r*.json proves the default
            # packed wire engaged (VERDICT r3 next #5).
            "wire": dict(getattr(engine, "last_run_wire", {})),
-           # Where the warm wall clock went, seconds summed over all
-           # passes (VERDICT r2 weak #2).
-           "stage_seconds": stages,
+           # Where a warm pass's wall clock goes: per-pass MEDIAN seconds
+           # per stage (VERDICT r4 #2a — was summed across passes, which
+           # made one install-skewed pass read as a stage regression).
+           "stage_seconds": _stage_medians(pass_stages),
            # The exact knob set this number was measured with — engine
            # bench config deliberately diverges from the parity defaults
            # (random weights; see module docstring) and the JSON must say
@@ -222,33 +264,75 @@ def bench_engine(n_files: int, repeats: int,
     return out
 
 
-def bench_latency(repeats: int = 4) -> dict:
+def bench_ref_default(engine, paths, pass_audio: float,
+                      budget_s: float) -> dict:
+    """Engine RTFx at the REFERENCE's default decode config — whisper
+    scalar temperature 0.1 => best_of=5 sampled replicas on every first
+    decode (/root/reference/back/api.py:128) — through the SAME warm
+    engine (config is read per call, so only the decode programs change).
+
+    Runs as part of the default bench so the honest "matching the
+    reference at ITS defaults" figure is driver-captured instead of
+    builder-attested (VERDICT r4 #2b). Sampling makes the long-path
+    decode shapes data-dependent, so up to 3 cold passes absorb the
+    per-process installs before the 2 timed ones."""
+    prev = engine.config.temperature
+    engine.config.temperature = 0.1
+    try:
+        cold = 0
+        for _ in range(3):
+            if cold and _remaining(budget_s) < _MIN_ENGINE_S / 2:
+                break
+            engine.process_files(paths)
+            cold += 1
+        per_pass, pass_stages, truncated, _ = _run_passes(
+            engine, paths, 2, budget_s)
+        out = {"rtfx_warm_best": round(pass_audio / min(per_pass), 2),
+               "rtfx_warm_mean": round(
+                   pass_audio * len(per_pass) / sum(per_pass), 2),
+               "warm_passes": len(per_pass),
+               "per_pass_s": [round(t, 3) for t in per_pass],
+               "stage_seconds": _stage_medians(pass_stages),
+               "knobs": {"temperature": 0.1, "best_of": 5,
+                         "cold_passes": cold}}
+        if truncated:
+            out["budget_truncated"] = True
+        return out
+    finally:
+        engine.config.temperature = prev
+
+
+def bench_latency(repeats: int = 4, engine=None) -> dict:
     """Single-request latency: wall clock from file path to finished
     transcript for ONE 60 s conversation through a WARM engine — the
-    user-felt number (the engine modes measure batch throughput). Opt-in
-    (--latency): B=1 program shapes pay one-time compiles the default
-    driver bench should not."""
+    user-felt number (the engine modes measure batch throughput). Runs in
+    the default bench too (VERDICT r4 #2b) by reusing the engine-bench
+    engine; the B=1 program shapes pay one-time (persistent-cached)
+    compiles."""
     import tempfile
 
     import numpy as np
 
     from clearconverse_tpu.audio.wav import write_wav
-    from clearconverse_tpu.config import Config, tpu_config_from_env
     from clearconverse_tpu.pipeline.dev_backend import (
         SR, synth_conversation_speech)
-    from clearconverse_tpu.pipeline.engine import TranscriptionEngine
-    import dataclasses
 
     tmp = tempfile.mkdtemp(prefix="cc_lat_")
     wav = np.tile(synth_conversation_speech(), 5)
     p = os.path.join(tmp, "one.wav")
     write_wav(p, wav, SR)
-    cfg = Config(noise_reduction_amount=0.2, temperature=0.0)
-    tpu = dataclasses.replace(tpu_config_from_env(),
-                              diarization_onset=0.35,
-                              diarization_offset=0.25,
-                              max_decode_tokens=64, max_fallback_attempts=1)
-    engine = TranscriptionEngine(cfg, tpu, load_models_immediately=True)
+    if engine is None:
+        import dataclasses
+
+        from clearconverse_tpu.config import Config, tpu_config_from_env
+        from clearconverse_tpu.pipeline.engine import TranscriptionEngine
+        cfg = Config(noise_reduction_amount=0.2, temperature=0.0)
+        tpu = dataclasses.replace(tpu_config_from_env(),
+                                  diarization_onset=0.35,
+                                  diarization_offset=0.25,
+                                  max_decode_tokens=64,
+                                  max_fallback_attempts=1)
+        engine = TranscriptionEngine(cfg, tpu, load_models_immediately=True)
     engine.process_files([p])                      # cold: compiles
     laps = []
     for _ in range(repeats):
@@ -403,6 +487,7 @@ def main() -> None:
         # line is printed LAST so a last-line parser gets the full record.
         _emit({**line, "engine": {"status": "pending"}})
         remaining = _remaining(args.budget)
+        share: dict = {}
         if remaining < _MIN_ENGINE_S:
             line["engine"] = {"skipped": "budget",
                               "remaining_s": round(remaining, 1)}
@@ -411,9 +496,32 @@ def main() -> None:
                 line["engine"] = bench_engine(args.engine_files,
                                               args.engine_repeats,
                                               args.engine_temperature,
-                                              budget_s=args.budget)
+                                              budget_s=args.budget,
+                                              _share=share)
             except Exception as exc:  # noqa: BLE001 — keep the headline
                 line["engine"] = {"error": f"{type(exc).__name__}: {exc}"}
+        # VERDICT r4 #2b: the reference-default decode config and the warm
+        # single-request latency ride in the SAME driver-captured line,
+        # reusing the already-warm engine. Each block is budget-guarded
+        # and failure-isolated — the merged line always prints.
+        if share.get("engine") is not None and args.engine_temperature == 0.0:
+            if _remaining(args.budget) > _MIN_ENGINE_S:
+                try:
+                    line["engine_ref_default"] = bench_ref_default(
+                        share["engine"], share["paths"],
+                        share["pass_audio"], args.budget)
+                except Exception as exc:  # noqa: BLE001
+                    line["engine_ref_default"] = {
+                        "error": f"{type(exc).__name__}: {exc}"}
+            else:
+                line["engine_ref_default"] = {"skipped": "budget"}
+            if _remaining(args.budget) > _MIN_ENGINE_S / 2:
+                try:
+                    line["latency"] = bench_latency(engine=share["engine"])
+                except Exception as exc:  # noqa: BLE001
+                    line["latency"] = {"error": f"{type(exc).__name__}: {exc}"}
+            else:
+                line["latency"] = {"skipped": "budget"}
     _emit(line)
 
 

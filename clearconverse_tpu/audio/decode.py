@@ -147,20 +147,25 @@ class _Lazy1D:
 
 
 class LazyAudio(_Lazy1D):
-    """Float32 [T] file audio whose bytes may still be in flight from the
-    device (load_audio_many(host_async=True) overlaps the gated-batch
-    download with the engine's device-side analysis phases). The first
-    BYTE access joins the transfer. ``stats_flush`` (when provided) folds
-    the download thread's timing span into the caller's stage dict once
-    the thread has finished — only the main thread ever mutates that
-    dict."""
+    """Float32 [T] file audio whose bytes have NOT left the device yet
+    (load_audio_many(host_async=True)): the gated-batch download thread
+    starts lazily — on the first BYTE access, or when a caller that knows
+    bytes will be needed later calls ``prefetch()`` at a transfer-quiet
+    point (serve's save_segments path). A run whose consumers all ride
+    the device AudioStore never downloads at all. ``stats_flush`` (when
+    provided) folds the download thread's timing span into the caller's
+    stage dict once the thread has finished — only the main thread ever
+    mutates that dict."""
 
-    def __init__(self, join, row: int, n: int, flush=None):
+    def __init__(self, join, row: int, n: int, flush=None,
+                 start=None, started=None):
         self._join = join
         self._row = row
         self._n = n
         self._arr = None
         self.stats_flush = flush
+        self._start = start
+        self._started = started
 
     def _materialize(self) -> np.ndarray:
         if self._arr is None:
@@ -175,17 +180,27 @@ class LazyAudio(_Lazy1D):
             self._arr = self._join()[self._row, : self._n].copy()
         return self._arr
 
+    def prefetch(self) -> None:
+        """Start the download thread WITHOUT blocking. For callers that
+        know bytes will be read later (serve's save_segments): fire the
+        transfer while a long device-bound phase (the decode wavefront)
+        runs, instead of paying it sequentially at read time."""
+        if self._arr is None and self._start is not None:
+            self._start()
+
     def wait(self) -> None:
-        """Block until the underlying download thread finishes. The engine
-        calls this at end-of-run: a transfer still in flight when the next
-        request starts uploading contends on the tunnel (concurrent
-        transfers measured 2.3× WORSE than sequential, CLAUDE.md r3) — and
-        by run end the download has had the whole pass to complete, so
-        this is normally a no-op. Transfer errors stay deferred to first
-        byte access — the engine's per-file _finalize guard turns each
-        affected file into a None result (the download is SHARED, so every
-        store-path file in the run degrades, but the run itself and any
-        host-path files survive)."""
+        """Drain an IN-FLIGHT download thread. The engine calls this at
+        end-of-run: a transfer still in flight when the next request
+        starts uploading contends on the tunnel (concurrent transfers
+        measured 2.3× WORSE than sequential, CLAUDE.md r3). A download
+        that never started stays unstarted — draining would force the
+        very transfer laziness exists to avoid. Transfer errors stay
+        deferred to first byte access — the engine's per-file _finalize
+        guard turns each affected file into a None result (the download
+        is SHARED, so every store-path file in the run degrades, but the
+        run itself and any host-path files survive)."""
+        if self._started is not None and not self._started():
+            return
         try:
             self._join()
         except Exception:  # noqa: BLE001 — surfaced at first byte access
@@ -385,14 +400,20 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
         to_host = lambda q: (np.asarray(q).astype(np.float32)  # noqa: E731
                              / 32767.0)
     if host_async and return_device:
-        # Pull the gated batch back on a worker thread (the device→host
-        # copy releases the GIL during transport) and hand out LazyAudio
-        # views: the engine's device-side phases (segmentation, diarize,
-        # store-gathered embeds) run on the AudioStore and never touch the
-        # bytes, so the 15+ MB download rides the tunnel WHILE they
-        # compute instead of blocking before them. First byte access
-        # joins. stage_times gains download_async (thread transfer time,
-        # overlapped) and download_wait (time a consumer actually blocked).
+        # Hand out LazyAudio views over a download thread that starts
+        # LAZILY: the engine's device-side phases (segmentation, diarize,
+        # store-gathered embeds, the decode wavefront) all run on the
+        # AudioStore and never touch the bytes, so in the clean batch path
+        # the 15+ MB download NEVER happens. (It used to start eagerly
+        # "overlapped" — but this tunnel serializes concurrent transfers
+        # ~2.3× worse, and the in-flight download was silently inflating
+        # whichever device stage ran alongside it: segmentation read
+        # 0.39 s/pass in BENCH_r04 vs 0.10 s isolated — the exact false
+        # regression VERDICT r4 #1 flagged.) First byte access starts AND
+        # joins the transfer; callers that know bytes will be needed later
+        # (serve's save_segments) call prefetch() at a transfer-quiet
+        # point. stage_times gains download_async (thread transfer span)
+        # and download_wait (time a consumer actually blocked).
         import threading
         holder = {}
 
@@ -410,7 +431,15 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
             holder["elapsed"] = _time.perf_counter() - td
 
         th = threading.Thread(target=_download, daemon=True)
-        th.start()
+        start_lock = threading.Lock()
+
+        def _start():
+            # Idempotent, thread-safe lazy start (first byte access can
+            # come from the download-join path of several LazyAudio rows).
+            with start_lock:
+                if not holder.get("started"):
+                    holder["started"] = True
+                    th.start()
 
         def _flush_stats():
             """Fold the thread's overlapped-transfer span into stage_times
@@ -424,6 +453,7 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
                 stage_times.get("download_async", 0.0) + holder["elapsed"])
 
         def _join():
+            _start()
             tw = _time.perf_counter()
             th.join()
             if stage_times is not None:
@@ -439,7 +469,8 @@ def load_audio_many(paths, target_sr: int = TARGET_SR,
 
         for row, i in enumerate(order):
             results[i] = LazyAudio(_join, row, n_outs[row],
-                                   flush=_flush_stats)
+                                   flush=_flush_stats, start=_start,
+                                   started=lambda: bool(holder.get("started")))
             row_map[i] = row
         return results, batch, row_map
     host = to_host(q_down)

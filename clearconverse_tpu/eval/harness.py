@@ -26,7 +26,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 from clearconverse_tpu.config import Config
 from clearconverse_tpu.eval.der import diarization_error_rate
-from clearconverse_tpu.eval.wer import word_error_rate
+from clearconverse_tpu.eval.wer import word_error_rate_detail
 
 SWEEP_PARAMS: Dict[str, List[float]] = {
     # Same parameters and values as test.py:1502-1572.
@@ -79,6 +79,11 @@ class RunResult:
     rtfx: float
     wer: Optional[float] = None
     der: Optional[float] = None
+    # Alignment counts behind the WER: keep hallucination magnitude
+    # visible when the empty-reference cap clamps the rate at 1.0
+    # (ADVICE r4 #3).
+    wer_insertions: Optional[int] = None
+    hyp_words: Optional[int] = None
     # True when the sweep ran on dev stand-ins (CC_TPU_FAKE_MODELS=1):
     # metrics from fake models must never be mistaken for real-model
     # parity numbers, so every artifact row carries the flag.
@@ -169,7 +174,16 @@ def run_sweep(audio_files: Sequence[str],
                 hyp_text = " ".join(
                     line for line in transcript.split("\n")
                     if line and not line.startswith("["))
-                rr.wer = word_error_rate(ground_truth_text[af], hyp_text)
+                # language selects the normalizer (English whisper
+                # normalizer vs language-agnostic light, ADVICE r4 #1);
+                # the detail counts keep hallucination magnitude visible
+                # past the empty-reference WER cap (ADVICE r4 #3).
+                detail = word_error_rate_detail(
+                    ground_truth_text[af], hyp_text,
+                    language=getattr(engine.tpu, "language", None))
+                rr.wer = detail["wer"]
+                rr.wer_insertions = detail["insertions"]
+                rr.hyp_words = detail["hyp_words"]
             if ground_truth_rttm and af in ground_truth_rttm and res:
                 rr.der = diarization_error_rate(
                     load_reference_rttm(ground_truth_rttm[af]),

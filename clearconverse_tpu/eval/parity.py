@@ -62,7 +62,7 @@ def parse_rttm(path: str) -> List[Tuple[float, float, str]]:
 def evaluate_file(engine, wav: str, ref_txt: str,
                   ref_rttm: Optional[str]) -> Dict:
     from clearconverse_tpu.eval.der import diarization_error_rate
-    from clearconverse_tpu.eval.wer import word_error_rate
+    from clearconverse_tpu.eval.wer import word_error_rate_detail
 
     t0 = time.perf_counter()
     result = engine.process_file(wav)
@@ -76,7 +76,13 @@ def evaluate_file(engine, wav: str, ref_txt: str,
 
     hyp_text = " ".join(t for *_, t in hyp_rows)
     ref_text = " ".join(t for *_, t in ref_rows)
-    wer = word_error_rate(ref_text, hyp_text)
+    # Normalizer follows the pinned model language (ADVICE r4 #1); the
+    # detail counts keep hallucination magnitude visible past the
+    # empty-reference cap (ADVICE r4 #3).
+    wer_d = word_error_rate_detail(
+        ref_text, hyp_text,
+        language=getattr(engine.tpu, "language", None))
+    wer = wer_d["wer"]
 
     ref_d = (parse_rttm(ref_rttm) if ref_rttm
              else [(s, e, spk) for s, e, spk, _ in ref_rows])
@@ -85,6 +91,8 @@ def evaluate_file(engine, wav: str, ref_txt: str,
 
     return {"file": os.path.basename(wav),
             "wer": round(wer, 4), "der": round(der, 4),
+            "wer_insertions": wer_d["insertions"],
+            "hyp_words": wer_d["hyp_words"],
             "rtfx": round(result["metadata"]["duration"] / elapsed, 2),
             "duration_s": round(result["metadata"]["duration"], 2),
             "segments": len(hyp_rows)}

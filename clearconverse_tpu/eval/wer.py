@@ -65,15 +65,53 @@ def edit_ops(ref: Sequence[str], hyp: Sequence[str]) -> Dict[str, int]:
             "hits": n - subs - dels}
 
 
+def _style_for(language) -> str:
+    """Normalizer style for a model/eval language. English (or unset —
+    the reference's small.en default) scores under whisper's
+    EnglishTextNormalizer; any pinned non-English language gets the
+    language-agnostic ``light`` folding instead of English contraction
+    expansion / British→American spelling / English number-word rules
+    (ADVICE r4 #1)."""
+    return "english" if language in (None, "", "en", "english") else "light"
+
+
 def word_error_rate(reference: str, hypothesis: str,
-                    normalize: bool = True) -> float:
-    ref = normalize_text(reference) if normalize else reference.split()
-    hyp = normalize_text(hypothesis) if normalize else hypothesis.split()
+                    normalize: bool = True,
+                    language: str | None = None,
+                    style: str | None = None) -> float:
+    """WER as a bare float. ``language`` selects the normalizer via
+    _style_for; an explicit ``style`` ("english"/"light") wins."""
+    return word_error_rate_detail(reference, hypothesis,
+                                  normalize=normalize, language=language,
+                                  style=style)["wer"]
+
+
+def word_error_rate_detail(reference: str, hypothesis: str,
+                           normalize: bool = True,
+                           language: str | None = None,
+                           style: str | None = None) -> Dict[str, float]:
+    """WER plus the alignment counts behind it.
+
+    Returns {"wer", "substitutions", "deletions", "insertions",
+    "ref_words", "hyp_words"}. The counts keep hallucination magnitude
+    visible when the empty-reference cap clamps the rate (ADVICE r4 #3:
+    a 500-word hallucination against a filler-only reference and one
+    inserted word both score 1.0 — ``hyp_words`` tells them apart)."""
+    style = style or _style_for(language)
+    ref = normalize_text(reference, style) if normalize else reference.split()
+    hyp = normalize_text(hypothesis, style) if normalize else hypothesis.split()
     if not ref:
         # An empty (post-normalization) reference has no defined rate
         # (jiwer raises here). Cap at 1.0 so one filler-only reference
         # can't contribute a word COUNT to a mean-WER aggregate and
-        # swamp a parity sign-off.
-        return 0.0 if not hyp else 1.0
+        # swamp a parity sign-off; the insertion/hyp_words counts retain
+        # the magnitude the cap hides.
+        return {"wer": 0.0 if not hyp else 1.0, "substitutions": 0,
+                "deletions": 0, "insertions": len(hyp),
+                "ref_words": 0, "hyp_words": len(hyp)}
     ops = edit_ops(ref, hyp)
-    return (ops["substitutions"] + ops["deletions"] + ops["insertions"]) / len(ref)
+    wer = (ops["substitutions"] + ops["deletions"]
+           + ops["insertions"]) / len(ref)
+    return {"wer": wer, "substitutions": ops["substitutions"],
+            "deletions": ops["deletions"], "insertions": ops["insertions"],
+            "ref_words": len(ref), "hyp_words": len(hyp)}

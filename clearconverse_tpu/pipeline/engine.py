@@ -605,6 +605,18 @@ class TranscriptionEngine:
                 if it["depends_on"] is not None:
                     it["depends_on"] += off
                 merged.append(it)
+        # Fire the gated-audio download NOW, overlapping the decode
+        # wavefront: _finalize materializes AudioSegment.audio (public
+        # contract) so the bytes are always needed, but the decode is the
+        # one long device-bound phase with almost no tunnel traffic of its
+        # own (tiny arg uploads + one packed fetch) — whereas starting the
+        # thread eagerly at load time made it contend with the
+        # fetch-per-call analysis phases (segmentation read 0.39 s/pass in
+        # BENCH_r04 vs 0.10 s isolated; concurrent tunnel transfers
+        # measured ~2.3x worse than sequential).
+        for a in self._inflight_hosts:
+            if hasattr(a, "prefetch"):
+                a.prefetch()
         if merged:
             sr = next(p["sr"] for p in preps if p is not None)
             # decode_dev (device program incl. sync) attributes via

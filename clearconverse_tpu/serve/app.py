@@ -334,64 +334,88 @@ def create_app(output_dir: str = "processed_audio",
         await ws.send_json(current)
         last = current
         ticks = 0
-        while True:
-            await asyncio.sleep(0.5)
-            ticks += 1
-            if ticks % 10 == 0:
-                # Liveness probe: the loop only writes on progress CHANGES,
-                # so a vanished client would otherwise leave this coroutine
-                # polling at 2 Hz forever. The ping raises once the peer is
-                # gone; the server's ws wrapper ends the handler.
-                await ws.ping()
-            if (ticks >= 120 and not task_dir.exists()
-                    and task_id not in runner.active_tasks
-                    and task_id not in runner.uploaded_files):
-                # Unknown task (never uploaded, no output dir, not queued):
-                # nothing will ever produce markers — stop after 60 s
-                # instead of spinning unboundedly per connection.
-                await ws.close()
-                break
-            if marker("cancelled.txt"):
-                await ws.send_json({"progress": 100,
-                                    "message": "Transcription cancelled"})
-                break
-            if marker("completed.txt"):
-                await ws.send_json({"progress": 100,
-                                    "message": "Transcription complete"})
-                break
-            if marker("error.txt"):
-                try:
-                    msg = (task_dir / "error.txt").read_text()
+        # ADVICE r4 #4: the handler is write-only at the app level, so
+        # client frames (pong replies to our pings, stray texts) would
+        # otherwise sit unread in the socket receive buffer for the task's
+        # whole lifetime — a chatty client on a long task could fill it and
+        # stall its own sends. A background reader drains and discards them
+        # (receive_text also answers client pings) and ends the loop the
+        # moment the peer closes. Safe alongside the poll loop's writes:
+        # every frame goes out in ONE writer.write() call, so the drain's
+        # pong replies can't interleave mid-frame.
+        drain = asyncio.ensure_future(ws.receive_text())
+        try:
+            while True:
+                await asyncio.sleep(0.5)
+                ticks += 1
+                if drain.done():
+                    if drain.exception() is not None or drain.result() is None:
+                        break                      # peer closed or errored
+                    drain = asyncio.ensure_future(ws.receive_text())
+                if ticks % 10 == 0:
+                    # Liveness probe: the loop only writes on progress
+                    # CHANGES, so a vanished client would otherwise leave
+                    # this coroutine polling at 2 Hz forever. The ping
+                    # raises once the peer is gone; the server's ws wrapper
+                    # ends the handler.
+                    await ws.ping()
+                if (ticks >= 120 and not task_dir.exists()
+                        and task_id not in runner.active_tasks
+                        and task_id not in runner.uploaded_files):
+                    # Unknown task (never uploaded, no output dir, not
+                    # queued): nothing will ever produce markers — stop
+                    # after 60 s instead of spinning unboundedly per
+                    # connection.
+                    await ws.close()
+                    break
+                if marker("cancelled.txt"):
                     await ws.send_json({"progress": 100,
-                                        "message": f"Error: {msg}"})
-                except OSError:
+                                        "message": "Transcription cancelled"})
+                    break
+                if marker("completed.txt"):
                     await ws.send_json({"progress": 100,
-                                        "message": "Error occurred during processing"})
-                break
-            pf = task_dir / "progress.json"
-            if pf.exists():
-                try:
-                    data = _json.loads(pf.read_text())
-                    if data != last:
-                        await ws.send_json(data)
-                        last = data
-                        runner.progress_store[task_id] = data
-                except (OSError, ValueError):
-                    pass
-            # Dead-worker detection (back/api.py:2574-2599).
-            info = runner.active_tasks.get(task_id)
-            if info and not runner.is_alive(task_id):
-                if not any(marker(m) for m in
-                           ("completed.txt", "error.txt", "cancelled.txt")):
-                    await asyncio.sleep(2)
-                    if not any(marker(m) for m in
-                               ("completed.txt", "error.txt", "cancelled.txt")):
+                                        "message": "Transcription complete"})
+                    break
+                if marker("error.txt"):
+                    try:
+                        msg = (task_dir / "error.txt").read_text()
                         await ws.send_json({"progress": 100,
-                                            "message": "Process ended unexpectedly"})
-                        task_dir.mkdir(parents=True, exist_ok=True)
-                        (task_dir / "error.txt").write_text(
-                            "Process ended unexpectedly")
-                        break
+                                            "message": f"Error: {msg}"})
+                    except OSError:
+                        await ws.send_json(
+                            {"progress": 100,
+                             "message": "Error occurred during processing"})
+                    break
+                pf = task_dir / "progress.json"
+                if pf.exists():
+                    try:
+                        data = _json.loads(pf.read_text())
+                        if data != last:
+                            await ws.send_json(data)
+                            last = data
+                            runner.progress_store[task_id] = data
+                    except (OSError, ValueError):
+                        pass
+                # Dead-worker detection (back/api.py:2574-2599).
+                info = runner.active_tasks.get(task_id)
+                if info and not runner.is_alive(task_id):
+                    if not any(marker(m) for m in
+                               ("completed.txt", "error.txt",
+                                "cancelled.txt")):
+                        await asyncio.sleep(2)
+                        if not any(marker(m) for m in
+                                   ("completed.txt", "error.txt",
+                                    "cancelled.txt")):
+                            await ws.send_json(
+                                {"progress": 100,
+                                 "message": "Process ended unexpectedly"})
+                            task_dir.mkdir(parents=True, exist_ok=True)
+                            (task_dir / "error.txt").write_text(
+                                "Process ended unexpectedly")
+                            break
+        finally:
+            if not drain.done():
+                drain.cancel()
 
     # ------------------------------------------------------------- cleanup
     def _cleanup(task_id: str, preserve_uploads: bool):

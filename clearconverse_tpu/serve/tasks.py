@@ -296,16 +296,22 @@ class TaskRunner:
         a restart) and fabricate 'cancelled' state for arbitrary IDs."""
         info = self.active_tasks.pop(task_id, None)
         if not info:
-            # Restart-orphaned task: its dir exists with progress but no
-            # terminal marker (a previous process died mid-run), so WS/poll
-            # observers would otherwise spin forever. Write cancelled.txt to
-            # give them a terminal state; never touch unknown IDs or dirs
-            # that already reached a terminal marker.
+            # Restart-orphaned task: its dir holds in_progress.txt (the
+            # route writes it at task start; _finish_* removes it) but no
+            # terminal marker — a previous process died mid-run, so WS/poll
+            # observers would otherwise spin forever. Write cancelled.txt
+            # to give them a terminal state. The in_progress.txt gate is
+            # the evidence the dir was produced by this server mid-run
+            # (ADVICE r4 #2): unknown IDs, foreign dirs, and dirs that
+            # already reached a terminal marker stay untouched.
             task_dir = os.path.join(self.output_dir, task_id)
-            if os.path.isdir(task_dir) and not any(
-                    os.path.exists(os.path.join(task_dir, marker))
-                    for marker in ("completed.txt", "error.txt",
-                                   "cancelled.txt")):
+            if (os.path.isdir(task_dir)
+                    and os.path.exists(
+                        os.path.join(task_dir, "in_progress.txt"))
+                    and not any(
+                        os.path.exists(os.path.join(task_dir, marker))
+                        for marker in ("completed.txt", "error.txt",
+                                       "cancelled.txt"))):
                 with open(os.path.join(task_dir, "cancelled.txt"), "w") as fh:
                     fh.write("Transcription was cancelled")
             return

@@ -302,6 +302,72 @@ def test_websocket_progress(server):
     assert "complete" in messages[-1]["message"].lower()
 
 
+def test_websocket_progress_drains_client_frames(server):
+    """ADVICE r4 #4: the progress handler is write-only at the app level,
+    so client frames (pongs, stray texts) used to sit unread in the
+    receive buffer for the task's lifetime. The background drain must
+    consume them — and answer client pings. Uses an uploaded-but-never-
+    started task so the handler deterministically sits in its poll loop
+    (a dev-model task completes before the socket even connects, taking
+    the drain-free early-return path)."""
+    up = _upload(server)
+    tid = up["task_id"]
+
+    sock = socket.create_connection(("127.0.0.1", server["port"]), timeout=30)
+    key = base64.b64encode(os.urandom(16)).decode()
+    sock.sendall((f"GET /ws/progress/{tid} HTTP/1.1\r\n"
+                  f"Host: localhost\r\nUpgrade: websocket\r\n"
+                  f"Connection: Upgrade\r\nSec-WebSocket-Key: {key}\r\n"
+                  f"Sec-WebSocket-Version: 13\r\n\r\n").encode())
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += sock.recv(4096)
+    head, _, rest = buf.partition(b"\r\n\r\n")
+    assert b"101" in head.split(b"\r\n")[0]
+
+    def client_frame(opcode, payload):
+        mask = os.urandom(4)
+        body = bytes(c ^ mask[i % 4] for i, c in enumerate(payload))
+        return bytes([0x80 | opcode, 0x80 | len(payload)]) + mask + body
+
+    # Chatty client: a ping the server must answer (receive_text replies
+    # 0x8A), then unsolicited pongs and texts the drain must discard.
+    sock.sendall(client_frame(0x9, b"hi"))            # ping -> expect pong
+    for _ in range(3):
+        sock.sendall(client_frame(0xA, b""))          # pong
+        sock.sendall(client_frame(0x1, b"chatter"))   # text
+
+    def read_frame(buf):
+        while len(buf) < 2:
+            buf += sock.recv(4096)
+        op = buf[0] & 0x0F
+        n = buf[1] & 0x7F
+        off = 2
+        if n == 126:
+            while len(buf) < 4:
+                buf += sock.recv(4096)
+            n = struct.unpack(">H", buf[2:4])[0]
+            off = 4
+        while len(buf) < off + n:
+            buf += sock.recv(4096)
+        return op, buf[off:off + n], buf[off + n:]
+
+    saw_pong = False
+    saw_progress = False
+    deadline = time.time() + 30
+    buf = rest
+    while time.time() < deadline and not (saw_pong and saw_progress):
+        op, payload, buf = read_frame(buf)
+        if op == 0xA:
+            saw_pong = True
+            assert payload == b"hi"
+        elif op == 0x1:
+            saw_progress = "progress" in json.loads(payload)
+    sock.close()
+    assert saw_pong, "server never answered the client ping"
+    assert saw_progress
+
+
 def test_pdf_generator_structure(tmp_path):
     text = ("[SPEAKER_A] 0.00s - 3.00s\nhello there\n\n"
             "[SPEAKER_B] 3.50s - 6.00s\nhow are you " * 40)
@@ -375,21 +441,33 @@ def test_task_runner_cancel_cooperative(tmp_path):
 
 
 def test_cancel_restart_orphaned_task_reaches_terminal_state(tmp_path):
-    """A task dir left mid-run by a dead process (progress.json, no
-    terminal marker, not in active_tasks) must still reach a terminal
-    state on cancel — otherwise a reconnected WS progress loop spins
-    forever. Terminal dirs and unknown IDs stay untouched."""
+    """A task dir left mid-run by a dead process (in_progress.txt still
+    present, no terminal marker, not in active_tasks) must still reach a
+    terminal state on cancel — otherwise a reconnected WS progress loop
+    spins forever. in_progress.txt is the required evidence the dir was
+    produced by this server mid-run (ADVICE r4 #2): dirs without it, like
+    terminal dirs and unknown IDs, stay untouched."""
     import json as _json
     from clearconverse_tpu.serve.tasks import TaskRunner
 
     runner = TaskRunner(str(tmp_path), lambda: None)
     orphan = tmp_path / "orphan"
     orphan.mkdir()
+    (orphan / "in_progress.txt").write_text("x")
     (orphan / "progress.json").write_text(
         _json.dumps({"progress": 40, "message": "working"}))
     runner.cancel("orphan")
     assert (orphan / "cancelled.txt").exists()
     assert (orphan / "progress.json").exists()     # no dir wipe
+
+    # A non-active dir WITHOUT in_progress.txt is not provably ours
+    # mid-run — cancel leaves it alone.
+    foreign = tmp_path / "foreign"
+    foreign.mkdir()
+    (foreign / "progress.json").write_text(
+        _json.dumps({"progress": 40, "message": "working"}))
+    runner.cancel("foreign")
+    assert not (foreign / "cancelled.txt").exists()
 
     done = tmp_path / "done"
     done.mkdir()

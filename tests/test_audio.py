@@ -328,12 +328,13 @@ def test_gate_matmul_dft_matches_fft(rng):
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
-def test_load_audio_many_async_stats_flush(tmp_path, rng):
-    """host_async=True: the download thread never mutates the caller's
-    stage_times dict (a concurrent insert races any main-thread iteration
-    over it); its span is folded in by the main thread — via join() on
-    first byte access, or via LazyAudio.stats_flush() once the thread has
-    finished without anyone joining."""
+def test_load_audio_many_async_lazy_start(tmp_path, rng):
+    """host_async=True: the download thread starts LAZILY. Until someone
+    asks for bytes (or prefetches), no transfer happens — wait() is a
+    no-op, stats stay empty. prefetch() starts it without blocking; the
+    thread's span is folded into stage_times by the main thread only
+    (via join() on first byte access, or stats_flush() once the thread
+    has finished)."""
     import time
     from clearconverse_tpu.audio.decode import LazyAudio, load_audio_many
 
@@ -346,8 +347,15 @@ def test_load_audio_many_async_stats_flush(tmp_path, rng):
         [p], noise_reduction_amount=0.2, return_device=True,
         stage_times=stage_times, host_async=True)
     assert isinstance(out[0], LazyAudio)
-    # No byte access yet: flush (waiting for the thread) must be the only
-    # way download_async lands, and it never blocks on a live thread.
+    # Nothing read bytes: no transfer may have started; draining an
+    # unstarted download must not force it.
+    out[0].wait()
+    out[0].stats_flush()
+    assert "download_async" not in stage_times
+    assert "download_wait" not in stage_times
+    # prefetch starts the thread without blocking; flush folds its span
+    # once it finishes.
+    out[0].prefetch()
     deadline = time.time() + 10.0
     while "download_async" not in stage_times and time.time() < deadline:
         out[0].stats_flush()
@@ -359,6 +367,23 @@ def test_load_audio_many_async_stats_flush(tmp_path, rng):
     assert stage_times["download_async"] == before
     np.asarray(out[0])                             # join works after flush
     assert "download_wait" in stage_times
+
+
+def test_load_audio_many_async_first_byte_starts(tmp_path, rng):
+    """First byte access on a never-prefetched LazyAudio starts AND joins
+    the download — bytes match the synchronous path."""
+    from clearconverse_tpu.audio.decode import load_audio_many
+
+    x = np.clip(rng.standard_normal(16000) * 0.2, -0.99, 0.99)
+    p = str(tmp_path / "a.wav")
+    wavmod.write_wav(p, x.astype(np.float32), 16000)
+
+    out_sync = load_audio_many([p], noise_reduction_amount=0.2)
+    out_lazy, _, _ = load_audio_many(
+        [p], noise_reduction_amount=0.2, return_device=True,
+        host_async=True)
+    np.testing.assert_allclose(np.asarray(out_lazy[0]),
+                               np.asarray(out_sync[0]), atol=1e-6)
 
 
 def test_read_wav_scanned_param_equivalence(tmp_path, rng):

@@ -53,6 +53,38 @@ def test_wer_empty_reference():
     assert word_error_rate("", "a b") == 1.0
 
 
+def test_wer_language_selects_normalizer():
+    """ADVICE r4 #1: a pinned non-English language must NOT get English
+    contraction/spelling/number rules — the light folding applies."""
+    # English (default / en): British spelling folds, WER 0.
+    assert word_error_rate("the colour", "the color") == 0.0
+    assert word_error_rate("the colour", "the color", language="en") == 0.0
+    # Non-English model: colour vs color is a real substitution.
+    assert word_error_rate("the colour", "the color",
+                           language="de") == pytest.approx(0.5)
+    # Explicit style wins over language.
+    assert word_error_rate("the colour", "the color",
+                           language="de", style="english") == 0.0
+
+
+def test_wer_detail_keeps_hallucination_magnitude():
+    """ADVICE r4 #3: the empty-reference cap clamps the RATE at 1.0, but
+    insertions/hyp_words in the detail row keep the magnitude visible."""
+    from clearconverse_tpu.eval.wer import word_error_rate_detail
+
+    # "um" is whisper-normalized away -> empty reference.
+    small = word_error_rate_detail("um", "one")
+    big = word_error_rate_detail("um", " ".join(["word"] * 500))
+    assert small["wer"] == big["wer"] == 1.0
+    assert small["insertions"] == small["hyp_words"] == 1
+    assert big["insertions"] == big["hyp_words"] == 500
+    # Non-degenerate case: counts match the alignment.
+    d = word_error_rate_detail("a b c d", "a x c d e")
+    assert d == {"wer": pytest.approx(0.5), "substitutions": 1,
+                 "deletions": 0, "insertions": 1,
+                 "ref_words": 4, "hyp_words": 5}
+
+
 def test_der_negative_start_clamped():
     # A slightly negative hypothesis start (collar/padding arithmetic)
     # must not wrap the raster slice and erase the segment.
