@@ -219,6 +219,7 @@ def bench_engine(n_files: int, repeats: int,
     # measurement window had.
     pass_audio = sum(len(base) / SR for _ in paths)
     segs = sum(len(r["segments"]) for r in results if r)
+    load_source = dict(getattr(engine.models, "load_source", {}))
     warm_total = sum(per_pass)
     if _share is not None:
         _share["engine"] = engine
@@ -256,7 +257,14 @@ def bench_engine(n_files: int, repeats: int,
                      "self_kv_bits": tpu.self_kv_bits,
                      "wire_bits": tpu.wire_bits,
                      "transcription_batch_size": cfg.transcription_batch_size,
-                     "random_weights": True}}
+                     # Derived, not asserted: the bundle records where each
+                     # family's weights came from, so a populated ./models
+                     # (eval/dress_rehearsal or real downloads) flips this
+                     # and BENCH_r*.json proves the converter path ran
+                     # (VERDICT r4 #3).
+                     "random_weights": load_source.get("whisper")
+                                       != "checkpoint",
+                     "load_source": load_source}}
     if truncated:
         out["budget_truncated"] = True
     if temperature > 0:

@@ -134,6 +134,11 @@ class TPUConfig:
     # random-init weights — used by bench.py --engine and validation runs.
     diarization_onset: Optional[float] = None
     diarization_offset: Optional[float] = None
+    # AHC cosine-distance merge threshold for speaker clustering (pyannote
+    # diarization-3.1 exposes the same pipeline hyperparameter, ~0.7 in its
+    # published config; None = our 0.7 default). The multichip dryrun
+    # lowers it so random-init embeddings still split two speakers.
+    diarization_cluster_threshold: Optional[float] = None
     # Transcription language for MULTILINGUAL whisper models (prompt becomes
     # [sot, <|lang|>, <|transcribe|>, ...]); ignored by .en models. The
     # reference pins small.en, so "en" is the faithful default. ``None``

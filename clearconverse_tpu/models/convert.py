@@ -29,10 +29,24 @@ logger = logging.getLogger(__name__)
 
 
 def _np(t) -> np.ndarray:
-    """torch tensor / array-like → float32 numpy (host)."""
+    """torch tensor / array-like → float32 numpy (host).
+
+    Real openai-whisper ``.pt`` checkpoints store fp16 tensors
+    (whisper/__init__.py saves ``model.half()``); without the upcast the
+    fp16 dtype would ride into the device param pytree and every cached
+    program (compiled for f32 params) would miss on first real-weights
+    contact. Integer/bool tensors (e.g. alignment head masks) pass
+    through unchanged."""
     if hasattr(t, "detach"):
-        t = t.detach().cpu().numpy()
-    return np.asarray(t)
+        t = t.detach().cpu()
+        if hasattr(t, "dtype") and str(t.dtype) in ("torch.float16",
+                                                    "torch.bfloat16"):
+            t = t.float()
+        t = t.numpy()
+    a = np.asarray(t)
+    if a.dtype == np.float16:
+        a = a.astype(np.float32)
+    return a
 
 
 def _lin(sd: Mapping, prefix: str, bias: bool = True) -> Dict[str, np.ndarray]:
@@ -148,11 +162,28 @@ def _convert_hf(sd: Mapping[str, Any]) -> Dict[str, Any]:
 
 
 def load_torch_state_dict(path: str) -> Dict[str, Any]:
-    """Load ``.pt``/``.bin`` (torch pickle) or ``.safetensors`` → flat dict."""
+    """Load ``.pt``/``.bin`` (torch pickle) or ``.safetensors`` → flat dict.
+
+    Half-precision tensors are upcast to float32 here so every downstream
+    converter (the aux models use bare ``np.asarray``) hands f32 params to
+    the bundle — fp16 params on device would miss every cached program
+    shape (compiled for f32) on first real-checkpoint contact."""
     if path.endswith(".safetensors"):
         from safetensors.numpy import load_file
-        return dict(load_file(path))
-    return _strip_wrappers(_load_raw_torch(path))
+        sd = dict(load_file(path))
+        return {k: (v.astype(np.float32) if v.dtype == np.float16 else v)
+                for k, v in sd.items()}
+    return _upcast_half(_strip_wrappers(_load_raw_torch(path)))
+
+
+def _upcast_half(sd: Mapping[str, Any]) -> Dict[str, Any]:
+    out = {}
+    for k, v in sd.items():
+        if hasattr(v, "dtype") and str(getattr(v, "dtype", "")) in (
+                "torch.float16", "torch.bfloat16"):
+            v = v.float()
+        out[k] = v
+    return out
 
 
 def _dims_from_dict(d: Any) -> Optional[WhisperDims]:

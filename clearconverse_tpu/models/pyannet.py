@@ -340,6 +340,52 @@ def convert_pyannote_pyannet(sd: Dict[str, Any],
     return p
 
 
+def pyannet_to_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Our pytree → pyannote PyanNet lightning state-dict naming (exact
+    inverse of convert_pyannote_pyannet; numpy values — savers tensorize).
+    The converter sums bias_ih+bias_hh, so the inverse puts the whole bias
+    in bias_ih. Band parameters take the real pyannote 3.x nesting
+    (``Encoder(ParamSincFB)`` at ``.filterbank.``, [n//2, 1] rows). Used by
+    the cold-start tests and eval/dress_rehearsal (reference consumer:
+    back/api.py:739-750)."""
+    sn = params["sincnet"]
+
+    def a(v):
+        return np.ascontiguousarray(np.asarray(v))
+
+    sd: Dict[str, np.ndarray] = {
+        "sincnet.wav_norm1d.weight": a(sn["wav_norm"]["g"]),
+        "sincnet.wav_norm1d.bias": a(sn["wav_norm"]["b"]),
+        "sincnet.conv1d.0.filterbank.low_hz_":
+            a(np.asarray(sn["low_hz"]).reshape(-1, 1)),
+        "sincnet.conv1d.0.filterbank.band_hz_":
+            a(np.asarray(sn["band_hz"]).reshape(-1, 1)),
+        "sincnet.norm1d.0.weight": a(sn["norm0"]["g"]),
+        "sincnet.norm1d.0.bias": a(sn["norm0"]["b"]),
+        "sincnet.conv1d.1.weight": a(np.asarray(sn["conv1"]["w"]).transpose(2, 1, 0)),
+        "sincnet.conv1d.1.bias": a(sn["conv1"]["b"]),
+        "sincnet.norm1d.1.weight": a(sn["norm1"]["g"]),
+        "sincnet.norm1d.1.bias": a(sn["norm1"]["b"]),
+        "sincnet.conv1d.2.weight": a(np.asarray(sn["conv2"]["w"]).transpose(2, 1, 0)),
+        "sincnet.conv1d.2.bias": a(sn["conv2"]["b"]),
+        "sincnet.norm1d.2.weight": a(sn["norm2"]["g"]),
+        "sincnet.norm1d.2.bias": a(sn["norm2"]["b"]),
+        "classifier.weight": a(np.asarray(params["classifier"]["w"]).T),
+        "classifier.bias": a(params["classifier"]["b"]),
+    }
+    for li, layer in enumerate(params["lstm"]):
+        for suffix, half in (("", "fwd"), ("_reverse", "bwd")):
+            sd[f"lstm.weight_ih_l{li}{suffix}"] = a(np.asarray(layer[half]["w_ih"]).T)
+            sd[f"lstm.weight_hh_l{li}{suffix}"] = a(np.asarray(layer[half]["w_hh"]).T)
+            sd[f"lstm.bias_ih_l{li}{suffix}"] = a(layer[half]["b"])
+            sd[f"lstm.bias_hh_l{li}{suffix}"] = np.zeros_like(
+                np.asarray(layer[half]["b"]))
+    for i, lin in enumerate(params["linear"]):
+        sd[f"linear.{i}.weight"] = a(np.asarray(lin["w"]).T)
+        sd[f"linear.{i}.bias"] = a(lin["b"])
+    return sd
+
+
 def infer_pyannet_dims(params: Dict[str, Any],
                        fallback: PyannetDims = PyannetDims()) -> PyannetDims:
     """Dims recoverable from a converted pytree's shapes; the sinc kernel/

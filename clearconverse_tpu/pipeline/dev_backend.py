@@ -155,3 +155,99 @@ def synth_conversation_speech(f0_low: float = 120.0, f0_high: float = 210.0,
     x = (low * (g(0, 3) + g(6.2, 8.9) + g(9.5, 11.5))
          + high * (g(3.5, 6) + g(9.5, 11.5)))
     return x.astype(np.float32)
+
+
+def craft_pyannet_freq_params(dims=None):
+    """Deterministic FREQUENCY-SELECTIVE PyanNet weights (tiny dims).
+
+    Random-init pyannet collapses every frame to one powerset class, so a
+    random-weight engine run can never reach the overlap path
+    (resegmentation → separation → per-source decode, reference semantics
+    back/api.py:1066-1118). These values make the REAL pyannet forward
+    behave like the 2-speaker oracle the synthetic conversations encode:
+
+      * sinc band 0 is parked on the LOW speaker (200-450 Hz), band 1 on
+        the HIGH speaker (1500-2500 Hz) — low_hz/band_hz ARE physical
+        frequencies in ParamSincFB, so band selectivity is exactly what
+        the architecture parameterizes, not a numerical trick;
+      * conv1/conv2 are center-tap channel identities;
+      * the LSTM is biased into a pass-through (input gate & output gate
+        saturated open, forget gate closed) so h ≈ tanh(tanh(2x));
+      * the classifier maps band-0 energy → powerset class (0,), band-1 →
+        class (1,), and their sum → class (0,1), with a silence bias on
+        class ().
+
+    The result: solo-low frames activate speaker 0, solo-high speaker 1,
+    and the overlap window activates BOTH — giving the engine dryrun a
+    deterministic overlapped-speech case through the real model stack
+    (VERDICT r4 #4). Requires sinc_filters>=8 (bands 2+ are parked at
+    6 kHz where the synthetics have no energy).
+    """
+    import jax.numpy as jnp
+
+    from clearconverse_tpu.models.pyannet import PyannetDims
+
+    dims = dims or PyannetDims(sinc_filters=8, conv_channels=8,
+                               lstm_hidden=8, lstm_layers=1,
+                               linear_dims=(8,))
+    nb = dims.sinc_filters // 2
+    C = dims.conv_channels
+    H = dims.lstm_hidden
+    assert nb >= 2 and C >= 4, "need >=2 sinc bands and >=4 channels"
+
+    # low = 50 + |low_hz|; high = low + 50 + |band_hz|  (pyannet.sinc_filters)
+    low_hz = np.full((nb,), 5950.0, np.float32)   # park unused bands at 6 kHz
+    band_hz = np.full((nb,), 950.0, np.float32)
+    low_hz[0], band_hz[0] = 150.0, 200.0          # band0: 200-450 Hz  (LOW)
+    low_hz[1], band_hz[1] = 1450.0, 950.0         # band1: 1500-2500 Hz (HIGH)
+
+    def ident_conv(k, c_in, c_out):
+        w = np.zeros((k, c_in, c_out), np.float32)
+        for c in range(min(c_in, c_out)):
+            w[k // 2, c, c] = 1.0
+        return {"w": jnp.asarray(w), "b": jnp.zeros((c_out,))}
+
+    def norm(c):
+        return {"g": jnp.ones((c,)), "b": jnp.zeros((c,))}
+
+    # LSTM pass-through: i/o gates saturated open, f closed, g = 2x.
+    w_ih = np.zeros((C, 4 * H), np.float32)
+    for c in range(min(C, H)):
+        w_ih[c, 2 * H + c] = 2.0                  # g-gate block
+    b = np.zeros((4 * H,), np.float32)
+    b[0:H] = 10.0                                  # i
+    b[H:2 * H] = -10.0                             # f
+    b[3 * H:4 * H] = 10.0                          # o
+    direction = {"w_ih": jnp.asarray(w_ih),
+                 "w_hh": jnp.zeros((H, 4 * H)),
+                 "b": jnp.asarray(b)}
+
+    lin_w = np.zeros((2 * H, dims.linear_dims[0]), np.float32)
+    for c in range(min(H, dims.linear_dims[0])):
+        lin_w[c, c] = 0.5                          # fwd half
+        lin_w[H + c, c] = 0.5                      # bwd half
+    # Powerset order: [(), (0,), (1,), (2,), (0,1), (0,2), (1,2)].
+    cls_w = np.zeros((dims.linear_dims[-1], dims.n_classes), np.float32)
+    cls_w[0, 1] = cls_w[1, 1] = 4.0               # band0 (cos/sin) → (0,)
+    cls_w[2, 2] = cls_w[3, 2] = 4.0               # band1 → (1,)
+    cls_w[0:4, 4] = 3.0                           # both → (0,1)
+    cls_b = np.zeros((dims.n_classes,), np.float32)
+    cls_b[0] = 2.0                                 # silence default: ()
+
+    p = {
+        "sincnet": {
+            "wav_norm": {"g": jnp.ones((1,)), "b": jnp.zeros((1,))},
+            "low_hz": jnp.asarray(low_hz),
+            "band_hz": jnp.asarray(band_hz),
+            "norm0": norm(dims.sinc_filters),
+            "conv1": ident_conv(dims.conv_kernel, dims.sinc_filters, C),
+            "norm1": norm(C),
+            "conv2": ident_conv(dims.conv_kernel, C, C),
+            "norm2": norm(C),
+        },
+        "lstm": [{"fwd": dict(direction), "bwd": dict(direction)}],
+        "linear": [{"w": jnp.asarray(lin_w),
+                    "b": jnp.zeros((dims.linear_dims[0],))}],
+        "classifier": {"w": jnp.asarray(cls_w), "b": jnp.asarray(cls_b)},
+    }
+    return p, dims

@@ -110,6 +110,20 @@ class TranscriptionEngine:
         return self.models.load_with_progress(progress_callback)
 
     # ------------------------------------------------------------ helpers
+    def _diar_kwargs(self) -> Dict[str, float]:
+        """Configured diarization pipeline hyperparameters (binarization
+        hysteresis + AHC cluster threshold — pyannote's pipeline exposes
+        the same three). Callers that feed ``vad_intervals`` must filter
+        to onset/offset (VAD has no clustering)."""
+        kw: Dict[str, float] = {}
+        if self.tpu.diarization_onset is not None:
+            kw["onset"] = self.tpu.diarization_onset
+        if self.tpu.diarization_offset is not None:
+            kw["offset"] = self.tpu.diarization_offset
+        if self.tpu.diarization_cluster_threshold is not None:
+            kw["cluster_threshold"] = self.tpu.diarization_cluster_threshold
+        return kw
+
     @contextlib.contextmanager
     def _phase(self, run_timer, name: str):
         """run_timer.stage(name) that ALSO attributes the bundle's device
@@ -467,11 +481,7 @@ class TranscriptionEngine:
         # Diarize per file (host clustering + one small embed each), then
         # build ALL files' speaker profiles through shared denoise+embed
         # batches — the per-file version costs a few dispatches per file.
-        hyst = {}
-        if self.tpu.diarization_onset is not None:
-            hyst["onset"] = self.tpu.diarization_onset
-        if self.tpu.diarization_offset is not None:
-            hyst["offset"] = self.tpu.diarization_offset
+        hyst = self._diar_kwargs()
         with_act = [i for i in ok if "activity" in preloads[i]]
         if with_act:
             from clearconverse_tpu.pipeline.diarize import diarize_many
@@ -699,17 +709,14 @@ class TranscriptionEngine:
         duration = len(audio) / sr
         logger.info("Processing audio file: %.2f seconds", duration)
 
-        hyst = {}
-        if self.tpu.diarization_onset is not None:
-            hyst["onset"] = self.tpu.diarization_onset
-        if self.tpu.diarization_offset is not None:
-            hyst["offset"] = self.tpu.diarization_offset
+        hyst = self._diar_kwargs()
+        vad_kw = {k: v for k, v in hyst.items() if k in ("onset", "offset")}
         ck()
         with timer.stage("vad"):
             if activity is None:
                 activity = file_activity(self.models, audio, sr)
             vad = vad_intervals(self.models, audio, sr,
-                                activity=activity, **hyst)
+                                activity=activity, **vad_kw)
         ck()
         with timer.stage("diarization"):
             raw_segments = pre.get("raw_segments")

@@ -60,80 +60,17 @@ def _t(a):
 
 
 def _ecapa_state_dict(params) -> dict:
-    """Our pytree → speechbrain embedding_model.ckpt naming (exact inverse
-    of models/ecapa.convert_speechbrain_ecapa)."""
-    sd = {}
-
-    def conv(prefix, p):
-        sd[f"{prefix}.weight"] = _t(np.asarray(p["w"]).transpose(2, 1, 0))
-        sd[f"{prefix}.bias"] = _t(p["b"])
-
-    def bn(prefix, p):
-        sd[f"{prefix}.weight"] = _t(p["g"])
-        sd[f"{prefix}.bias"] = _t(p["b"])
-        sd[f"{prefix}.running_mean"] = _t(p["mean"])
-        sd[f"{prefix}.running_var"] = _t(p["var"])
-
-    conv("blocks.0.conv.conv", params["conv1"])
-    bn("blocks.0.norm.norm", params["bn1"])
-    for bi, blk in enumerate(params["blocks"], start=1):
-        pre = f"blocks.{bi}"
-        conv(f"{pre}.tdnn1.conv.conv", blk["conv_in"])
-        bn(f"{pre}.tdnn1.norm.norm", blk["bn_in"])
-        for i, (c, b) in enumerate(zip(blk["res2"], blk["res2_bn"])):
-            conv(f"{pre}.res2net_block.blocks.{i}.conv.conv", c)
-            bn(f"{pre}.res2net_block.blocks.{i}.norm.norm", b)
-        conv(f"{pre}.tdnn2.conv.conv", blk["conv_out"])
-        bn(f"{pre}.tdnn2.norm.norm", blk["bn_out"])
-        conv(f"{pre}.se_block.conv1.conv", blk["se"]["fc1"])
-        conv(f"{pre}.se_block.conv2.conv", blk["se"]["fc2"])
-    conv("mfa.conv.conv", params["mfa"])
-    bn("mfa.norm.norm", params["mfa_bn"])
-    conv("asp.tdnn.conv.conv", params["asp"]["conv1"])
-    bn("asp.tdnn.norm.norm", params["asp"]["bn1"])
-    conv("asp.conv.conv", params["asp"]["conv2"])
-    bn("asp_bn.norm", params["asp_bn"])
-    conv("fc.conv", params["fc"])
-    return sd
+    """Promoted to models/ecapa.ecapa_to_state_dict (numpy); tensorized
+    here because real checkpoints hold torch tensors."""
+    from clearconverse_tpu.models.ecapa import ecapa_to_state_dict
+    return {k: _t(v) for k, v in ecapa_to_state_dict(params).items()}
 
 
 def _pyannet_state_dict(params) -> dict:
-    """Our pytree → pyannote PyanNet lightning state-dict naming (exact
-    inverse of models/pyannet.convert_pyannote_pyannet). The converter sums
-    bias_ih+bias_hh, so the inverse puts the whole bias in bias_ih."""
-    sn = params["sincnet"]
-    sd = {
-        "sincnet.wav_norm1d.weight": _t(sn["wav_norm"]["g"]),
-        "sincnet.wav_norm1d.bias": _t(sn["wav_norm"]["b"]),
-        # Real pyannote 3.x nesting: Encoder(ParamSincFB) stores the band
-        # parameters at .filterbank. ([n_filters//2, 1] rows).
-        "sincnet.conv1d.0.filterbank.low_hz_":
-            _t(np.asarray(sn["low_hz"]).reshape(-1, 1)),
-        "sincnet.conv1d.0.filterbank.band_hz_":
-            _t(np.asarray(sn["band_hz"]).reshape(-1, 1)),
-        "sincnet.norm1d.0.weight": _t(sn["norm0"]["g"]),
-        "sincnet.norm1d.0.bias": _t(sn["norm0"]["b"]),
-        "sincnet.conv1d.1.weight": _t(np.asarray(sn["conv1"]["w"]).transpose(2, 1, 0)),
-        "sincnet.conv1d.1.bias": _t(sn["conv1"]["b"]),
-        "sincnet.norm1d.1.weight": _t(sn["norm1"]["g"]),
-        "sincnet.norm1d.1.bias": _t(sn["norm1"]["b"]),
-        "sincnet.conv1d.2.weight": _t(np.asarray(sn["conv2"]["w"]).transpose(2, 1, 0)),
-        "sincnet.conv1d.2.bias": _t(sn["conv2"]["b"]),
-        "sincnet.norm1d.2.weight": _t(sn["norm2"]["g"]),
-        "sincnet.norm1d.2.bias": _t(sn["norm2"]["b"]),
-        "classifier.weight": _t(np.asarray(params["classifier"]["w"]).T),
-        "classifier.bias": _t(params["classifier"]["b"]),
-    }
-    for li, layer in enumerate(params["lstm"]):
-        for suffix, half in (("", "fwd"), ("_reverse", "bwd")):
-            sd[f"lstm.weight_ih_l{li}{suffix}"] = _t(np.asarray(layer[half]["w_ih"]).T)
-            sd[f"lstm.weight_hh_l{li}{suffix}"] = _t(np.asarray(layer[half]["w_hh"]).T)
-            sd[f"lstm.bias_ih_l{li}{suffix}"] = _t(layer[half]["b"])
-            sd[f"lstm.bias_hh_l{li}{suffix}"] = _t(np.zeros_like(np.asarray(layer[half]["b"])))
-    for i, lin in enumerate(params["linear"]):
-        sd[f"linear.{i}.weight"] = _t(np.asarray(lin["w"]).T)
-        sd[f"linear.{i}.bias"] = _t(lin["b"])
-    return sd
+    """Promoted to models/pyannet.pyannet_to_state_dict (numpy);
+    tensorized here because real checkpoints hold torch tensors."""
+    from clearconverse_tpu.models.pyannet import pyannet_to_state_dict
+    return {k: _t(v) for k, v in pyannet_to_state_dict(params).items()}
 
 
 @pytest.fixture(scope="module")

@@ -97,6 +97,40 @@ def test_spelling_extra_mapping_overrides():
     assert sp("whisky colour") == "whiskey color"
 
 
+def test_spelling_ogue_family():
+    sp = EnglishSpellingNormalizer()
+    assert sp("monologue epilogues dialogue catalogues") == \
+        "monolog epilogs dialog catalogs"
+
+
+def test_spelling_from_file_round_trips_whisper_asset_format(tmp_path):
+    """whisper's real asset is normalizers/english.json — a flat
+    {"british": "american"} dict; from_file must layer it over the
+    curated base so the public file drops in untouched (VERDICT r4 #5)."""
+    import json
+    sample = {"whisky": "whiskey", "colour": "KOLOR",  # override wins
+              "cosier": "cozier"}
+    p = tmp_path / "english.json"
+    p.write_text(json.dumps(sample), encoding="utf-8")
+    sp = EnglishSpellingNormalizer.from_file(str(p))
+    assert sp("whisky cosier colour theatre") == "whiskey cozier KOLOR theater"
+
+
+def test_spelling_from_file_rejects_non_dict(tmp_path):
+    p = tmp_path / "english.json"
+    p.write_text('["not", "a", "dict"]', encoding="utf-8")
+    with pytest.raises(ValueError):
+        EnglishSpellingNormalizer.from_file(str(p))
+
+
+def test_text_normalizer_picks_up_env_asset(tmp_path, monkeypatch):
+    import json
+    p = tmp_path / "english.json"
+    p.write_text(json.dumps({"zorbly": "zorblee"}), encoding="utf-8")
+    monkeypatch.setenv("CC_TPU_SPELLING_JSON", str(p))
+    assert EnglishTextNormalizer()("Zorbly colour!") == "zorblee color"
+
+
 def test_remove_symbols_keeps_requested():
     assert remove_symbols_and_diacritics("50% off, $3!", keep="%$") == \
         "50% off  $3 "
