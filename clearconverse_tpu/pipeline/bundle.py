@@ -236,19 +236,31 @@ class ModelBundle:
         return AudioStore(dev, sr)
 
     def _place_aux(self) -> None:
-        """Replicate the non-whisper model params across the mesh (they are
-        small; data-parallel batches need a copy per device)."""
-        if self._aux_placed or self.mesh is None:
-            self._aux_placed = True
+        """Move the non-whisper model params to device ONCE per (re)load.
+
+        Converted checkpoints arrive as HOST numpy pytrees, and a numpy
+        leaf passed to a jitted program re-uploads on EVERY call — ~25 MB
+        of ECAPA weights per embed batch over the ~30 MB/s tunnel, which
+        made every embed stage ~10× slower the first time real-format
+        checkpoints were loaded (round 5: engine 430× random-init vs 165×
+        checkpoint until this fix; random-init params never hit it because
+        init_* builds them on device). With a mesh they replicate across
+        it (small; data-parallel batches need a copy per device)."""
+        if self._aux_placed:
             return
         import jax
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        rep = NamedSharding(self.mesh, P())
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(self.mesh, P())
+
+            def put(x):
+                return jax.device_put(x, rep)
+        else:
+            put = jax.device_put
         for name in ("_ecapa", "_pyannet", "_sepformer"):
             tree = getattr(self, name)
             if tree is not None:
-                setattr(self, name,
-                        jax.tree.map(lambda x: jax.device_put(x, rep), tree))
+                setattr(self, name, jax.tree.map(put, tree))
         self._aux_placed = True
 
     # ---------------------------------------------------------------- load

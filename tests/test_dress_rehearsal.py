@@ -71,6 +71,25 @@ def test_bundle_cold_start_loads_every_family_as_checkpoint(rehearsal_dir):
     assert leaf.dtype == np.float32
 
 
+def test_aux_checkpoint_params_are_placed_on_device(rehearsal_dir):
+    """Converted checkpoints arrive as HOST numpy pytrees; _place_aux must
+    move them to device once, or every embed/segment/separate call
+    re-uploads the full weights through the tunnel (measured round 5:
+    engine 430x random-init vs 165x checkpoint before the fix — numpy
+    ECAPA leaves cost ~25 MB of re-upload per embed batch)."""
+    import jax
+
+    b = ModelBundle(Config(),
+                    TPUConfig(max_decode_tokens=8, max_fallback_attempts=1,
+                              compute_dtype="float32"),
+                    model_dir=str(rehearsal_dir))
+    assert b.load_with_progress()
+    b._place_aux()
+    for name in ("_ecapa", "_pyannet", "_sepformer"):
+        leaves = jax.tree.leaves(getattr(b, name))
+        assert leaves and all(isinstance(x, jax.Array) for x in leaves), name
+
+
 def test_fp16_aux_checkpoint_upcasts(tmp_path):
     """speechbrain/pyannote fp16 exports go through bare np.asarray in the
     aux converters — load_torch_state_dict must upcast first."""
