@@ -103,18 +103,31 @@ def _run_passes(engine, paths, repeats: int, budget_s: float,
     return per_pass, pass_stages, truncated, results
 
 
-def _stage_medians(pass_stages) -> dict:
+def _stage_medians(pass_stages) -> tuple:
     """Per-pass MEDIAN of each stage across warm passes (VERDICT r4 #2a:
     the old pass-summed stage_seconds could not distinguish a stage
-    regression from one pass's executable-install skew)."""
+    regression from one pass's executable-install skew). Returns
+    (medians, counts) where counts lists only stages absent from >=1
+    pass."""
     import statistics
     keys = set()
     for st in pass_stages:
         keys.update(st)
-    med = {k: statistics.median([st.get(k, 0.0) for st in pass_stages])
-           for k in keys}
-    return {k: round(v, 3)
-            for k, v in sorted(med.items(), key=lambda kv: -kv[1])}
+    # Median over the passes where the stage actually RAN: zero-filling
+    # absent passes made any stage firing in <half the passes median to
+    # exactly 0.0 and vanish — hiding real intermittent costs (a 2 s
+    # fallback in 1 of 3 passes) instead of damping install skew.
+    # ``stage_counts`` flags the intermittent ones so a reader knows the
+    # median covers fewer passes than per_pass_s.
+    med, counts = {}, {}
+    for k in keys:
+        vals = [st[k] for st in pass_stages if k in st]
+        med[k] = statistics.median(vals)
+        if len(vals) < len(pass_stages):
+            counts[k] = len(vals)
+    out = {k: round(v, 3)
+           for k, v in sorted(med.items(), key=lambda kv: -kv[1])}
+    return out, counts
 
 
 def bench_engine(n_files: int, repeats: int,
@@ -220,6 +233,7 @@ def bench_engine(n_files: int, repeats: int,
     pass_audio = sum(len(base) / SR for _ in paths)
     segs = sum(len(r["segments"]) for r in results if r)
     load_source = dict(getattr(engine.models, "load_source", {}))
+    stage_med, stage_counts = _stage_medians(pass_stages)
     warm_total = sum(per_pass)
     if _share is not None:
         _share["engine"] = engine
@@ -241,7 +255,7 @@ def bench_engine(n_files: int, repeats: int,
            # Where a warm pass's wall clock goes: per-pass MEDIAN seconds
            # per stage (VERDICT r4 #2a — was summed across passes, which
            # made one install-skewed pass read as a stage regression).
-           "stage_seconds": _stage_medians(pass_stages),
+           "stage_seconds": stage_med,
            # The exact knob set this number was measured with — engine
            # bench config deliberately diverges from the parity defaults
            # (random weights; see module docstring) and the JSON must say
@@ -261,10 +275,19 @@ def bench_engine(n_files: int, repeats: int,
                      # family's weights came from, so a populated ./models
                      # (eval/dress_rehearsal or real downloads) flips this
                      # and BENCH_r*.json proves the converter path ran
-                     # (VERDICT r4 #3).
-                     "random_weights": load_source.get("whisper")
-                                       != "checkpoint",
+                     # (VERDICT r4 #3). ALL four families must be converted
+                     # weights ("checkpoint" from model_dir or "payload"
+                     # from a hot-swap) — a whisper-only ./models would
+                     # otherwise mislabel a mixed run.
+                     "random_weights": any(
+                         load_source.get(f) not in ("checkpoint", "payload")
+                         for f in ("whisper", "ecapa", "pyannet",
+                                   "sepformer")),
                      "load_source": load_source}}
+    if stage_counts:
+        # Stages that did NOT run in every warm pass — their median covers
+        # only the passes listed here (see _stage_medians).
+        out["stage_counts"] = stage_counts
     if truncated:
         out["budget_truncated"] = True
     if temperature > 0:
@@ -295,14 +318,17 @@ def bench_ref_default(engine, paths, pass_audio: float,
             cold += 1
         per_pass, pass_stages, truncated, _ = _run_passes(
             engine, paths, 2, budget_s)
+        stage_med, stage_counts = _stage_medians(pass_stages)
         out = {"rtfx_warm_best": round(pass_audio / min(per_pass), 2),
                "rtfx_warm_mean": round(
                    pass_audio * len(per_pass) / sum(per_pass), 2),
                "warm_passes": len(per_pass),
                "per_pass_s": [round(t, 3) for t in per_pass],
-               "stage_seconds": _stage_medians(pass_stages),
+               "stage_seconds": stage_med,
                "knobs": {"temperature": 0.1, "best_of": 5,
                          "cold_passes": cold}}
+        if stage_counts:
+            out["stage_counts"] = stage_counts
         if truncated:
             out["budget_truncated"] = True
         return out
@@ -508,6 +534,12 @@ def main() -> None:
                                               _share=share)
             except Exception as exc:  # noqa: BLE001 — keep the headline
                 line["engine"] = {"error": f"{type(exc).__name__}: {exc}"}
+        # Bank the measured engine numbers NOW: the ref-default and latency
+        # stages below can pay multi-minute per-process installs, and a
+        # driver kill there must not lose an already-measured engine block
+        # (the flushed-line un-killable design, VERDICT r3 #1 — a last-line
+        # parser sees this record until the final merged line replaces it).
+        _emit(line)
         # VERDICT r4 #2b: the reference-default decode config and the warm
         # single-request latency ride in the SAME driver-captured line,
         # reusing the already-warm engine. Each block is budget-guarded

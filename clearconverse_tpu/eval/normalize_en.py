@@ -481,11 +481,17 @@ class EnglishTextNormalizer:
         if spelling is None:
             # Zero-code-change drop-in for whisper's full english.json
             # mapping the moment the asset exists (VERDICT r4 missing #3).
+            # A SET-but-missing path fails loudly: silently falling back to
+            # the curated base would score a parity sign-off under the
+            # wrong normalizer with no warning (review r5).
             import os
             asset = os.environ.get("CC_TPU_SPELLING_JSON", "")
+            if asset and not os.path.exists(asset):
+                raise FileNotFoundError(
+                    f"CC_TPU_SPELLING_JSON={asset!r} does not exist — "
+                    "unset it or point it at whisper's english.json")
             spelling = (EnglishSpellingNormalizer.from_file(asset)
-                        if asset and os.path.exists(asset)
-                        else EnglishSpellingNormalizer())
+                        if asset else EnglishSpellingNormalizer())
         self.spelling = spelling
 
     def __call__(self, s: str) -> str:

@@ -277,6 +277,7 @@ class ModelBundle:
                 progress_callback(pct, msg)
 
         try:
+            self.load_source = {}   # fresh provenance for this (re)load
             cb(10, "Loading separation model")
             self._sepformer = self._load_sepformer()
 
@@ -462,6 +463,13 @@ class ModelBundle:
         self._ecapa = payload["ecapa"]
         self._pyannet = payload["pyannet"]
         self._sepformer = payload["sepformer"]
+        # Provenance telemetry must follow hot-swaps too: a payload load
+        # after (or instead of) a model-dir load would otherwise leave
+        # stale "random_init" entries and bench/serve would mislabel real
+        # weights as random (review r5).
+        self.load_source = {f: "payload" for f in
+                            ("whisper", "ecapa", "pyannet", "sepformer")}
+        self.load_source["tokenizer"] = type(tok).__name__
         # Hot-swapped params land on the default device — force the next
         # _whisper_on_mesh/_place_aux to re-shard/replicate them, or a
         # multichip bundle would feed unsharded single-device params into

@@ -339,19 +339,23 @@ def create_app(output_dir: str = "processed_audio",
         # otherwise sit unread in the socket receive buffer for the task's
         # whole lifetime — a chatty client on a long task could fill it and
         # stall its own sends. A background reader drains and discards them
-        # (receive_text also answers client pings) and ends the loop the
-        # moment the peer closes. Safe alongside the poll loop's writes:
-        # every frame goes out in ONE writer.write() call, so the drain's
-        # pong replies can't interleave mid-frame.
-        drain = asyncio.ensure_future(ws.receive_text())
+        # AT FULL SPEED (re-arming once per 0.5 s poll tick capped intake
+        # at 2 frames/s — the buffer still filled, just slower; review r5)
+        # — receive_text also answers client pings — and the poll loop ends
+        # the moment the peer closes. Safe alongside the poll loop's
+        # writes: every frame goes out in ONE writer.write() call, so the
+        # drain's pong replies can't interleave mid-frame.
+        async def _drain_forever():
+            while (await ws.receive_text()) is not None:
+                pass
+
+        drain = asyncio.ensure_future(_drain_forever())
         try:
             while True:
                 await asyncio.sleep(0.5)
                 ticks += 1
                 if drain.done():
-                    if drain.exception() is not None or drain.result() is None:
-                        break                      # peer closed or errored
-                    drain = asyncio.ensure_future(ws.receive_text())
+                    break                          # peer closed or errored
                 if ticks % 10 == 0:
                     # Liveness probe: the loop only writes on progress
                     # CHANGES, so a vanished client would otherwise leave

@@ -666,6 +666,12 @@ def test_native_bundle_checkpoint_roundtrip(bundle, tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
     audio = np.random.default_rng(0).standard_normal((1, 8000)).astype(np.float32) * 0.1
     assert fresh.embed_batch(audio).shape == bundle.embed_batch(audio).shape
+    # Provenance follows the hot-swap (review r5): bench derives
+    # random_weights from load_source, so a payload load must not leave
+    # stale/empty entries behind.
+    assert fresh.load_source["whisper"] == "payload"
+    assert all(fresh.load_source[f] == "payload"
+               for f in ("ecapa", "pyannet", "sepformer"))
 
 
 def test_native_checkpoint_pre_meta_infers_aux_dims(bundle, tmp_path):

@@ -131,6 +131,15 @@ def test_text_normalizer_picks_up_env_asset(tmp_path, monkeypatch):
     assert EnglishTextNormalizer()("Zorbly colour!") == "zorblee color"
 
 
+def test_text_normalizer_rejects_missing_env_asset(monkeypatch):
+    """A SET-but-missing CC_TPU_SPELLING_JSON must fail loudly — silently
+    scoring under the curated fallback would pass off the wrong normalizer
+    as parity evidence (review r5)."""
+    monkeypatch.setenv("CC_TPU_SPELLING_JSON", "/nonexistent/english.jsn")
+    with pytest.raises(FileNotFoundError):
+        EnglishTextNormalizer()
+
+
 def test_remove_symbols_keeps_requested():
     assert remove_symbols_and_diacritics("50% off, $3!", keep="%$") == \
         "50% off  $3 "
