@@ -233,65 +233,72 @@ def bench_engine(n_files: int, repeats: int,
     pass_audio = sum(len(base) / SR for _ in paths)
     segs = sum(len(r["segments"]) for r in results if r)
     load_source = dict(getattr(engine.models, "load_source", {}))
-    stage_med, stage_counts = _stage_medians(pass_stages)
-    warm_total = sum(per_pass)
     if _share is not None:
         _share["engine"] = engine
         _share["paths"] = paths
         _share["pass_audio"] = pass_audio
+    out = _warm_report(per_pass, pass_stages, truncated, pass_audio)
+    out.update(
+        {"audio_seconds": round(pass_audio * len(per_pass), 1),
+         "files": n_files, "segments_per_pass": segs,
+         # What actually crossed the tunnel for the audio upload —
+         # format/width/bytes — so BENCH_r*.json proves the default
+         # packed wire engaged (VERDICT r3 next #5).
+         "wire": dict(getattr(engine, "last_run_wire", {})),
+         # The exact knob set this number was measured with — engine
+         # bench config deliberately diverges from the parity defaults
+         # (random weights; see module docstring) and the JSON must say
+         # so (VERDICT r2 weak #6).
+         "knobs": {"temperature": cfg.temperature,
+                   "max_decode_tokens": tpu.max_decode_tokens,
+                   "max_fallback_attempts": tpu.max_fallback_attempts,
+                   "best_of": tpu.best_of,
+                   "diarization_onset": tpu.diarization_onset,
+                   "diarization_offset": tpu.diarization_offset,
+                   "pad_to_full_window": tpu.pad_to_full_window,
+                   "cross_kv_bits": tpu.cross_kv_bits,
+                   "self_kv_bits": tpu.self_kv_bits,
+                   "wire_bits": tpu.wire_bits,
+                   "transcription_batch_size": cfg.transcription_batch_size,
+                   # Derived, not asserted: the bundle records where each
+                   # family's weights came from, so a populated ./models
+                   # (eval/dress_rehearsal or real downloads) flips this
+                   # and BENCH_r*.json proves the converter path ran
+                   # (VERDICT r4 #3). ALL four families must be converted
+                   # weights ("checkpoint" from model_dir or "payload"
+                   # from a hot-swap) — a whisper-only ./models would
+                   # otherwise mislabel a mixed run.
+                   "random_weights": any(
+                       load_source.get(f) not in ("checkpoint", "payload")
+                       for f in ("whisper", "ecapa", "pyannet",
+                                 "sepformer")),
+                   "load_source": load_source}})
+    if temperature > 0:
+        out["knobs"]["extra_cold_passes"] = cold_extra
+    return out
+
+
+def _warm_report(per_pass, pass_stages, truncated, pass_audio: float) -> dict:
+    """Shared warm-pass report block (engine + ref-default benches must
+    not drift in schema — review r5): explicit best/mean RTFx keys (best
+    is the machine's capability; the mean includes whatever congestion
+    the window had), raw per-pass wall clocks (makes install skew on any
+    single pass visible — VERDICT r4 weak #3), and per-pass MEDIAN
+    stage_seconds (VERDICT r4 #2a — pass-summed stages made one
+    install-skewed pass read as a stage regression)."""
+    stage_med, stage_counts = _stage_medians(pass_stages)
     out = {"rtfx_warm_best": round(pass_audio / min(per_pass), 2),
-           "rtfx_warm_mean": round(pass_audio * len(per_pass) / warm_total,
-                                   2),
-           "audio_seconds": round(pass_audio * len(per_pass), 1),
-           "files": n_files, "segments_per_pass": segs,
+           "rtfx_warm_mean": round(
+               pass_audio * len(per_pass) / sum(per_pass), 2),
            "warm_passes": len(per_pass),
-           # Raw per-pass wall clocks — makes install skew on any single
-           # pass visible in the driver JSON (VERDICT r4 weak #3).
            "per_pass_s": [round(t, 3) for t in per_pass],
-           # What actually crossed the tunnel for the audio upload —
-           # format/width/bytes — so BENCH_r*.json proves the default
-           # packed wire engaged (VERDICT r3 next #5).
-           "wire": dict(getattr(engine, "last_run_wire", {})),
-           # Where a warm pass's wall clock goes: per-pass MEDIAN seconds
-           # per stage (VERDICT r4 #2a — was summed across passes, which
-           # made one install-skewed pass read as a stage regression).
-           "stage_seconds": stage_med,
-           # The exact knob set this number was measured with — engine
-           # bench config deliberately diverges from the parity defaults
-           # (random weights; see module docstring) and the JSON must say
-           # so (VERDICT r2 weak #6).
-           "knobs": {"temperature": cfg.temperature,
-                     "max_decode_tokens": tpu.max_decode_tokens,
-                     "max_fallback_attempts": tpu.max_fallback_attempts,
-                     "best_of": tpu.best_of,
-                     "diarization_onset": tpu.diarization_onset,
-                     "diarization_offset": tpu.diarization_offset,
-                     "pad_to_full_window": tpu.pad_to_full_window,
-                     "cross_kv_bits": tpu.cross_kv_bits,
-                     "self_kv_bits": tpu.self_kv_bits,
-                     "wire_bits": tpu.wire_bits,
-                     "transcription_batch_size": cfg.transcription_batch_size,
-                     # Derived, not asserted: the bundle records where each
-                     # family's weights came from, so a populated ./models
-                     # (eval/dress_rehearsal or real downloads) flips this
-                     # and BENCH_r*.json proves the converter path ran
-                     # (VERDICT r4 #3). ALL four families must be converted
-                     # weights ("checkpoint" from model_dir or "payload"
-                     # from a hot-swap) — a whisper-only ./models would
-                     # otherwise mislabel a mixed run.
-                     "random_weights": any(
-                         load_source.get(f) not in ("checkpoint", "payload")
-                         for f in ("whisper", "ecapa", "pyannet",
-                                   "sepformer")),
-                     "load_source": load_source}}
+           "stage_seconds": stage_med}
     if stage_counts:
         # Stages that did NOT run in every warm pass — their median covers
         # only the passes listed here (see _stage_medians).
         out["stage_counts"] = stage_counts
     if truncated:
         out["budget_truncated"] = True
-    if temperature > 0:
-        out["knobs"]["extra_cold_passes"] = cold_extra
     return out
 
 
@@ -318,19 +325,9 @@ def bench_ref_default(engine, paths, pass_audio: float,
             cold += 1
         per_pass, pass_stages, truncated, _ = _run_passes(
             engine, paths, 2, budget_s)
-        stage_med, stage_counts = _stage_medians(pass_stages)
-        out = {"rtfx_warm_best": round(pass_audio / min(per_pass), 2),
-               "rtfx_warm_mean": round(
-                   pass_audio * len(per_pass) / sum(per_pass), 2),
-               "warm_passes": len(per_pass),
-               "per_pass_s": [round(t, 3) for t in per_pass],
-               "stage_seconds": stage_med,
-               "knobs": {"temperature": 0.1, "best_of": 5,
-                         "cold_passes": cold}}
-        if stage_counts:
-            out["stage_counts"] = stage_counts
-        if truncated:
-            out["budget_truncated"] = True
+        out = _warm_report(per_pass, pass_stages, truncated, pass_audio)
+        out["knobs"] = {"temperature": 0.1, "best_of": 5,
+                        "cold_passes": cold}
         return out
     finally:
         engine.config.temperature = prev

@@ -265,6 +265,11 @@ def main() -> None:
     # Keep host-side init off the tunnel device and out of its compile cache.
     import jax
     jax.config.update("jax_platforms", "cpu")
+    # Entry-point rule (CLAUDE.md): persistent compile cache everywhere —
+    # harmless on the CPU pin, and protects against a future edit that
+    # lets any of the 244M-param inits touch the tunnel backend.
+    from clearconverse_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache()
     paths = populate(args.model_dir, args.size, args.seed, args.tiny,
                      skip=tuple(s for s in args.skip.split(",") if s))
     for fam, p in sorted(paths.items()):

@@ -71,8 +71,15 @@ def _style_for(language) -> str:
     EnglishTextNormalizer; any pinned non-English language gets the
     language-agnostic ``light`` folding instead of English contraction
     expansion / British→American spelling / English number-word rules
-    (ADVICE r4 #1)."""
-    return "english" if language in (None, "", "en", "english") else "light"
+    (ADVICE r4 #1). Matching is case-insensitive and accepts regional
+    tags ('EN', 'English', 'en-US', 'en_GB') — env-provided language
+    strings arrive unnormalized (review r5)."""
+    if language is None:
+        return "english"
+    lang = str(language).strip().lower()
+    if lang in ("", "english") or lang == "en" or lang.startswith(("en-", "en_")):
+        return "english"
+    return "light"
 
 
 def word_error_rate(reference: str, hypothesis: str,

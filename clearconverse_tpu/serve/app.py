@@ -342,9 +342,10 @@ def create_app(output_dir: str = "processed_audio",
         # AT FULL SPEED (re-arming once per 0.5 s poll tick capped intake
         # at 2 frames/s — the buffer still filled, just slower; review r5)
         # — receive_text also answers client pings — and the poll loop ends
-        # the moment the peer closes. Safe alongside the poll loop's
-        # writes: every frame goes out in ONE writer.write() call, so the
-        # drain's pong replies can't interleave mid-frame.
+        # the moment the peer closes. The WebSocket's internal write lock
+        # serializes the drain's pong replies against this loop's
+        # send_json/ping (frame atomicity AND the transport's
+        # single-waiter drain — review r5 second pass).
         async def _drain_forever():
             while (await ws.receive_text()) is not None:
                 pass
@@ -418,8 +419,17 @@ def create_app(output_dir: str = "processed_audio",
                                 "Process ended unexpectedly")
                             break
         finally:
-            if not drain.done():
-                drain.cancel()
+            # Cancel AND retrieve: a drain task that died on a socket
+            # error (e.g. ConnectionResetError from its own pong write)
+            # would otherwise log "Task exception was never retrieved"
+            # on every abrupt disconnect.
+            drain.cancel()
+            try:
+                await drain
+            except asyncio.CancelledError:
+                pass
+            except Exception:
+                pass
 
     # ------------------------------------------------------------- cleanup
     def _cleanup(task_id: str, preserve_uploads: bool):

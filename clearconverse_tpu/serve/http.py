@@ -169,6 +169,13 @@ class WebSocket:
         self._w = writer
         self.path_params = path_params
         self.closed = False
+        # Serializes write+drain pairs: the progress handler runs a
+        # background reader (whose pong replies drain) CONCURRENTLY with
+        # the poll loop's send_json/ping drains, and asyncio's
+        # FlowControlMixin supports a single drain waiter — two coroutines
+        # draining the same transport under write backpressure hit
+        # `assert waiter is None` (or silently lose a waiter under -O).
+        self._wlock = asyncio.Lock()
 
     async def accept(self) -> None:
         pass  # handshake already done by the server before dispatch
@@ -188,8 +195,9 @@ class WebSocket:
             header += bytes([126]) + struct.pack(">H", n)
         else:
             header += bytes([127]) + struct.pack(">Q", n)
-        self._w.write(header + payload)
-        await self._w.drain()
+        async with self._wlock:
+            self._w.write(header + payload)
+            await self._w.drain()
 
     async def ping(self) -> None:
         """Unsolicited ping — a liveness probe for write-only handlers
@@ -198,8 +206,9 @@ class WebSocket:
         the first write after the peer is gone raises)."""
         if self.closed:
             raise ConnectionError("websocket closed")
-        self._w.write(bytes([0x89, 0]))
-        await self._w.drain()
+        async with self._wlock:
+            self._w.write(bytes([0x89, 0]))
+            await self._w.drain()
 
     async def receive_text(self) -> Optional[str]:
         """Next text frame; None on close. Handles ping transparently."""
@@ -216,39 +225,46 @@ class WebSocket:
                 # §5.5); echoing more would set the mask bit in the length
                 # byte and emit a malformed server frame.
                 pong = payload[:125]
-                self._w.write(bytes([0x8A, len(pong)]) + pong)
-                await self._w.drain()
+                async with self._wlock:
+                    self._w.write(bytes([0x8A, len(pong)]) + pong)
+                    await self._w.drain()
                 continue
             if opcode in (0x1, 0x2):
                 return payload.decode("utf-8", "replace")
 
     async def _read_frame(self) -> Optional[Tuple[int, bytes]]:
+        # The guard covers EVERY readexactly, not just the first: a client
+        # that resets mid-frame (header sent, payload truncated) must read
+        # as a clean close, not raise IncompleteReadError out of a
+        # background drain task.
         try:
             b1b2 = await self._r.readexactly(2)
-        except (asyncio.IncompleteReadError, ConnectionError):
+            opcode = b1b2[0] & 0x0F
+            masked = b1b2[1] & 0x80
+            n = b1b2[1] & 0x7F
+            if n == 126:
+                n = struct.unpack(">H", await self._r.readexactly(2))[0]
+            elif n == 127:
+                n = struct.unpack(">Q", await self._r.readexactly(8))[0]
+            if n > MAX_WS_FRAME:
+                # A client frame claiming up to 2^63 bytes would otherwise
+                # buffer into memory without bound (the progress sockets
+                # only ever receive tiny texts). Fail the connection
+                # (RFC 6455 1009 Message Too Big).
+                try:
+                    async with self._wlock:
+                        self._w.write(bytes([0x88, 2])
+                                      + struct.pack(">H", 1009))
+                        await self._w.drain()
+                except ConnectionError:
+                    pass
+                self.closed = True
+                return None
+            mask = await self._r.readexactly(4) if masked else b"\x00" * 4
+            data = await self._r.readexactly(n)
+        except (asyncio.IncompleteReadError, ConnectionError, OSError):
             self.closed = True
             return None
-        opcode = b1b2[0] & 0x0F
-        masked = b1b2[1] & 0x80
-        n = b1b2[1] & 0x7F
-        if n == 126:
-            n = struct.unpack(">H", await self._r.readexactly(2))[0]
-        elif n == 127:
-            n = struct.unpack(">Q", await self._r.readexactly(8))[0]
-        if n > MAX_WS_FRAME:
-            # A client frame claiming up to 2^63 bytes would otherwise
-            # buffer into memory without bound (the progress sockets only
-            # ever receive tiny texts). Fail the connection (RFC 6455
-            # 1009 Message Too Big).
-            try:
-                self._w.write(bytes([0x88, 2]) + struct.pack(">H", 1009))
-                await self._w.drain()
-            except ConnectionError:
-                pass
-            self.closed = True
-            return None
-        mask = await self._r.readexactly(4) if masked else b"\x00" * 4
-        data = await self._r.readexactly(n)
         if masked:
             data = bytes(c ^ mask[i % 4] for i, c in enumerate(data))
         return opcode, data
@@ -256,8 +272,9 @@ class WebSocket:
     async def close(self) -> None:
         if not self.closed:
             try:
-                self._w.write(bytes([0x88, 0]))
-                await self._w.drain()
+                async with self._wlock:
+                    self._w.write(bytes([0x88, 0]))
+                    await self._w.drain()
             except ConnectionError:
                 pass
             self.closed = True

@@ -187,12 +187,19 @@ class TaskRunner:
         return progress_callback
 
     def _finish_ok(self, task_id: str, task_dir: str, cb) -> None:
+        cb(100, "Transcription complete")
+        # Terminal marker FIRST, in_progress removal after: a server
+        # killed between the two leaves the dir with completed.txt (every
+        # reader checks completed before in_progress), whereas the old
+        # remove-then-write order could strand a dir with NEITHER marker —
+        # which the orphan-cancel rescue (cancel(), gated on
+        # in_progress.txt) can no longer rescue, so the WS observer would
+        # poll it forever (review r5).
+        with open(os.path.join(task_dir, "completed.txt"), "w") as fh:
+            fh.write(f"Transcription completed at {datetime.now().isoformat()}")
         in_progress = os.path.join(task_dir, "in_progress.txt")
         if os.path.exists(in_progress):
             os.remove(in_progress)
-        cb(100, "Transcription complete")
-        with open(os.path.join(task_dir, "completed.txt"), "w") as fh:
-            fh.write(f"Transcription completed at {datetime.now().isoformat()}")
         # The reference's forked worker could never write result_store
         # (separate address space — SURVEY.md §2.2 quirk); in-process we can.
         self.result_store[task_id] = {

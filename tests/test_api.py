@@ -481,6 +481,69 @@ def test_cancel_restart_orphaned_task_reaches_terminal_state(tmp_path):
     assert not (tmp_path / "never-existed").exists()
 
 
+def test_finish_ok_marker_order_survives_crash_window(tmp_path, monkeypatch):
+    """_finish_ok must write completed.txt BEFORE removing
+    in_progress.txt: a server killed between the two steps then leaves a
+    dir every reader resolves as completed. The old remove-then-write
+    order could strand a dir with NEITHER marker — unrescuable by the
+    in_progress-gated orphan cancel, so a WS observer would poll it
+    forever (review r5)."""
+    import os as _os
+    import threading
+    from clearconverse_tpu.serve import tasks as tasks_mod
+    from clearconverse_tpu.serve.tasks import TaskRunner
+
+    runner = TaskRunner(str(tmp_path), lambda: None)
+    task_dir = tmp_path / "t9"
+    task_dir.mkdir()
+    (task_dir / "in_progress.txt").write_text("x")
+
+    completed_at_removal = []
+    real_remove = _os.remove
+
+    def spying_remove(path):
+        if _os.path.basename(str(path)) == "in_progress.txt":
+            completed_at_removal.append(
+                (task_dir / "completed.txt").exists())
+        real_remove(path)
+
+    monkeypatch.setattr(tasks_mod.os, "remove", spying_remove)
+    cb = runner._make_progress_cb("t9", str(task_dir), threading.Event(),
+                                  raise_on_cancel=False)
+    runner._finish_ok("t9", str(task_dir), cb)
+    assert completed_at_removal == [True]
+    assert (task_dir / "completed.txt").exists()
+    assert not (task_dir / "in_progress.txt").exists()
+
+
+def test_ws_mid_frame_disconnect_reads_as_clean_close():
+    """A client that resets mid-frame (header sent, payload truncated)
+    must read as a clean close (None), not raise IncompleteReadError out
+    of the handler's background drain task (review r5)."""
+    import asyncio
+    from clearconverse_tpu.serve.http import WebSocket
+
+    async def scenario():
+        reader = asyncio.StreamReader()
+        # Masked text frame claiming 20 payload bytes; deliver only the
+        # mask + 3 bytes, then EOF (connection reset mid-frame).
+        reader.feed_data(bytes([0x81, 0x80 | 20]) + b"\x00\x00\x00\x00abc")
+        reader.feed_eof()
+
+        class _W:  # writer never used on the read path
+            def write(self, *_):
+                raise AssertionError("no writes expected")
+
+            async def drain(self):
+                pass
+
+        ws = WebSocket(reader, _W(), {})
+        return await ws.receive_text(), ws.closed
+
+    got, closed = asyncio.run(scenario())
+    assert got is None and closed
+
+
 def test_concurrent_transcribe_requests(server):
     """Two simultaneous tasks both complete (the in-process executor
     serializes device work; the benign progress.json read/write race is

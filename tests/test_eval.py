@@ -67,6 +67,18 @@ def test_wer_language_selects_normalizer():
                            language="de", style="english") == 0.0
 
 
+def test_wer_language_string_variants():
+    """Env-provided language strings arrive unnormalized: 'EN', 'English',
+    and regional tags ('en-US', 'en_GB') must select the English
+    normalizer; other languages (any case) must not (review r5)."""
+    for lang in ("EN", "English", "en-US", "en_GB", " en "):
+        assert word_error_rate("the colour", "the color",
+                               language=lang) == 0.0, lang
+    for lang in ("DE", "fr-CA", "zh"):
+        assert word_error_rate("the colour", "the color",
+                               language=lang) == pytest.approx(0.5), lang
+
+
 def test_wer_detail_keeps_hallucination_magnitude():
     """ADVICE r4 #3: the empty-reference cap clamps the RATE at 1.0, but
     insertions/hyp_words in the detail row keep the magnitude visible."""
