@@ -96,30 +96,59 @@ def create_app(output_dir: str = "processed_audio",
             raise HTTPException(400, "Invalid URL format")
         urlmod.validate_url(url)
         task_id = str(uuid.uuid4())
-        if "drive.google.com" in url:
-            file_id = urlmod.extract_drive_file_id(url)
-            path = str(temp_uploads / f"{task_id}.mp3")
-            urlmod.download_file_from_google_drive(
-                file_id, path, max_bytes=MAX_FILE_SIZE_BYTES)
-        else:
-            from urllib.parse import urlparse
-            # Parity (back/api.py:1814-1817): lowercase the URL extension and
-            # whitelist it, defaulting to .mp3 for anything else.
-            ext = os.path.splitext(urlparse(url).path)[1].lower()
-            if ext not in (".mp3", ".wav", ".ogg", ".mp4", ".flac",
-                           ".m4a", ".aac"):
-                ext = ".mp3"
-            path = str(temp_uploads / f"{task_id}{ext}")
-            urlmod.download_file_from_url(url, path,
-                                          max_bytes=MAX_FILE_SIZE_BYTES)
-        runner.original_filenames[task_id] = os.path.basename(path)
-        if path.lower().endswith(".mp3"):
-            from clearconverse_tpu.audio.decode import ensure_wav_format
-            path = ensure_wav_format(path)
-        runner.uploaded_files[task_id] = path
-        runner.update_progress(task_id, 10, "File ready for processing")
+        from urllib.parse import urlparse
+        parsed = urlparse(url)
+        # Parity (back/api.py:1814-1817): lowercase the URL extension and
+        # whitelist it, defaulting to .mp3 for anything else (Drive URLs
+        # have no usable path extension, so they land on .mp3 too).
+        ext = os.path.splitext(parsed.path)[1].lower()
+        if ext not in (".mp3", ".wav", ".ogg", ".mp4", ".flac",
+                       ".m4a", ".aac"):
+            ext = ".mp3"
+        filename = f"{task_id}{ext}"
+        path = str(temp_uploads / filename)
+        # The ORIGINAL name comes from the URL's basename (or a default),
+        # recorded BEFORE the download (back/api.py:1822-1828) — it names
+        # the PDF download ("{origname}-Transcript.pdf"), so storing the
+        # local task-id filename here would leak uuids into user-facing
+        # filenames (review r5).
+        runner.original_filenames[task_id] = (
+            os.path.basename(parsed.path) or f"recording{ext}")
+        runner.update_progress(task_id, 5, "Starting download from URL")
+        try:
+            if "drive.google.com" in url:
+                file_id = urlmod.extract_drive_file_id(url)
+                runner.update_progress(task_id, 10,
+                                       "Downloading from Google Drive")
+                urlmod.download_file_from_google_drive(
+                    file_id, path, max_bytes=MAX_FILE_SIZE_BYTES)
+            else:
+                runner.update_progress(task_id, 5,
+                                       "Downloading audio from URL")
+                urlmod.download_file_from_url(url, path,
+                                              max_bytes=MAX_FILE_SIZE_BYTES)
+            runner.update_progress(task_id, 25, "Download complete")
+            if path.lower().endswith(".mp3"):
+                from clearconverse_tpu.audio.decode import ensure_wav_format
+                runner.update_progress(task_id, 5, "Converting MP3 to WAV")
+                runner.uploaded_files[task_id] = ensure_wav_format(path)
+                runner.update_progress(task_id, 10, "Conversion complete")
+            else:
+                runner.uploaded_files[task_id] = path
+        except Exception as exc:  # noqa: BLE001 — deliberate quirk parity
+            # The reference's outer wrap (back/api.py:1988-1990) catches
+            # EVERYTHING — including its own just-raised HTTPExceptions —
+            # and re-raises 400 "Failed to download file: <str(exc)>", so
+            # even the 413 size cap surfaces to clients as a 400 whose
+            # detail embeds "413: File size exceeds ...". Reproduced
+            # byte-for-byte (docs/PARITY.md).
+            logger.error("Error downloading file from URL %s: %s", url, exc)
+            raise HTTPException(400, f"Failed to download file: {exc}")
+        # preview_url carries the PRE-conversion filename — for an MP3
+        # source the preview serves the original .mp3 (still on disk;
+        # ensure_wav_format writes a sibling .wav), back/api.py:1999.
         return {"task_id": task_id,
-                "preview_url": f"/preview/{os.path.basename(path)}"}
+                "preview_url": f"/preview/{filename}"}
 
     @app.get("/preview/{filename}")
     async def preview_audio(req: Request):

@@ -44,6 +44,12 @@ class HTTPException(Exception):
         self.status_code = status_code
         self.detail = detail
 
+    def __str__(self) -> str:
+        # Starlette's format — upload-url's outer wrap embeds str(exc) in
+        # its 400 detail (back/api.py:1988), so the text must read
+        # "413: File size ..." for byte parity.
+        return f"{self.status_code}: {self.detail}"
+
 
 class UploadedFile:
     def __init__(self, filename: str, content_type: str, content: bytes):

@@ -91,8 +91,34 @@ def _ext_from_content_type(content_type: str, url: str) -> str:
     return ".mp3"
 
 
+def _size_cap_413(total_bytes: int) -> HTTPException:
+    # Exact reference detail text (back/api.py:1902-1905) — the size of
+    # what was seen so far rides in the message.
+    size_mb = total_bytes / (1024 * 1024)
+    return HTTPException(
+        413, "File size exceeds the maximum limit of 10MB. "
+             f"File size: {size_mb:.2f}MB")
+
+
+def _head_size_precheck(url: str, max_bytes: Optional[int],
+                        headers: Optional[dict] = None) -> None:
+    """Reject oversize files from Content-Length BEFORE downloading
+    (back/api.py:1929-1939 / 1859-1872); a failed HEAD falls through to
+    the in-flight check."""
+    if max_bytes is None:
+        return
+    try:
+        resp = requests.head(url, headers=headers, timeout=10)
+        length = resp.headers.get("Content-Length")
+        if length and int(length) > max_bytes:
+            raise _size_cap_413(int(length))
+    except requests.exceptions.RequestException:
+        pass
+
+
 def download_file_from_url(url: str, output_path: Optional[str] = None,
                            max_bytes: Optional[int] = None) -> str:
+    _head_size_precheck(url, max_bytes, headers=_UA)
     try:
         resp = requests.get(url, headers=_UA, stream=True, timeout=30)
         resp.raise_for_status()
@@ -106,16 +132,30 @@ def download_file_from_url(url: str, output_path: Optional[str] = None,
             for chunk in resp.iter_content(chunk_size=8192):
                 total += len(chunk)
                 if max_bytes is not None and total > max_bytes:
-                    raise HTTPException(
-                        413, "File size exceeds the maximum limit of 10MB.")
+                    raise _size_cap_413(total)
                 fh.write(chunk)
         return output_path
     except HTTPException:
+        _unlink_partial(output_path)
         raise
     except requests.exceptions.RequestException as exc:
+        _unlink_partial(output_path)
         raise HTTPException(400, f"Failed to download file from URL: {exc}")
     except Exception as exc:  # noqa: BLE001
+        _unlink_partial(output_path)
         raise HTTPException(500, f"Server error processing URL: {exc}")
+
+
+def _unlink_partial(path: Optional[str]) -> None:
+    """A capped or failed download must not leave a partial file behind
+    (the reference unlinks its temp file on every error path,
+    back/api.py:1899-1920)."""
+    import os
+    if path:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
 
 
 def download_file_from_google_drive(file_id: str,
@@ -127,6 +167,9 @@ def download_file_from_google_drive(file_id: str,
         tmp = tempfile.NamedTemporaryFile(suffix=".mp3", delete=False)
         output_path = tmp.name
         tmp.close()
+    # Content-Length pre-check on the export URL (back/api.py:1859-1872;
+    # the reference sends no UA header on this HEAD).
+    _head_size_precheck(f"{base}&id={file_id}", max_bytes)
     # timeout on BOTH requests: the handler runs on the single asyncio
     # event loop — an unbounded synchronous get would freeze every route
     # and WebSocket on the server. Request failures map to 400 like the
@@ -154,11 +197,13 @@ def download_file_from_google_drive(file_id: str,
                 if chunk:
                     total += len(chunk)
                     if max_bytes is not None and total > max_bytes:
-                        raise HTTPException(
-                            413,
-                            "File size exceeds the maximum limit of 10MB.")
+                        raise _size_cap_413(total)
                     fh.write(chunk)
+    except HTTPException:
+        _unlink_partial(output_path)
+        raise
     except requests.exceptions.RequestException as exc:
+        _unlink_partial(output_path)
         raise HTTPException(400, f"Failed to download file from URL: {exc}")
     logger.info("Downloaded Drive file %s (%d bytes)", file_id, total)
     return output_path

@@ -481,6 +481,100 @@ def test_cancel_restart_orphaned_task_reaches_terminal_state(tmp_path):
     assert not (tmp_path / "never-existed").exists()
 
 
+def test_upload_url_drive_flow_preview_and_pdf_name(server, monkeypatch):
+    """/upload-url parity (back/api.py:1806-1999): the original filename
+    is the URL path's basename recorded BEFORE download (here the Drive
+    quirk value 'view'), preview_url carries the pre-conversion
+    {task_id}.mp3 name, and the PDF download is named
+    '{orig-stem}-Transcript.pdf' — not a uuid (review r5)."""
+    from clearconverse_tpu.serve import urls as urlmod
+
+    calls = {}
+
+    def fake_drive(file_id, output_path=None, max_bytes=None):
+        calls["file_id"] = file_id
+        write_wav(output_path, synth_conversation(), SR)
+        return output_path
+
+    monkeypatch.setattr(urlmod, "download_file_from_google_drive",
+                        fake_drive)
+    url = "https://drive.google.com/file/d/FILE123/view"
+    r = requests.post(server["base"] + "/upload-url", data={"url": url})
+    assert r.status_code == 200, r.text
+    body = r.json()
+    tid = body["task_id"]
+    assert calls["file_id"] == "FILE123"
+    # Drive URLs have no usable extension -> .mp3 default; preview uses
+    # the PRE-conversion filename.
+    assert body["preview_url"] == f"/preview/{tid}.mp3"
+
+    requests.post(f"{server['base']}/transcribe/{tid}")
+    st = _wait_complete(server, tid)
+    assert st["status"] == "completed", st
+    pdf = requests.get(f"{server['base']}/download-pdf/{tid}")
+    assert pdf.status_code == 200
+    assert "view-Transcript.pdf" in pdf.headers.get("Content-Disposition",
+                                                    "")
+
+
+def test_upload_url_size_cap_wraps_413_into_400(server, monkeypatch):
+    """Reference quirk reproduced byte-for-byte (back/api.py:1988-1990):
+    the route's outer except catches its own 413 and re-raises 400 with
+    the 413 text embedded in the detail."""
+    from clearconverse_tpu.serve import urls as urlmod
+
+    def fake_drive(file_id, output_path=None, max_bytes=None):
+        raise urlmod._size_cap_413(12 * 1024 * 1024)
+
+    monkeypatch.setattr(urlmod, "download_file_from_google_drive",
+                        fake_drive)
+    url = "https://drive.google.com/file/d/FILE123/view"
+    r = requests.post(server["base"] + "/upload-url", data={"url": url})
+    assert r.status_code == 400, r.text
+    assert r.json()["detail"] == (
+        "Failed to download file: 413: File size exceeds the maximum "
+        "limit of 10MB. File size: 12.00MB")
+
+
+def test_download_url_cap_unlinks_partial_file(tmp_path, monkeypatch):
+    """A capped in-flight download must not leave a partial file behind
+    (the reference unlinks its temp file on every error path,
+    back/api.py:1899-1920)."""
+    from clearconverse_tpu.serve import urls as urlmod
+    from clearconverse_tpu.serve.http import HTTPException as HE
+
+    class FakeResp:
+        headers = {"Content-Type": "audio/mpeg"}
+        status_code = 200
+
+        def raise_for_status(self):
+            pass
+
+        def iter_content(self, chunk_size):
+            while True:
+                yield b"x" * chunk_size
+
+    class FakeReq:
+        exceptions = urlmod.requests.exceptions
+
+        @staticmethod
+        def get(*a, **k):
+            return FakeResp()
+
+        @staticmethod
+        def head(*a, **k):
+            return type("H", (), {"headers": {}})()  # no Content-Length
+
+    monkeypatch.setattr(urlmod, "requests", FakeReq)
+    out = tmp_path / "dl.mp3"
+    with pytest.raises(HE) as ei:
+        urlmod.download_file_from_url("http://x.example/y.mp3", str(out),
+                                      max_bytes=4096)
+    assert ei.value.status_code == 413
+    assert "File size:" in ei.value.detail
+    assert not out.exists(), "partial download left on disk"
+
+
 def test_finish_ok_marker_order_survives_crash_window(tmp_path, monkeypatch):
     """_finish_ok must write completed.txt BEFORE removing
     in_progress.txt: a server killed between the two steps then leaves a
