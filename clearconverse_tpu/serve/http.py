@@ -262,7 +262,7 @@ class WebSocket:
                         self._w.write(bytes([0x88, 2])
                                       + struct.pack(">H", 1009))
                         await self._w.drain()
-                except ConnectionError:
+                except OSError:
                     pass
                 self.closed = True
                 return None
@@ -281,7 +281,11 @@ class WebSocket:
                 async with self._wlock:
                     self._w.write(bytes([0x88, 0]))
                     await self._w.drain()
-            except ConnectionError:
+            except OSError:
+                # ANY socket-level failure (not just ConnectionError —
+                # e.g. ETIMEDOUT from drain) reads as the peer being
+                # gone; close() is called from handlers' finally blocks
+                # and must not raise past them (review r5 third pass).
                 pass
             self.closed = True
 
@@ -412,7 +416,10 @@ class App:
                 await self._write_response(writer, response, keep=keep)
                 if not keep:
                     return
-        except (asyncio.IncompleteReadError, ConnectionError):
+        except (asyncio.IncompleteReadError, OSError):
+            # OSError covers ConnectionError plus the rarer socket
+            # failures (ETIMEDOUT, ENOBUFS) — a dying client connection
+            # must never surface as an unhandled-task-exception log.
             pass
         finally:
             try:

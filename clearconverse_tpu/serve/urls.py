@@ -138,12 +138,14 @@ def download_file_from_url(url: str, output_path: Optional[str] = None,
     except HTTPException:
         _unlink_partial(output_path)
         raise
-    except requests.exceptions.RequestException as exc:
-        _unlink_partial(output_path)
-        raise HTTPException(400, f"Failed to download file from URL: {exc}")
     except Exception as exc:  # noqa: BLE001
+        # Reference-exact wrap (back/api.py:1976): EVERY non-HTTPException
+        # failure — request errors and local OSErrors alike — maps to 400
+        # "Failed to download file: ..." so the route's outer wrap
+        # composes byte-identically (review r5 third pass; previously
+        # request errors said "from URL" and local errors said 500).
         _unlink_partial(output_path)
-        raise HTTPException(500, f"Server error processing URL: {exc}")
+        raise HTTPException(400, f"Failed to download file: {exc}")
 
 
 def _unlink_partial(path: Optional[str]) -> None:
@@ -202,8 +204,11 @@ def download_file_from_google_drive(file_id: str,
     except HTTPException:
         _unlink_partial(output_path)
         raise
-    except requests.exceptions.RequestException as exc:
+    except Exception as exc:  # noqa: BLE001
+        # Same generic wrap as the sibling (back/api.py:1920): a disk
+        # failure mid-write must unlink the partial and surface 400, not
+        # escape raw (review r5 third pass).
         _unlink_partial(output_path)
-        raise HTTPException(400, f"Failed to download file from URL: {exc}")
+        raise HTTPException(400, f"Failed to download file: {exc}")
     logger.info("Downloaded Drive file %s (%d bytes)", file_id, total)
     return output_path

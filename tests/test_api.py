@@ -546,6 +546,7 @@ def test_download_url_cap_unlinks_partial_file(tmp_path, monkeypatch):
     class FakeResp:
         headers = {"Content-Type": "audio/mpeg"}
         status_code = 200
+        cookies = {}
 
         def raise_for_status(self):
             pass
@@ -554,8 +555,13 @@ def test_download_url_cap_unlinks_partial_file(tmp_path, monkeypatch):
             while True:
                 yield b"x" * chunk_size
 
+    class FakeSession:
+        def get(self, *a, **k):
+            return FakeResp()
+
     class FakeReq:
         exceptions = urlmod.requests.exceptions
+        Session = FakeSession
 
         @staticmethod
         def get(*a, **k):
@@ -573,6 +579,19 @@ def test_download_url_cap_unlinks_partial_file(tmp_path, monkeypatch):
     assert ei.value.status_code == 413
     assert "File size:" in ei.value.detail
     assert not out.exists(), "partial download left on disk"
+
+    # A LOCAL failure (unwritable path -> OSError) wraps to the same
+    # reference-exact 400 text as request errors (back/api.py:1976) in
+    # BOTH downloaders, instead of escaping raw or mapping to 500.
+    bad = tmp_path / "no-such-dir" / "dl.mp3"
+    with pytest.raises(HE) as ei:
+        urlmod.download_file_from_url("http://x.example/y.mp3", str(bad))
+    assert ei.value.status_code == 400
+    assert ei.value.detail.startswith("Failed to download file: ")
+    with pytest.raises(HE) as ei:
+        urlmod.download_file_from_google_drive("FILE123", str(bad))
+    assert ei.value.status_code == 400
+    assert ei.value.detail.startswith("Failed to download file: ")
 
 
 def test_finish_ok_marker_order_survives_crash_window(tmp_path, monkeypatch):
