@@ -82,7 +82,10 @@ def create_app(output_dir: str = "processed_audio",
         if str(file_path).lower().endswith(".mp3"):
             from clearconverse_tpu.audio.decode import ensure_wav_format
             runner.update_progress(task_id, 5, "Converting MP3 to WAV")
-            runner.uploaded_files[task_id] = ensure_wav_format(str(file_path))
+            # Off-loop: the ffmpeg subprocess can take seconds for a
+            # 25 MB file and would stall every other route and WS socket.
+            runner.uploaded_files[task_id] = await asyncio.to_thread(
+                ensure_wav_format, str(file_path))
             runner.update_progress(task_id, 10, "Conversion complete")
         else:
             runner.uploaded_files[task_id] = str(file_path)
@@ -94,7 +97,15 @@ def create_app(output_dir: str = "processed_audio",
         url = req.form().get("url")
         if not url:
             raise HTTPException(400, "Invalid URL format")
-        urlmod.validate_url(url)
+        # ALL blocking network work (validation HEAD, downloads,
+        # conversion subprocess) runs off the event loop: this is a
+        # single-process single-loop server, and a slow-but-alive remote
+        # would otherwise freeze every route and WS progress socket for
+        # the transfer's duration (requests' timeout bounds one silent
+        # gap, not total time — review r5). The reference blocks its loop
+        # the same way, but it can afford to: its pipeline runs in a
+        # separate worker process.
+        await asyncio.to_thread(urlmod.validate_url, url)
         task_id = str(uuid.uuid4())
         from urllib.parse import urlparse
         parsed = urlparse(url)
@@ -120,18 +131,21 @@ def create_app(output_dir: str = "processed_audio",
                 file_id = urlmod.extract_drive_file_id(url)
                 runner.update_progress(task_id, 10,
                                        "Downloading from Google Drive")
-                urlmod.download_file_from_google_drive(
+                await asyncio.to_thread(
+                    urlmod.download_file_from_google_drive,
                     file_id, path, max_bytes=MAX_FILE_SIZE_BYTES)
             else:
                 runner.update_progress(task_id, 5,
                                        "Downloading audio from URL")
-                urlmod.download_file_from_url(url, path,
-                                              max_bytes=MAX_FILE_SIZE_BYTES)
+                await asyncio.to_thread(
+                    urlmod.download_file_from_url,
+                    url, path, max_bytes=MAX_FILE_SIZE_BYTES)
             runner.update_progress(task_id, 25, "Download complete")
             if path.lower().endswith(".mp3"):
                 from clearconverse_tpu.audio.decode import ensure_wav_format
                 runner.update_progress(task_id, 5, "Converting MP3 to WAV")
-                runner.uploaded_files[task_id] = ensure_wav_format(path)
+                runner.uploaded_files[task_id] = await asyncio.to_thread(
+                    ensure_wav_format, path)
                 runner.update_progress(task_id, 10, "Conversion complete")
             else:
                 runner.uploaded_files[task_id] = path
@@ -172,6 +186,18 @@ def create_app(output_dir: str = "processed_audio",
         if (task_dir / "in_progress.txt").exists():
             return {"task_id": task_id, "status": "already_in_progress"}
         task_dir.mkdir(parents=True, exist_ok=True)
+        # Deliberate deviation (docs/PARITY.md #16): clear stale terminal
+        # markers from a previous cancelled/errored run. The reference
+        # leaves them (back/api.py:2019-2021 checks only completed/
+        # in_progress), and since its status surfaces check cancelled.txt
+        # FIRST, the re-transcription its /cancel explicitly preserves the
+        # upload for ("allow re-transcription", api.py:2126) reports
+        # "cancelled" forever even after completing.
+        for stale in ("cancelled.txt", "error.txt"):
+            try:
+                (task_dir / stale).unlink()
+            except OSError:
+                pass
         (task_dir / "in_progress.txt").write_text(
             f"Started at {datetime.now().isoformat()}")
         runner.update_progress(task_id, 0, "Task queued for transcription")
@@ -185,19 +211,32 @@ def create_app(output_dir: str = "processed_audio",
         task_id = req.path_params["task_id"]
         runner.update_progress(task_id, 99, "Cancelling transcription...")
         had_task = task_id in runner.active_tasks
+        # Part of deviation #14 (tasks.cancel preserves a completed
+        # transcript): the acknowledgement must not clobber the completed
+        # result_store entry either, or /task/{id}/result says
+        # "cancelled" for a transcript /task/{id}/status still reports
+        # completed. The reference can't hit this (its worker never
+        # populates result_store); unconditional writes for unknown ids
+        # stay (api.py:2137-2139 parity).
+        completed = ((out_dir / task_id / "completed.txt").exists()
+                     and (out_dir / task_id / "transcript.txt").exists())
+
+        def _ack():
+            runner.update_progress(task_id, 100, "Transcription cancelled")
+            if not completed:
+                runner.result_store[task_id] = {
+                    "status": "cancelled",
+                    "message": "Transcription was cancelled"}
+
         try:
             runner.cancel(task_id)
-            runner.update_progress(task_id, 100, "Transcription cancelled")
-            runner.result_store[task_id] = {
-                "status": "cancelled", "message": "Transcription was cancelled"}
+            _ack()
             if had_task:
                 return {"status": "cancelled",
                         "message": "Transcription cancelled successfully"}
             return {"status": "cancelled"}
         except Exception as exc:  # noqa: BLE001
-            runner.update_progress(task_id, 100, "Transcription cancelled")
-            runner.result_store[task_id] = {
-                "status": "cancelled", "message": "Transcription was cancelled"}
+            _ack()
             return {"status": "cancelled", "error": str(exc)}
 
     # -------------------------------------------------------------- status
@@ -521,6 +560,13 @@ def create_app(output_dir: str = "processed_audio",
         for f in temp_uploads.glob("*"):
             if f.is_file() and datetime.fromtimestamp(f.stat().st_mtime) < cutoff:
                 task_id = f.stem.split(".")[0]
+                if task_id in runner.active_tasks:
+                    # A queued-or-running task still needs its upload (the
+                    # in-process executor can hold a backlog the reference's
+                    # process-per-task model never had — a queued task
+                    # hasn't even read the file yet). Old-by-mtime but
+                    # active files wait for the next sweep.
+                    continue
                 try:
                     f.unlink()
                     files_removed += 1
@@ -531,6 +577,8 @@ def create_app(output_dir: str = "processed_audio",
                     store.pop(task_id, None)
         for d in out_dir.glob("*"):
             if not d.is_dir():
+                continue
+            if d.name in runner.active_tasks:
                 continue
             try:
                 most_recent = max((x.stat().st_mtime for x in d.glob("**/*")

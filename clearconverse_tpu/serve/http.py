@@ -37,6 +37,13 @@ MAX_HEADER_BYTES = 64 * 1024
 # Per-frame cap on RECEIVED WebSocket frames: the progress sockets only
 # ever receive small client texts; anything larger is a hostile frame.
 MAX_WS_FRAME = 1024 * 1024
+# Idle bound on the keep-alive gap / first request line, and an overall
+# deadline for reading one request's headers. Without them a socket that
+# connects and drips (or sends nothing) is held open forever — slowloris
+# fd exhaustion against this single-process server. Body reads stay
+# unbounded like uvicorn's defaults (slow uploads are legitimate).
+KEEPALIVE_TIMEOUT_S = 75.0
+HEADER_TIMEOUT_S = 30.0
 
 
 class HTTPException(Exception):
@@ -110,7 +117,11 @@ def file_response(path: str, media_type: str = "application/octet-stream",
         body = fh.read()
     headers = {}
     if filename:
-        headers["Content-Disposition"] = f'attachment; filename="{filename}"'
+        # Filenames flow in from client uploads and URL basenames; CR/LF
+        # would split the response head (header injection) and a bare
+        # quote breaks the quoted-string — strip all three (review r5).
+        safe = "".join(c for c in filename if c not in '\r\n"')
+        headers["Content-Disposition"] = f'attachment; filename="{safe}"'
     return Response(body, 200, media_type, headers)
 
 
@@ -349,9 +360,16 @@ class App:
     # ------------------------------------------------------------ serving
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:
+        loop = asyncio.get_event_loop()
         try:
             while True:
-                line = await reader.readline()
+                # Idle bound on the keep-alive gap / first request line —
+                # without one, sockets that connect and send nothing are
+                # held forever (slowloris fd exhaustion; uvicorn bounds
+                # this with its keep-alive timeout). TimeoutError is an
+                # OSError, so expiry lands in the clean-close except below.
+                line = await asyncio.wait_for(reader.readline(),
+                                              KEEPALIVE_TIMEOUT_S)
                 if not line or line in (b"\r\n", b"\n"):
                     return
                 try:
@@ -360,8 +378,13 @@ class App:
                     return
                 headers: Dict[str, str] = {}
                 hbytes = 0
+                # Overall header deadline (not per-readline — a
+                # byte-per-second dripper would defeat that).
+                hdr_deadline = loop.time() + HEADER_TIMEOUT_S
                 while True:
-                    hl = await reader.readline()
+                    hl = await asyncio.wait_for(
+                        reader.readline(),
+                        max(hdr_deadline - loop.time(), 0.001))
                     if hl in (b"\r\n", b"\n", b""):
                         break
                     hbytes += len(hl)
@@ -390,8 +413,12 @@ class App:
                             keep=False)
                         return
                     if body is None:
+                        # keep=False (was a stray positional "HTTP/1.1"
+                        # landing in `version`): closing a keep-alive
+                        # socket with the client's oversize body still
+                        # unread makes the queued 413 race a TCP RST.
                         await self._write_response(writer, json_response(
-                            {"detail": "body too large"}, 413), "HTTP/1.1")
+                            {"detail": "body too large"}, 413), keep=False)
                         return
                 else:
                     try:
@@ -408,7 +435,7 @@ class App:
                         return
                     if length > MAX_BODY:
                         await self._write_response(writer, json_response(
-                            {"detail": "body too large"}, 413), "HTTP/1.1")
+                            {"detail": "body too large"}, 413), keep=False)
                         return
                     body = await reader.readexactly(length) if length else b""
                 response = await self._dispatch(method, target, headers, body)
@@ -416,10 +443,23 @@ class App:
                 await self._write_response(writer, response, keep=keep)
                 if not keep:
                     return
+        except ValueError:
+            # A single request/header line beyond the StreamReader limit
+            # surfaces as ValueError from readline (LimitOverrunError)
+            # BEFORE the hbytes cap can fire — answer the intended 431
+            # best-effort instead of dying with an unretrieved exception
+            # (review r5). The malformed-chunked/content-length ValueErrors
+            # are handled at their sites above and never reach here.
+            try:
+                await self._write_response(writer, json_response(
+                    {"detail": "headers too large"}, 431), keep=False)
+            except Exception:
+                pass
         except (asyncio.IncompleteReadError, OSError):
             # OSError covers ConnectionError plus the rarer socket
-            # failures (ETIMEDOUT, ENOBUFS) — a dying client connection
-            # must never surface as an unhandled-task-exception log.
+            # failures (ETIMEDOUT, ENOBUFS) and asyncio's TimeoutError
+            # (the read deadlines above) — a dying or idle client
+            # connection must never surface as an unhandled-task log.
             pass
         finally:
             try:
@@ -499,6 +539,11 @@ class App:
                 "Access-Control-Allow-Headers: *",
                 "Connection: " + ("keep-alive" if keep else "close")]
         for k, v in resp.headers.items():
+            # Last line of defense against response splitting: no header
+            # name or value may carry CR/LF into the head (values can
+            # originate from client-controlled strings — review r5).
+            k = str(k).replace("\r", "").replace("\n", "")
+            v = str(v).replace("\r", "").replace("\n", "")
             head.append(f"{k}: {v}")
         writer.write(("\r\n".join(head) + "\r\n\r\n").encode() + resp.body)
         await writer.drain()

@@ -321,6 +321,15 @@ class TaskRunner:
                                        "cancelled.txt"))):
                 with open(os.path.join(task_dir, "cancelled.txt"), "w") as fh:
                     fh.write("Transcription was cancelled")
+                # The rescue must also clear in_progress.txt, or
+                # /transcribe forever answers "already_in_progress" for a
+                # task whose status simultaneously reads "cancelled" —
+                # re-transcription (which the cancel flow explicitly
+                # preserves the upload for) would be dead (review r5).
+                try:
+                    os.remove(os.path.join(task_dir, "in_progress.txt"))
+                except OSError:
+                    pass
             return
         info["cancel"].set()
         task_dir = os.path.join(self.output_dir, task_id)

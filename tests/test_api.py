@@ -459,6 +459,9 @@ def test_cancel_restart_orphaned_task_reaches_terminal_state(tmp_path):
     runner.cancel("orphan")
     assert (orphan / "cancelled.txt").exists()
     assert (orphan / "progress.json").exists()     # no dir wipe
+    # The rescue clears in_progress.txt too, so /transcribe can re-run
+    # the task instead of answering already_in_progress forever.
+    assert not (orphan / "in_progress.txt").exists()
 
     # A non-active dir WITHOUT in_progress.txt is not provably ours
     # mid-run — cancel leaves it alone.
@@ -479,6 +482,100 @@ def test_cancel_restart_orphaned_task_reaches_terminal_state(tmp_path):
 
     runner.cancel("never-existed")
     assert not (tmp_path / "never-existed").exists()
+
+
+def test_retranscribe_after_cancel_clears_stale_markers(server):
+    """PARITY.md #16: a re-run after cancel must not report 'cancelled'
+    forever — /transcribe clears stale terminal markers before starting
+    (the reference leaves them and its own re-transcription feature is
+    dead as a result)."""
+    up = _upload(server, "rerun.wav")
+    tid = up["task_id"]
+    task_dir = os.path.join(server["out"], tid)
+    os.makedirs(task_dir, exist_ok=True)
+    with open(os.path.join(task_dir, "cancelled.txt"), "w") as fh:
+        fh.write("Transcription was cancelled")
+    st = requests.get(f"{server['base']}/task/{tid}/status").json()
+    assert st["status"] == "cancelled"
+    requests.post(f"{server['base']}/transcribe/{tid}")
+    st = _wait_complete(server, tid)
+    assert st["status"] == "completed", st
+    assert not os.path.exists(os.path.join(task_dir, "cancelled.txt"))
+
+
+def test_cancel_completed_task_preserves_result_store(server):
+    """Extension of PARITY.md #14: a late /cancel (stale tab sendBeacon)
+    of a COMPLETED task acknowledges but must not clobber the completed
+    result_store entry — /task/{id}/result keeps serving the download."""
+    up = _upload(server, "late-cancel.wav")
+    tid = up["task_id"]
+    requests.post(f"{server['base']}/transcribe/{tid}")
+    st = _wait_complete(server, tid)
+    assert st["status"] == "completed", st
+    r = requests.post(f"{server['base']}/cancel/{tid}")
+    assert r.status_code == 200
+    res = requests.get(f"{server['base']}/task/{tid}/result").json()
+    assert res.get("status") == "completed", res
+    assert "download_url" in res
+
+
+def test_file_response_sanitizes_filename_header():
+    """CR/LF/quote in a (client-controlled) filename must not split the
+    response head or break the Content-Disposition quoted-string
+    (header-injection guard, review r5)."""
+    import tempfile
+    from clearconverse_tpu.serve.http import file_response
+
+    with tempfile.NamedTemporaryFile(delete=False) as fh:
+        fh.write(b"x")
+        p = fh.name
+    resp = file_response(p, "audio/mpeg",
+                         'a\r\nSet-Cookie: evil=1\n"b.mp3')
+    cd = resp.headers["Content-Disposition"]
+    assert "\r" not in cd and "\n" not in cd
+    assert cd == 'attachment; filename="aSet-Cookie: evil=1b.mp3"'
+    os.unlink(p)
+
+
+def test_idle_connection_times_out(server, monkeypatch):
+    """A socket that connects and sends nothing must be dropped by the
+    keep-alive idle bound, not held forever (slowloris guard)."""
+    from clearconverse_tpu.serve import http as httpmod
+
+    monkeypatch.setattr(httpmod, "KEEPALIVE_TIMEOUT_S", 1.0)
+    sock = socket.create_connection(("127.0.0.1", server["port"]),
+                                    timeout=10)
+    sock.settimeout(8)
+    try:
+        data = sock.recv(1)   # server closes -> b""
+    except (ConnectionResetError, socket.timeout) as exc:
+        assert not isinstance(exc, socket.timeout), \
+            "idle socket was not dropped"
+        data = b""
+    assert data == b""
+    sock.close()
+
+
+def test_oversized_header_line_gets_431(server):
+    """A single header line beyond the StreamReader limit surfaces as
+    ValueError from readline — the server must answer 431, not die with
+    an unretrieved task exception (review r5)."""
+    sock = socket.create_connection(("127.0.0.1", server["port"]),
+                                    timeout=10)
+    sock.settimeout(10)
+    sock.sendall(b"GET /health HTTP/1.1\r\nX-Big: " + b"a" * (80 * 1024)
+                 + b"\r\n\r\n")
+    buf = b""
+    try:
+        while b"\r\n\r\n" not in buf:
+            chunk = sock.recv(4096)
+            if not chunk:
+                break
+            buf += chunk
+    except ConnectionResetError:
+        pass
+    sock.close()
+    assert b"431" in buf.split(b"\r\n", 1)[0], buf[:100]
 
 
 def test_upload_url_drive_flow_preview_and_pdf_name(server, monkeypatch):
