@@ -360,7 +360,7 @@ class App:
     # ------------------------------------------------------------ serving
     async def _handle(self, reader: asyncio.StreamReader,
                       writer: asyncio.StreamWriter) -> None:
-        loop = asyncio.get_event_loop()
+        loop = asyncio.get_running_loop()
         try:
             while True:
                 # Idle bound on the keep-alive gap / first request line —
