@@ -71,6 +71,60 @@ def _emit(line: dict) -> None:
     print(json.dumps(line), flush=True)
 
 
+_MODELS_ENSURED = False
+
+
+def _ensure_models(budget_s: float = float("inf")) -> None:
+    """Regenerate the dress-rehearsal checkpoint set when ./models is gone.
+
+    The engine numbers should measure the checkpoint-loaded path (VERDICT
+    r4 #3: converter → device at production scale), but the model dir is
+    gitignored and does not survive a workspace reset — round 5 measured
+    exactly that: a populated ./models vanished between sessions, which
+    would silently flip the driver's BENCH json back to random_weights.
+    If no whisper checkpoint is discoverable, rebuild the full-scale set
+    (eval/dress_rehearsal — real dims/format/layout, seeded values) in a
+    SUBPROCESS: it pins itself to jax_platforms=cpu, so this process's
+    TPU backend is never touched. Best-effort with a budget guard — any
+    failure just lands on the random-init fallback the bundle already
+    logs. CC_BENCH_AUTOGEN_MODELS=0 opts out."""
+    global _MODELS_ENSURED
+    if _MODELS_ENSURED or os.environ.get("CC_BENCH_AUTOGEN_MODELS") == "0":
+        return
+    _MODELS_ENSURED = True
+    try:
+        from clearconverse_tpu.config import Config
+        # The bench engines construct TranscriptionEngine without a
+        # model_dir, so they resolve the same "./models" default
+        # (pipeline/engine.py:69) — mirror that, not serve's
+        # MODEL_CACHE_DIR, which bench never reads.
+        mdir, size = "./models", Config().whisper_model_size
+        if (os.path.exists(os.path.join(mdir, f"{size}.pt"))
+                or os.path.exists(os.path.join(mdir, "whisper",
+                                               f"{size}.pt"))):
+            return
+        # Generation measured ~2 min on this 1-core host; don't start it
+        # when the remaining budget couldn't also fit the engine bench.
+        if _remaining(budget_s) < _MIN_ENGINE_S + 600.0:
+            print(f"bench: {mdir} has no {size}.pt and the budget is too "
+                  "deep to regenerate; engine numbers will be random-init",
+                  file=sys.stderr, flush=True)
+            return
+        print(f"bench: no {size}.pt under {mdir}; regenerating the "
+              "dress-rehearsal checkpoint set (subprocess, CPU-pinned)",
+              file=sys.stderr, flush=True)
+        import subprocess
+        subprocess.run(
+            [sys.executable, "-m", "clearconverse_tpu.eval.dress_rehearsal",
+             "--model-dir", mdir, "--size", size],
+            timeout=min(900.0, max(_remaining(budget_s) - _MIN_ENGINE_S,
+                                   60.0)),
+            stdout=sys.stderr, check=False)
+    except Exception as exc:  # noqa: BLE001 — random-init fallback covers us
+        print(f"bench: model regeneration skipped ({exc!r})",
+              file=sys.stderr, flush=True)
+
+
 def _run_passes(engine, paths, repeats: int, budget_s: float,
                 est0: float = 60.0):
     """Timed warm passes with per-pass stage capture.
@@ -194,6 +248,7 @@ def bench_engine(n_files: int, repeats: int,
     # REFERENCE-default config instead (whisper scalar temp => best_of=5
     # sampled replicas on every first decode — 5x decode rows).
     cfg = Config(noise_reduction_amount=0.2, temperature=temperature)
+    _ensure_models(budget_s)
     # CC_TPU_* env overrides apply (e.g. CC_TPU_PAD_FULL_WINDOW=0 measures
     # the bucketed-encoder-context lever); bench-specific knobs win.
     tpu = dataclasses.replace(tpu_config_from_env(),
@@ -358,6 +413,7 @@ def bench_latency(repeats: int = 4, engine=None) -> dict:
         from clearconverse_tpu.config import Config, tpu_config_from_env
         from clearconverse_tpu.pipeline.engine import TranscriptionEngine
         cfg = Config(noise_reduction_amount=0.2, temperature=0.0)
+        _ensure_models()
         tpu = dataclasses.replace(tpu_config_from_env(),
                                   diarization_onset=0.35,
                                   diarization_offset=0.25,

@@ -136,3 +136,48 @@ def test_full_scale_vocab_height():
                                 encoding="utf-8").read())
         assert len(vocab) == 50257
         assert vocab["<|endoftext|>"] == 50256
+
+
+def test_bench_autogen_regenerates_missing_models(tmp_path, monkeypatch):
+    """bench._ensure_models rebuilds a wiped ./models (round-5 incident:
+    the gitignored dir vanished in a workspace reset, which would flip the
+    driver's engine numbers back to random_weights). Trigger matrix:
+    present -> no-op, missing -> one CPU-pinned subprocess, deep budget ->
+    skip, CC_BENCH_AUTOGEN_MODELS=0 -> skip."""
+    import subprocess
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    try:
+        import bench
+    finally:
+        _sys.path.pop(0)
+
+    calls = []
+    monkeypatch.setattr(subprocess, "run",
+                        lambda *a, **k: calls.append((a, k)))
+    monkeypatch.chdir(tmp_path)
+
+    # present: the discovery path accepts both flat and whisper/ layouts
+    os.makedirs("models/whisper")
+    open("models/whisper/small.en.pt", "wb").close()
+    monkeypatch.setattr(bench, "_MODELS_ENSURED", False)
+    bench._ensure_models(1e9)
+    assert calls == []
+
+    os.remove("models/whisper/small.en.pt")
+    monkeypatch.setattr(bench, "_MODELS_ENSURED", False)
+    bench._ensure_models(1e9)
+    assert len(calls) == 1
+    argv = calls[0][0][0]
+    assert argv[1:4] == ["-m", "clearconverse_tpu.eval.dress_rehearsal",
+                         "--model-dir"]
+
+    monkeypatch.setattr(bench, "_MODELS_ENSURED", False)
+    bench._ensure_models(5.0)          # too deep to start a 2-min regen
+    assert len(calls) == 1
+
+    monkeypatch.setenv("CC_BENCH_AUTOGEN_MODELS", "0")
+    monkeypatch.setattr(bench, "_MODELS_ENSURED", False)
+    bench._ensure_models(1e9)
+    assert len(calls) == 1
